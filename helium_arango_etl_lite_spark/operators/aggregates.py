@@ -1,0 +1,77 @@
+"""Aggregate / window surface (SURVEY.md section 2.5).
+
+The reference materializes the columns these aggregates consume
+(amount/_from/_to at follower.py:151-152, signal/snr at :188-189,
+block/timestamp at :153-154); the engine ships the analytics surface those
+schemas exist to serve. Everything here is built-in hash-aggregate /
+window-function work: partial (map-side) aggregation, AQE skew handling and
+whole-stage codegen all apply for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def payment_volume(edges: DataFrame, src: str = "_from", dst: str = "_to", amount: str = "amount") -> DataFrame:
+    """Grouped sum/count per account pair (payment-volume analytics)."""
+    return edges.groupBy(src, dst).agg(
+        F.sum(amount).alias("total_amount"),
+        F.count(F.lit(1)).alias("n_payments"),
+    )
+
+
+def link_quality(edges: DataFrame, group: list[str], signal: str = "signal", snr: str = "snr") -> DataFrame:
+    """Grouped avg/min/max witness link quality (follower.py:188-189 cols)."""
+    return edges.groupBy(*group).agg(
+        F.avg(signal).alias("avg_signal"),
+        F.min(signal).alias("min_signal"),
+        F.max(signal).alias("max_signal"),
+        F.avg(snr).alias("avg_snr"),
+    )
+
+
+def distinct_counterparties(edges: DataFrame, key: str, counterparty: str) -> DataFrame:
+    """Exact distinct count per key; swap in approx_count_distinct at the
+    100 TB scale path (same API, sketch-based, no exact-shuffle)."""
+    return edges.groupBy(key).agg(
+        F.countDistinct(counterparty).alias("n_counterparties")
+    )
+
+
+def time_bucketed_activity(df: DataFrame, ts: str, value: str, bucket: str = "hour") -> DataFrame:
+    """Tumbling time-bucket aggregation over an event-time column."""
+    return df.groupBy(F.date_trunc(bucket, F.col(ts)).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value).alias("total_value"),
+    )
+
+
+def top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
+    """Deterministic top-k: Spark plans orderBy+limit as
+    TakeOrderedAndProject (per-partition heap + driver merge — no global
+    sort, no shuffle of the full data)."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def latest_per_key(df: DataFrame, key: str, order_col: str, tiebreak: str) -> DataFrame:
+    """row_number()==1 per key by descending order (latest inventory row per
+    gateway pattern, follower.py:130-133)."""
+    w = Window.partitionBy(key).orderBy(F.desc(order_col), F.desc(tiebreak))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def lag_delta_seconds(df: DataFrame, key: str, ts: str, tiebreak: str) -> DataFrame:
+    """Per-key previous-event delta in seconds — the windowed general form of
+    the reference's processing_time_s arithmetic (follower.py:196)."""
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(tiebreak))
+    prev = F.lag(F.col(ts)).over(w)
+    return df.withColumn(
+        "delta_s",
+        (F.unix_micros(F.col(ts)) - F.unix_micros(prev)) / F.lit(1000000.0),
+    )

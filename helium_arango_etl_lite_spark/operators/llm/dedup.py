@@ -1,0 +1,156 @@
+"""Deduplication operators for LLM data pipelines (SURVEY.md section 2.8):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (100 TB):
+ * exact dedup — one hash-shuffle on a 16-byte key; map-side partial agg.
+ * MinHash/LSH — signature computation is embarrassingly parallel
+   (per-row JVM expressions, zero shuffle); the LSH band join shuffles
+   only (band_id, doc_id) pairs — tiny vs the corpus.
+ * n-gram Jaccard — exploded-shingle self-join; at scale, frequency-cap
+   shingles first (drop shingles appearing in > F docs) to kill the
+   quadratic hot keys; the LSH path is the primary one, Jaccard the
+   verifier on candidate pairs.
+ * embedding near-dup — brute force is the sf-small oracle baseline;
+   the LSH-bucketed variant (similarity.py) is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ...functions.hashing import MERSENNE_61, hash64, minhash_params, permuted_hash
+
+
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash: keeper = min id, plus
+    multiplicity. groupBy on md5 — partial-aggregated, single shuffle."""
+    return (
+        df.select(F.md5(F.col(text)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Pure JVM array expressions: split ->
+    index transform -> concat; empty array when the doc has < n tokens
+    (mirrors the oracle's generate_series(1, len-n+1))."""
+    t = F.split(text_col if isinstance(text_col, str) else text_col, " ")
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])
+    )
+    return F.array_distinct(
+        F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def minhash_signature_df(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 6, seed: int = 42, shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature as ``sig_0..sig_{K-1}`` columns.
+
+    min over shingles of ``(a_i * hash64(shingle) + b_i) mod (2^61-1)``.
+    No shuffle at all — per-row expression work, scales linearly.
+    """
+    sh = word_shingles(F.col(text), shingle_n)
+    base = F.transform(sh, hash64)
+    cols = [F.col(id_col)]
+
+    def _ph(a: int, b: int):
+        # close over (a, b): PySpark infers HOF arity from the lambda signature
+        return lambda x: permuted_hash(x, a, b)
+
+    for i, (a, b) in enumerate(minhash_params(num_hashes, seed)):
+        hashed = F.transform(base, _ph(a, b))
+        cols.append(
+            F.coalesce(F.array_min(hashed), F.lit(MERSENNE_61).cast("long")).alias(f"sig_{i}")
+        )
+    return df.select(*cols)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 6, bands: int = 3, seed: int = 42, shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: signature split into ``bands`` bands of r = K/bands rows;
+    docs sharing any band hash are candidate duplicates.
+
+    The self-join shuffles only (band_key, doc_id) — the full text never
+    moves. Output: distinct (doc_a, doc_b) with doc_a < doc_b.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature_df(df, text, id_col, num_hashes, seed, shingle_n)
+    band_cols = [
+        F.concat_ws("_", F.lit(b), *[F.col(f"sig_{b * r + j}") for j in range(r)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """SimHash over distinct whitespace tokens.
+
+    bit_j = sign of sum over tokens of (2*((hash64(token) >> j) & 1) - 1);
+    near-duplicates have small Hamming distance between simhash values.
+    Per-row JVM expression work only (no shuffle).
+    """
+    t = F.array_distinct(F.split(F.col(text), " "))
+    hs = F.transform(t, hash64)
+
+    def _vote(j: int):
+        # close over j: PySpark infers HOF arity from the lambda signature
+        return lambda s, h: s + F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
+
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(hs, F.lit(0).cast("long"), _vote(j))
+        acc = acc + F.shiftleft((vote >= 0).cast("long"), j)
+    return df.select(F.col(id_col), acc.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3, threshold: float = 0.8, max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for document pairs sharing >= 1 shingle.
+
+    Exploded-shingle self-join: |A intersect B| via groupBy(pair), sizes via
+    per-doc counts, jaccard = inter / (|A| + |B| - inter). At 100 TB set
+    ``max_shingle_freq`` to drop ubiquitous shingles (quadratic hot keys);
+    left None at oracle scale for exactness.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text), shingle_n)).alias("s")
+    )
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+        sh = sh.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq).select("s")), "s")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    jacc = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

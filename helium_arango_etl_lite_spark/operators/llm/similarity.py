@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (SURVEY.md section 2.8).
+
+* :func:`cosine_topk` — brute-force exact top-k: the correctness baseline
+  (oracle-checkable). One broadcast of the query vector, a linear scan,
+  TakeOrderedAndProject for the top-k — no shuffle of the corpus.
+* :func:`lsh_bucket_topk` — random-hyperplane LSH: sign-bit bucket per
+  vector, candidates = query's bucket only. The 100 TB path: the bucket id
+  is a partition-prunable column when materialized, so a query touches
+  1/2^H of the data.
+* :func:`embedding_near_dup_pairs` — all-pairs cosine >= threshold; brute
+  force at oracle scale, LSH-bucketed (join on bucket) at scale.
+
+Dot products use zip_with + aggregate over DOUBLE — built-in JVM
+expressions, no UDF; embeddings are cast float -> double first so the
+DuckDB oracle (which computes in double) matches to ~1e-15.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product of two array<double> columns (JVM-side)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def hyperplanes(num_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Seeded random hyperplanes, rounded to 6dp so the same decimal
+    literals parse to identical doubles in Spark and the SQL oracle."""
+    rng = random.Random(seed)
+    return [
+        [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)] for _ in range(num_planes)
+    ]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit_j = (vec . plane_j >= 0), bucket = sum bit<<j."""
+    acc = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        acc = acc + F.shiftleft((dot(vec, p) >= 0).cast("long"), j)
+    return acc
+
+
+def cosine_topk(
+    emb: DataFrame, query_id: int, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding", round_dp: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to the vector with id ``query_id``.
+
+    Rounded to ``round_dp`` before ranking (ties broken by id) so that
+    engine-specific summation order cannot flip the boundary.
+    """
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    q = e.filter(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
+    scored = (
+        e.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col("v"), F.col("qv")), round_dp).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def lsh_bucket_topk(
+    emb: DataFrame, query_id: int, k: int = 5, num_planes: int = 6,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    seed: int = 7, dim: int = 64, round_dp: int = 4,
+) -> DataFrame:
+    """ANN: candidates restricted to the query's LSH bucket, exact cosine
+    within. At scale the bucket column is precomputed + partitioned-by, so
+    this is a partition-pruned scan, not a full pass."""
+    planes = hyperplanes(num_planes, dim, seed)
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
+        "bucket", lsh_bucket(F.col("v"), planes)
+    )
+    q = e.filter(F.col(id_col) == query_id).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    cands = e.filter(F.col(id_col) != query_id).crossJoin(F.broadcast(q)).filter(
+        F.col("bucket") == F.col("qbucket")
+    )
+    scored = cands.select(
+        F.col(id_col),
+        F.col("bucket"),
+        F.round(cosine(F.col("v"), F.col("qv")), round_dp).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.45,
+    id_col: str = "vec_id", vec_col: str = "embedding", round_dp: int = 4,
+) -> DataFrame:
+    """All pairs with cosine >= threshold. Brute-force O(n^2) — the oracle
+    baseline; swap the join condition to an LSH bucket equality for scale
+    (same output contract, approximate recall)."""
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    a = e.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.select(
+        "vec_a", "vec_b",
+        F.round(cosine(F.col("va"), F.col("vb")), round_dp).alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)

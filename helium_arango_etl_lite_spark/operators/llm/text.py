@@ -1,0 +1,99 @@
+"""Text-analysis operators for LLM data pipelines (north-star extensions,
+SURVEY.md section 2.8): language-ID, quality scoring, token counting,
+document fingerprinting.
+
+All hot-path logic is built-in pyspark.sql.functions (JVM, whole-stage
+codegen) — per-row string work at 100 TB must never drop into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists for the n-gram/stopword language
+# heuristic. Real deployments swap in fastText/CLD3 via mapInPandas; the
+# heuristic keeps the operator oracle-checkable.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-alnum marks.
+# Kept Java/RE2-compatible so the DuckDB oracle matches byte-for-byte.
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def tokens(text_col: Column | str) -> Column:
+    """Whitespace tokens (single-space split, matching the oracle)."""
+    return F.split(text_col if isinstance(text_col, str) else text_col, " ")
+
+
+def stopword_score(tok: Column, lang: str) -> Column:
+    """Occurrence count (duplicates included) of ``lang`` stopwords."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tok, lambda t: t.isin(*words)))
+
+
+def lang_id(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID with a deterministic tie-break (en>de>fr)."""
+    tok = tokens(text)
+    s_en, s_de, s_fr = (stopword_score(tok, l) for l in ("en", "de", "fr"))
+    pred = (
+        F.when((s_en >= s_de) & (s_en >= s_fr), F.lit("en"))
+        .when(s_de >= s_fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.select(
+        id_col,
+        s_en.alias("s_en"),
+        s_de.alias("s_de"),
+        s_fr.alias("s_fr"),
+        pred.alias("pred_lang"),
+    )
+
+
+def token_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics: counts, distinct counts, char length."""
+    tok = tokens(text)
+    return df.select(
+        id_col,
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_distinct_tokens"),
+        F.length(text).alias("n_chars_measured"),
+    )
+
+
+def quality_score(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: length, stopword ratio, punctuation ratio,
+    and a boolean keep/drop verdict. Per-row double division — bit-identical
+    across engines, no rounding needed."""
+    tok = tokens(text)
+    n_tokens = F.size(tok)
+    stop_ratio = stopword_score(tok, "en").cast("double") / n_tokens.cast("double")
+    punct_n = F.size(F.regexp_extract_all(F.col(text), F.lit("[^a-zA-Z0-9 ]"), F.lit(0)))
+    punct_ratio = punct_n.cast("double") / F.length(text).cast("double")
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        ((n_tokens >= 5) & (n_tokens <= 100000) & (punct_ratio < 0.1)).alias("quality_ok"),
+    )
+
+
+def token_count(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (SURVEY 2.8)."""
+    return df.select(
+        id_col,
+        F.size(tokens(text)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text), F.lit(BPE_ISH_PATTERN), F.lit(0))).alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalised-content fingerprint: md5 of lowercase, whitespace-collapsed
+    text. The exact-dedup key for content-equivalent documents."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text)), r"\s+", " "))
+    return df.select(id_col, F.md5(norm).alias("fp"))

@@ -1,0 +1,492 @@
+"""Core relational/aggregate query catalog (SURVEY.md sections 2.2-2.5).
+
+Every operator the reference performs, re-anchored on the driver's
+TPC-H-ish tables (FIXTURES.md F7 mapping) so DuckDB can oracle-check it.
+The Helium-shaped versions of the same operators live in
+``operators/graph.py`` and are unit-tested on synthetic block fixtures.
+
+Float discipline: per-row IEEE-754 arithmetic is bit-identical across
+engines, so row-level expressions are NOT rounded; only order-dependent
+aggregates (sum/avg of doubles) are rounded (2dp money, 6dp averages) in
+BOTH engines so summation-order noise cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.keys import canonical_md5_key
+from ..functions.geo import geo_index_udf
+from ..operators import aggregates as agg
+from ..operators import relational as rel
+from .registry import EVENTS_NORM, load_events, load_table, register
+
+
+# --------------------------------------------------------------------------
+# 2.2 projections / scalar expressions
+# --------------------------------------------------------------------------
+
+@register(
+    "project_payment_edge",
+    """SELECT 'accounts/' || CAST(l_suppkey AS VARCHAR) AS src,
+              'accounts/' || CAST(l_partkey AS VARCHAR) AS dst,
+              l_extendedprice AS amount,
+              l_orderkey AS block
+       FROM lineitem""",
+    doc="Payment-edge projection (follower.py:148-155): project+rename+prefix.",
+    tags=("projection",),
+)
+def project_payment_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        rel.concat_vertex_id("accounts", "l_suppkey").alias("src"),
+        rel.concat_vertex_id("accounts", "l_partkey").alias("dst"),
+        F.col("l_extendedprice").alias("amount"),
+        F.col("l_orderkey").alias("block"),
+    )
+
+
+@register(
+    "concat_vertex_id",
+    """SELECT 'accounts/' || CAST(c_custkey AS VARCHAR) AS vertex_id, c_name
+       FROM customer""",
+    doc="Vertex-id prefix concat (follower.py:149-150, loaders.py:27).",
+    tags=("projection",),
+)
+def concat_vertex_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        rel.concat_vertex_id("accounts", "c_custkey").alias("vertex_id"),
+        "c_name",
+    )
+
+
+@register(
+    "derived_arithmetic",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) AS disc_price,
+              (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS charge
+       FROM lineitem""",
+    doc="Arithmetic derived column (follower.py:196 processing_time_s analog).",
+    tags=("projection",),
+)
+def derived_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc.alias("disc_price"),
+        (disc * (F.lit(1) + F.col("l_tax"))).alias("charge"),
+    )
+
+
+@register(
+    "null_tolerant_struct",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+              COALESCE(CAST(json_extract_string(props, '$.k') AS INTEGER), -1) AS k_filled
+       FROM events""",
+    doc="Null-tolerant nested access (follower.py:194-198): from_json + NULL-as-absent.",
+    tags=("projection", "json"),
+)
+def null_tolerant_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k int").getField("k")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.coalesce(k, F.lit(-1)).alias("k_filled"),
+    )
+
+
+@register(
+    "hash_key_md5",
+    """SELECT l_orderkey, l_linenumber,
+              md5(concat_ws('|', l_orderkey, l_linenumber)) AS _key
+       FROM lineitem""",
+    doc="Deterministic MD5 row key (follower.py:293-294) — engine canonical "
+        "form md5(concat_ws('|', cols)), JVM-side, no UDF.",
+    tags=("projection", "key"),
+)
+def hash_key_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        canonical_md5_key("l_orderkey", "l_linenumber").alias("_key"),
+    )
+
+
+@register(
+    "udf_geo_index",
+    """SELECT p_partkey,
+              'Point' AS geo_type,
+              CASE WHEN p_partkey % 10 <> 0
+                   THEN ((p_partkey // 18000) % 36000) / 100.0 - 180.0
+                   ELSE 0.0 END AS lng,
+              CASE WHEN p_partkey % 10 <> 0
+                   THEN (p_partkey % 18000) / 100.0 - 90.0
+                   ELSE 0.0 END AS lat
+       FROM part""",
+    doc="geo_index UDF (loaders.py:10-16): H3 hex -> GeoJSON point via "
+        "Arrow-batched pandas UDF; null/invalid input -> [0,0] exactly as the "
+        "reference's TypeError fallback. Oracle mirrors the deterministic "
+        "fallback arithmetic (h3 not installed here).",
+    tags=("udf",),
+)
+def udf_geo_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    # fake H3 hex: hex rendering of the part key; every 10th row NULL to
+    # exercise the reference's null -> [0,0] path (loaders.py:13-15)
+    hexes = F.when(F.col("p_partkey") % 10 != 0, F.lower(F.hex("p_partkey")))
+    geo = geo_index_udf()(hexes)
+    return p.select(
+        "p_partkey",
+        geo.getField("type").alias("geo_type"),
+        geo.getField("coordinates").getItem(0).alias("lng"),
+        geo.getField("coordinates").getItem(1).alias("lat"),
+    )
+
+
+@register(
+    "regexp_extract_height",
+    """SELECT doc_id, CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) AS src_id
+       FROM documents""",
+    doc="Filename height parse (loaders.py:45) as regexp_extract + cast.",
+    tags=("projection", "regex"),
+)
+def regexp_extract_height(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", r"src([0-9]+)", 1).cast("long").alias("src_id"),
+    )
+
+
+@register(
+    "dropna_rows",
+    """SELECT event_id, event_type AS et FROM events WHERE event_type <> 'error'""",
+    doc="dropna (loaders.py:35): NULLIF manufactures NULLs, na.drop removes them.",
+    tags=("filter",),
+)
+def dropna_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    withnull = ev.select(
+        "event_id", F.nullif("event_type", F.lit("error")).alias("et")
+    )
+    return rel.drop_null_rows(withnull)
+
+
+# --------------------------------------------------------------------------
+# 2.3 filters
+# --------------------------------------------------------------------------
+
+@register(
+    "filter_type_dispatch",
+    """SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'""",
+    doc="Type-routing predicate (follower.py:145,160,177).",
+    tags=("filter",),
+)
+def filter_type_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return rel.filter_type_dispatch(ev, "event_type", "purchase").select(
+        "event_id", "user_id", "value"
+    )
+
+
+@register(
+    "filter_retention_window",
+    f"""WITH {EVENTS_NORM}
+       SELECT event_id, user_id, ts FROM events_norm
+       WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events_norm)""",
+    doc="Retention window keep-side (follower.py:210-214, AQL delete): on a "
+        "block-range-partitioned layout this prunes to a partition drop.",
+    tags=("filter", "retention"),
+)
+def filter_retention_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    hi = ev.agg(F.max("ts").alias("mx"))
+    return (
+        ev.crossJoin(F.broadcast(hi))
+        .filter(F.col("ts") >= F.col("mx") - F.expr("INTERVAL 7 DAYS"))
+        .select("event_id", "user_id", "ts")
+    )
+
+
+@register(
+    "filter_is_valid",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       WHERE l_returnflag = 'A'""",
+    doc="Validity predicate (follower.py:187 is_valid carried for filtering).",
+    tags=("filter",),
+)
+def filter_is_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag") == "A").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# --------------------------------------------------------------------------
+# 2.4 flattening / joins / set ops
+# --------------------------------------------------------------------------
+
+@register(
+    "explode_payments",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM orders""",
+    doc="Nested array-of-struct explode (follower.py:163-176 payment_v2): "
+        "collect_list(struct) per key then explode back — row-count "
+        "conservation is the oracle.",
+    tags=("explode",),
+)
+def explode_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    nested = o.groupBy("o_custkey").agg(
+        F.collect_list(F.struct("o_orderkey", "o_totalprice")).alias("payments")
+    )
+    return nested.select(
+        "o_custkey", F.explode("payments").alias("p")
+    ).select(
+        "o_custkey",
+        F.col("p.o_orderkey").alias("o_orderkey"),
+        F.col("p.o_totalprice").alias("o_totalprice"),
+    )
+
+
+@register(
+    "explode_witnesses",
+    """SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents""",
+    doc="1-level array explode (follower.py:180-202 witnesses): tokenised "
+        "documents stand in for the witness array.",
+    tags=("explode",),
+)
+def explode_witnesses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+@register(
+    "join_block_broadcast",
+    """SELECT c_custkey, c_name, n_name
+       FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+    doc="Broadcast dimension join (follower.py:153-154 block header onto "
+        "edges): explicit F.broadcast on the small side.",
+    tags=("join", "broadcast"),
+)
+def join_block_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return c.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "n_name")
+
+
+@register(
+    "union_distinct_vertices",
+    """SELECT DISTINCT vertex_id FROM (
+         SELECT 'accounts/' || CAST(l_suppkey AS VARCHAR) AS vertex_id FROM lineitem
+         UNION ALL
+         SELECT 'accounts/' || CAST(l_partkey AS VARCHAR) FROM lineitem)""",
+    doc="Vertex extraction: union + distinct (follower.py:147,156,162,173).",
+    tags=("set",),
+)
+def union_distinct_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return rel.union_distinct(
+        li.select(rel.concat_vertex_id("accounts", "l_suppkey").alias("vertex_id")),
+        li.select(rel.concat_vertex_id("accounts", "l_partkey").alias("vertex_id")),
+    )
+
+
+@register(
+    "dedup_by_key",
+    f"""WITH {EVENTS_NORM}
+       SELECT event_id, ts, user_id, event_type, value, props FROM (
+         SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY event_id) AS rn
+         FROM events_norm) WHERE rn = 1""",
+    doc="Deterministic keep-one dedup (follower.py:205-207 duplicate-ignore): "
+        "min-by aggregate (map-side combinable) instead of a window sort.",
+    tags=("dedup",),
+)
+def dedup_by_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    out = rel.dedup_by_key(ev, ["user_id", "event_type"], "event_id")
+    return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@register(
+    "anti_join_new_keys",
+    """WITH th AS (SELECT CAST(floor(max(event_id) * 9 / 10) AS BIGINT) AS t FROM events)
+       SELECT e.event_id, e.user_id, e.event_type
+       FROM events e, th
+       WHERE e.event_id >= th.t
+         AND NOT EXISTS (SELECT 1 FROM events p
+                         WHERE p.event_id < th.t AND p.user_id = e.user_id)""",
+    doc="Anti-join upsert semantics (onDuplicate=ignore, follower.py:205-207): "
+        "incoming batch rows whose key is unseen.",
+    tags=("join", "dedup"),
+)
+def anti_join_new_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    th = ev.agg(F.floor(F.max("event_id") * 9 / 10).cast("long").alias("t"))
+    tagged = ev.crossJoin(F.broadcast(th))
+    incoming = tagged.filter(F.col("event_id") >= F.col("t"))
+    existing = tagged.filter(F.col("event_id") < F.col("t"))
+    return rel.anti_join_new_keys(incoming, existing, ["user_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@register(
+    "join_inventory_enrich",
+    """SELECT s_suppkey, s_name, s_acctbal, n_name
+       FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey""",
+    doc="Dimension enrichment join (inventory -> hotspots, follower.py:130-133).",
+    tags=("join",),
+)
+def join_inventory_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return rel.enrichment_join(
+        s, n, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+
+
+# --------------------------------------------------------------------------
+# 2.5 aggregates / windows / sorts
+# --------------------------------------------------------------------------
+
+@register(
+    "agg_payment_volume",
+    """SELECT 'accounts/' || CAST(l_suppkey AS VARCHAR) AS src,
+              'accounts/' || CAST(l_partkey AS VARCHAR) AS dst,
+              round(sum(l_extendedprice), 2) AS total_amount,
+              count(*) AS n_payments
+       FROM lineitem GROUP BY 1, 2""",
+    doc="Payment volume per account pair (SURVEY 2.5): hash agg with "
+        "map-side partial aggregation; AQE handles skewed hot accounts.",
+    tags=("agg",),
+)
+def agg_payment_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        rel.concat_vertex_id("accounts", "l_suppkey").alias("src"),
+        rel.concat_vertex_id("accounts", "l_partkey").alias("dst"),
+        F.col("l_extendedprice").alias("amount"),
+    )
+    vol = agg.payment_volume(edges, "src", "dst", "amount")
+    return vol.select(
+        "src", "dst",
+        F.round("total_amount", 2).alias("total_amount"),
+        "n_payments",
+    )
+
+
+@register(
+    "agg_witness_quality",
+    """SELECT l_returnflag, l_linestatus,
+              round(avg(l_quantity), 6) AS avg_signal,
+              min(l_quantity) AS min_signal,
+              max(l_quantity) AS max_signal,
+              round(avg(l_discount), 6) AS avg_snr
+       FROM lineitem GROUP BY 1, 2""",
+    doc="Witness link quality avg/min/max (follower.py:188-189 columns).",
+    tags=("agg",),
+)
+def agg_witness_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = agg.link_quality(li, ["l_returnflag", "l_linestatus"], "l_quantity", "l_discount")
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.round("avg_signal", 6).alias("avg_signal"),
+        "min_signal", "max_signal",
+        F.round("avg_snr", 6).alias("avg_snr"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    """SELECT event_type, count(DISTINCT user_id) AS n_counterparties,
+              count(*) AS n_events
+       FROM events GROUP BY 1""",
+    doc="Distinct counterparties (SURVEY 2.5); approx_count_distinct is the "
+        "documented 100 TB swap-in.",
+    tags=("agg",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_counterparties"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "agg_time_window",
+    f"""WITH {EVENTS_NORM}
+       SELECT date_trunc('hour', ts) AS bucket, count(*) AS n_events,
+              round(sum(value), 2) AS total_value
+       FROM events_norm GROUP BY 1""",
+    doc="Tumbling time-bucket aggregation (per-block activity analog).",
+    tags=("agg", "window"),
+)
+def agg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    out = agg.time_bucketed_activity(ev, "ts", "value", "hour")
+    return out.select("bucket", "n_events", F.round("total_value", 2).alias("total_value"))
+
+
+@register(
+    "topk_accounts",
+    """SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent
+       FROM orders GROUP BY 1
+       ORDER BY total_spent DESC, o_custkey LIMIT 10""",
+    doc="Top-k busiest accounts: Spark plans TakeOrderedAndProject (per-"
+        "partition heap, no global sort). Rounded before ranking so FP "
+        "summation order can't reorder the boundary.",
+    tags=("agg", "topk"),
+)
+def topk_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    totals = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent")
+    )
+    return agg.top_k(totals, [F.desc("total_spent"), F.asc("o_custkey")], 10)
+
+
+@register(
+    "window_latest_per_key",
+    f"""WITH {EVENTS_NORM}
+       SELECT event_id, user_id, ts, event_type, value FROM (
+         SELECT *, row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events_norm) WHERE rn = 1""",
+    doc="Latest row per key (latest inventory per gateway, follower.py:130-133).",
+    tags=("window",),
+)
+def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return agg.latest_per_key(ev, "user_id", "ts", "event_id").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
+
+@register(
+    "window_lag_delta",
+    f"""WITH {EVENTS_NORM}
+       SELECT event_id, user_id,
+              CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id)) AS DOUBLE) / 1000000.0 AS delta_s
+       FROM events_norm""",
+    doc="Per-key lag delta in seconds — the windowed general form of "
+        "processing_time_s (follower.py:196).",
+    tags=("window",),
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return agg.lag_delta_seconds(ev, "user_id", "ts", "event_id").select(
+        "event_id", "user_id", "delta_s"
+    )

@@ -1,0 +1,351 @@
+"""LLM-data-pipeline query catalog (SURVEY.md section 2.8, north star).
+
+Dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding-cosine),
+similarity search (brute-force + LSH ANN), text analysis (lang-ID, quality,
+token counting, fingerprint), multimodal metadata.
+
+Oracle strategy: the MinHash/SimHash/LSH oracles are generated
+programmatically from the SAME seeded parameters as the Spark operators,
+using the shared cross-engine base hash
+  Spark  conv(substr(md5(s),1,15),16,10)
+  DuckDB ('0x' || substr(md5(s),1,15))::BIGINT
+so even the sketch-based operators are value-hash verified, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE_61, minhash_params
+from ..operators.llm import dedup, similarity, text
+from .registry import load_table, register
+
+M = MERSENNE_61
+NUM_HASHES = 6
+BANDS = 3
+SEED = 42
+LSH_PLANES = 6
+LSH_SEED = 7
+EMB_DIM = 64
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+@register(
+    "llm_dedup_exact",
+    """SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+       FROM documents GROUP BY 1""",
+    doc="Exact dedup by content hash: one 16-byte-key shuffle, partial agg.",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_token_stats",
+    """SELECT doc_id,
+              len(string_split(text, ' ')) AS n_tokens,
+              len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+              length(text) AS n_chars_measured
+       FROM documents""",
+    doc="Per-document token statistics (counts, distinct, chars).",
+    tags=("llm", "text"),
+)
+def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@register(
+    "llm_lang_id",
+    f"""SELECT doc_id,
+               len(list_filter(string_split(text,' '), x -> x IN ({_in_list(text.STOPWORDS['en'])}))) AS s_en,
+               len(list_filter(string_split(text,' '), x -> x IN ({_in_list(text.STOPWORDS['de'])}))) AS s_de,
+               len(list_filter(string_split(text,' '), x -> x IN ({_in_list(text.STOPWORDS['fr'])}))) AS s_fr,
+               CASE WHEN len(list_filter(string_split(text,' '), x -> x IN ({_in_list(text.STOPWORDS['en'])}))) >= len(list_filter(string_split(text,' '), x -> x IN ({_in_list(text.STOPWORDS['de'])})))
+                     AND len(list_filter(string_split(text,' '), x -> x IN ({_in_list(text.STOPWORDS['en'])}))) >= len(list_filter(string_split(text,' '), x -> x IN ({_in_list(text.STOPWORDS['fr'])})))
+                    THEN 'en'
+                    WHEN len(list_filter(string_split(text,' '), x -> x IN ({_in_list(text.STOPWORDS['de'])}))) >= len(list_filter(string_split(text,' '), x -> x IN ({_in_list(text.STOPWORDS['fr'])})))
+                    THEN 'de' ELSE 'fr' END AS pred_lang
+        FROM documents""",
+    doc="Stopword-vote language ID heuristic (deterministic tie-break).",
+    tags=("llm", "text"),
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_quality_score",
+    f"""SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text,' '), x -> x IN ({_in_list(text.STOPWORDS['en'])})))::DOUBLE
+                 / len(string_split(text, ' '))::DOUBLE AS stop_ratio,
+               len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))::DOUBLE
+                 / length(text)::DOUBLE AS punct_ratio,
+               (len(string_split(text, ' ')) >= 5 AND len(string_split(text, ' ')) <= 100000
+                AND len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))::DOUBLE / length(text)::DOUBLE < 0.1)
+                 AS quality_ok
+        FROM documents""",
+    doc="Quality features: length, stopword ratio, punctuation ratio, verdict.",
+    tags=("llm", "text"),
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_token_count",
+    f"""SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}')) AS bpe_ish_tokens
+        FROM documents""",
+    doc="Whitespace + BPE-ish regex token counts.",
+    tags=("llm", "text"),
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_fingerprint",
+    r"""SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents""",
+    doc="Normalised-content fingerprint (lower + whitespace-collapse + md5).",
+    tags=("llm", "text"),
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_multimodal_meta",
+    """SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS content_md5
+       FROM documents""",
+    doc="Multimodal metadata surface: byte length + content hash of the "
+        "opaque payload column (decode itself is the stubbed mapInPandas "
+        "path in operators/llm/multimodal.py).",
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sketch-based dedup: shared SQL fragments
+# --------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(CASE WHEN len(t) >= 3
+                   THEN list_transform(generate_series(1, len(t)-2),
+                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE []::VARCHAR[] END) AS shd
+       FROM tok)
+"""
+
+_BASE_HASH_CTE = _SHINGLES_CTE + """,
+hs AS (SELECT doc_id,
+              list_transform(shd, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS h
+       FROM sh)
+"""
+
+
+def _sig_exprs() -> list[str]:
+    exprs = []
+    for i, (a, b) in enumerate(minhash_params(NUM_HASHES, SEED)):
+        exprs.append(
+            f"coalesce(list_min(list_transform(h, x -> ((x::HUGEINT * {a}::HUGEINT + {b}::HUGEINT) % {M}::HUGEINT)::BIGINT)), {M}) AS sig_{i}"
+        )
+    return exprs
+
+
+_MINHASH_SIG_SQL = (
+    "WITH " + _BASE_HASH_CTE + "SELECT doc_id, " + ", ".join(_sig_exprs()) + " FROM hs"
+)
+
+_R = NUM_HASHES // BANDS
+_BAND_EXPRS = [
+    f"({b}::VARCHAR || '_' || sig_{b*_R}::VARCHAR || '_' || sig_{b*_R+1}::VARCHAR)"
+    for b in range(BANDS)
+]
+
+_MINHASH_PAIRS_SQL = (
+    "WITH " + _BASE_HASH_CTE
+    + ", sig AS (SELECT doc_id, " + ", ".join(_sig_exprs()) + " FROM hs)"
+    + ", bands AS (SELECT doc_id, unnest([" + ", ".join(_BAND_EXPRS) + "]) AS band_key FROM sig) "
+    + """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id"""
+)
+
+
+@register(
+    "llm_minhash_signature",
+    _MINHASH_SIG_SQL,
+    doc="MinHash signatures (K=6, word-3-gram shingles, universal hash family "
+        "mod 2^61-1): per-row JVM expressions, zero shuffle; the oracle "
+        "recomputes the identical family in DuckDB HUGEINT arithmetic.",
+    tags=("llm", "dedup", "sketch"),
+)
+def llm_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signature_df(
+        load_table(spark, sf_dir, "documents"), num_hashes=NUM_HASHES, seed=SEED
+    )
+
+
+@register(
+    "llm_dedup_minhash",
+    _MINHASH_PAIRS_SQL,
+    doc="MinHash LSH candidate pairs (3 bands x 2 rows): the band join "
+        "shuffles only (band_key, doc_id) — the corpus never moves.",
+    tags=("llm", "dedup", "sketch"),
+)
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_candidate_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=NUM_HASHES, bands=BANDS, seed=SEED,
+    )
+
+
+_SIMHASH_BITS = 16
+_SIMHASH_SQL = (
+    """WITH tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
+hs AS (SELECT doc_id, list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h FROM tok)
+SELECT doc_id, ("""
+    + " + ".join(
+        f"(CASE WHEN coalesce(list_sum(list_transform(h, x -> ((x >> {j}) & 1) * 2 - 1)), 0) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_SIMHASH_BITS)
+    )
+    + ")::BIGINT AS simhash FROM hs"
+)
+
+
+@register(
+    "llm_dedup_simhash",
+    _SIMHASH_SQL,
+    doc="16-bit SimHash over distinct tokens (sign of per-bit vote sums); "
+        "near-dups have small Hamming distance. Zero-shuffle per-row work.",
+    tags=("llm", "dedup", "sketch"),
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+
+
+@register(
+    "llm_dedup_ngram_jaccard",
+    "WITH " + _SHINGLES_CTE + """,
+       ex AS (SELECT doc_id, unnest(shd) AS s FROM sh),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY 1),
+       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)::DOUBLE AS jaccard
+       FROM pairs
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)::DOUBLE >= 0.8""",
+    doc="Exact word-3-gram Jaccard >= 0.8 via exploded-shingle self-join; "
+        "at scale, frequency-cap ubiquitous shingles (max_shingle_freq) "
+        "and use MinHash-LSH as the candidate generator.",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+_COS_SQL = """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+FROM e, q WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10"""
+
+
+@register(
+    "llm_topk_cosine",
+    _COS_SQL,
+    doc="Brute-force exact cosine top-k to a query vector: broadcast the "
+        "query, linear scan, TakeOrderedAndProject — no corpus shuffle. "
+        "Similarity rounded to 4dp before ranking so summation order can't "
+        "flip the boundary.",
+    tags=("llm", "similarity"),
+)
+def llm_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def _planes_sql() -> list[str]:
+    planes = similarity.hyperplanes(LSH_PLANES, EMB_DIM, LSH_SEED)
+    return ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
+
+
+_ANN_SQL = (
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ("""
+    + " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_planes_sql())
+    )
+    + """)::BIGINT AS bucket FROM e),
+q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT b.vec_id, b.bucket,
+       round(list_dot_product(b.v, q.qv)
+             / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+FROM b, q WHERE b.vec_id <> 0 AND b.bucket = q.qbucket
+ORDER BY cos_sim DESC, b.vec_id LIMIT 5"""
+)
+
+
+@register(
+    "llm_ann_lsh",
+    _ANN_SQL,
+    doc="ANN via random-hyperplane LSH (6 sign bits -> 64 buckets): "
+        "candidates restricted to the query's bucket; at scale the bucket "
+        "is a precomputed partition column, so the scan prunes to ~1/64.",
+    tags=("llm", "similarity", "sketch"),
+)
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_bucket_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_id=0, k=5, num_planes=LSH_PLANES, seed=LSH_SEED, dim=EMB_DIM,
+    )
+
+
+@register(
+    "llm_dedup_embedding",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45""",
+    doc="Embedding-cosine near-dup pairs (threshold 0.45): brute-force "
+        "O(n^2) as the oracle baseline; LSH-bucket join is the scale path.",
+    tags=("llm", "dedup", "similarity"),
+)
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )

@@ -1,0 +1,11 @@
+"""Unified query catalog: importing the catalog modules populates QUERIES.
+
+``queries()`` / ``oracle_sql()`` in ``__spark_entry__.py`` are thin views
+over this registry.
+"""
+
+from .registry import QUERIES, QuerySpec, load_table  # noqa: F401
+from . import catalog_core  # noqa: F401  (registers core queries)
+from . import catalog_llm  # noqa: F401  (registers LLM queries)
+
+__all__ = ["QUERIES", "QuerySpec", "load_table"]

@@ -1,0 +1,76 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed via the noop sink (df.write.format("noop")) —
+measures the complete distributed plan without driver-side collect costs,
+except top-k queries whose output is tiny (collect is the realistic action).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from helium_arango_etl_lite_spark.plans.queries import QUERIES  # noqa: E402
+from helium_arango_etl_lite_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family — shuffle-heavy agg, window, explode,
+# joins, and every LLM pipeline op family (dedup sketch, similarity, text).
+HEADLINE = [
+    "agg_payment_volume",       # big groupBy shuffle
+    "topk_accounts",            # agg + TakeOrderedAndProject
+    "window_latest_per_key",    # window function over shuffle
+    "join_block_broadcast",     # broadcast join
+    "explode_witnesses",        # explode fan-out
+    "hash_key_md5",             # row-level key hashing
+    "llm_dedup_exact",          # content-hash dedup
+    "llm_minhash_signature",    # sketch computation (per-row heavy)
+    "llm_dedup_minhash",        # LSH band self-join
+    "llm_dedup_ngram_jaccard",  # exploded-shingle self-join
+    "llm_topk_cosine",          # brute-force similarity scan
+    "llm_ann_lsh",              # bucketed ANN
+    "llm_token_stats",          # text analysis scan
+]
+
+SMALL_OUTPUT = {"topk_accounts", "llm_topk_cosine", "llm_ann_lsh"}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen once so per-query numbers measure the plan,
+    # not first-call classloading
+    QUERIES["topk_accounts"].spark_fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].spark_fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        if name in SMALL_OUTPUT:
+            df.collect()
+        else:
+            df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

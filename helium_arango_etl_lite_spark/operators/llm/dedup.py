@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ...functions.hashing import MERSENNE_61, hash64, minhash_params, permuted_hash
+from ...functions.hashing import hash64, minhash_signature
 
 
 def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -52,23 +52,19 @@ def minhash_signature_df(
 ) -> DataFrame:
     """Per-doc MinHash signature as ``sig_0..sig_{K-1}`` columns.
 
-    min over shingles of ``(a_i * hash64(shingle) + b_i) mod (2^61-1)``.
-    No shuffle at all — per-row expression work, scales linearly.
+    min over shingles of ``(a_i * hash32(shingle) + b_i) mod (2^31-1)``,
+    computed in ONE fold over the shingle array (md5 evaluated once per
+    shingle, K-slot accumulator, all int64). No shuffle — per-row
+    expression work, scales linearly; CollapseProject won't re-inline the
+    aggregate into the per-column getItems because it is not a cheap
+    expression, so the fold runs once per row.
     """
     sh = word_shingles(F.col(text), shingle_n)
-    base = F.transform(sh, hash64)
-    cols = [F.col(id_col)]
-
-    def _ph(a: int, b: int):
-        # close over (a, b): PySpark infers HOF arity from the lambda signature
-        return lambda x: permuted_hash(x, a, b)
-
-    for i, (a, b) in enumerate(minhash_params(num_hashes, seed)):
-        hashed = F.transform(base, _ph(a, b))
-        cols.append(
-            F.coalesce(F.array_min(hashed), F.lit(MERSENNE_61).cast("long")).alias(f"sig_{i}")
-        )
-    return df.select(*cols)
+    sig = minhash_signature(sh, num_hashes, seed)
+    with_sig = df.select(F.col(id_col), sig.alias("sig"))
+    return with_sig.select(
+        id_col, *[F.col("sig").getItem(i).alias(f"sig_{i}") for i in range(num_hashes)]
+    )
 
 
 def minhash_candidate_pairs(

@@ -17,11 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MERSENNE_61, minhash_params
+from ..functions.hashing import MERSENNE_31, minhash_params
 from ..operators.llm import dedup, similarity, text
 from .registry import load_table, register
 
-M = MERSENNE_61
+M31 = MERSENNE_31
 NUM_HASHES = 6
 BANDS = 3
 SEED = 42
@@ -159,16 +159,18 @@ sh AS (SELECT doc_id,
 
 _BASE_HASH_CTE = _SHINGLES_CTE + """,
 hs AS (SELECT doc_id,
-              list_transform(shd, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS h
+              list_transform(shd, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
        FROM sh)
 """
 
 
 def _sig_exprs() -> list[str]:
+    # same seeded family as minhash_signature: (a*x + b) mod (2^31-1), all
+    # operands < 2^32 so BIGINT arithmetic is exact in both engines
     exprs = []
     for i, (a, b) in enumerate(minhash_params(NUM_HASHES, SEED)):
         exprs.append(
-            f"coalesce(list_min(list_transform(h, x -> ((x::HUGEINT * {a}::HUGEINT + {b}::HUGEINT) % {M}::HUGEINT)::BIGINT)), {M}) AS sig_{i}"
+            f"coalesce(list_min(list_transform(h, x -> (x * {a} + {b}) % {M31})), {M31}) AS sig_{i}"
         )
     return exprs
 

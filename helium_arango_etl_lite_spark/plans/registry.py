@@ -19,13 +19,30 @@ TABLES = [
 ]
 
 
+# Tables that sit on the probe/fact side of queries. The driver's parquet
+# files are single-row-group, so a raw scan is ONE task no matter the core
+# count; at 100 TB a scan has thousands of splits and this is a non-issue,
+# but when splits < cores we restore utilisation with one explicit
+# round-robin repartition (filters/pruning still push through Repartition).
+_FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings", "customer"}
+_SCAN_PARTS: dict[tuple[str, str], int] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table. Plain parquet scan — filters/projections above
     it push down (verify via .explain: PushedFilters / ReadSchema)."""
     # events.parquet stores TIMESTAMP(NANOS), which Spark only reads as a
     # long (SPARK-40819); set per-session so any caller's session works.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _FACT_TABLES:
+        key = (sf_dir, name)
+        if key not in _SCAN_PARTS:
+            _SCAN_PARTS[key] = df.rdd.getNumPartitions()
+        par = spark.sparkContext.defaultParallelism
+        if _SCAN_PARTS[key] < par:
+            df = df.repartition(par)
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -168,9 +168,19 @@ def witness_edges(blocks: DataFrame, txns: DataFrame, strict_path0: bool = True)
 
 def account_vertices(blocks: DataFrame, txns: DataFrame) -> DataFrame:
     """Distinct account vertices: payer union payee across payment types
-    (follower.py:147,156,162,173 + duplicate-ignore import :206)."""
-    v1 = parse_txns(txns, "payment_v1", PAYMENT_V1_SCHEMA)
-    v2 = parse_txns(txns, "payment_v2", PAYMENT_V2_SCHEMA)
+    (follower.py:147,156,162,173 + duplicate-ignore import :206).
+
+    Only transactions referenced by a stub in ``blocks`` count — the
+    reference walks ``block.transactions`` (follower.py:143), never the txn
+    store at large; a left-semi join on the (broadcast) stub hashes
+    enforces that without moving the txn rows.
+    """
+    stubs = explode_txn_stubs(blocks).select("txn_hash")
+    in_block = txns.join(
+        F.broadcast(stubs), txns["hash"] == stubs["txn_hash"], "left_semi"
+    )
+    v1 = parse_txns(in_block, "payment_v1", PAYMENT_V1_SCHEMA)
+    v2 = parse_txns(in_block, "payment_v2", PAYMENT_V2_SCHEMA)
     keys = (
         v1.select(F.col("t.payer").alias("_key"))
         .unionByName(v1.select(F.col("t.payee").alias("_key")))

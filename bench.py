@@ -35,10 +35,12 @@ HEADLINE = [
     "llm_dedup_ngram_jaccard",  # exploded-shingle self-join
     "llm_topk_cosine",          # brute-force similarity scan
     "llm_ann_lsh",              # bucketed ANN
+    "llm_ann_ivf",              # IVF cell-probed ANN
+    "llm_multimodal_features",  # mapInPandas binary feature extraction
     "llm_token_stats",          # text analysis scan
 ]
 
-SMALL_OUTPUT = {"topk_accounts", "llm_topk_cosine", "llm_ann_lsh"}
+SMALL_OUTPUT = {"topk_accounts", "llm_topk_cosine", "llm_ann_lsh", "llm_ann_ivf"}
 
 
 def main() -> None:

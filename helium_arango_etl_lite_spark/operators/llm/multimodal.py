@@ -20,7 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, FloatType, LongType, StringType, StructField, StructType,
+    ArrayType, BinaryType, DoubleType, FloatType, LongType, StringType,
+    StructField, StructType,
 )
 
 MEDIA_SCHEMA = StructType(
@@ -86,6 +87,47 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+CHECKED_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("feature", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def extract_features_checked(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Oracle-checkable twin of :func:`extract_features`: same mapInPandas
+    plumbing, but features emitted as array<double> rounded to 6dp so an
+    ANSI-SQL oracle can reproduce the values exactly (the payloads under
+    test are ASCII, so byte == codepoint on the SQL side).
+
+    Rounding is half-away-from-zero, NOT Python's half-to-even ``round`` —
+    SQL engines round half away, and power-of-two payload lengths hit
+    exact .5 cases where the two conventions differ.
+    """
+    import math
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["content"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "feature": pdf["content"].map(
+                        lambda b: [r6(x) for x in fake_feature(b, dim)]
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, CHECKED_FEATURE_SCHEMA)
 
 
 def text_as_media(docs: DataFrame) -> DataFrame:

@@ -107,6 +107,64 @@ def lsh_bucket_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def ivf_topk(
+    emb: DataFrame, query_id: int, k: int = 5, centroid_mod: int = 37,
+    nprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    round_dp: int = 4, assign_dp: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: one-pass centroid assignment, probe the
+    ``nprobe`` nearest cells, exact cosine within the probed cells.
+
+    Centroids are the deterministic subset ``id % centroid_mod == 1`` (a
+    seeded sample; a production index would k-means-refine them — the
+    dataflow below is identical per iteration). Assignment is a broadcast
+    cross join against the tiny centroid set followed by a max(struct)
+    argmax — the shuffle carries only ``(id, cell_sim, cell_id)`` triples,
+    never the vectors. At 100 TB the cell id becomes a partition column, so
+    a query scans ~nprobe/K of the corpus; this is the standard IVF trade
+    that LSH bucketing (``lsh_bucket_topk``) makes with hashes instead of
+    learned cells.
+
+    Similarities are rounded (``assign_dp``) with cell-id tiebreak before
+    the argmax so the assignment is engine-order independent.
+    """
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    cents = e.filter((F.col(id_col) % centroid_mod) == 1).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col("cid"),
+        F.round(cosine(F.col("v"), F.col("cv")), assign_dp).alias("asim"),
+    )
+    # argmax centroid per vector: max over (sim, cid) structs — ties go to
+    # the larger cid, mirrored by the oracle's ORDER BY sim DESC, cid DESC
+    assigned = scored.groupBy(id_col).agg(
+        F.max(F.struct("asim", "cid"))["cid"].alias("cell")
+    )
+    cells = e.join(assigned, id_col)
+
+    q = e.filter(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cid", F.round(cosine(F.col("cv"), F.col("qv")), assign_dp).alias("qsim")
+        )
+        .orderBy(F.desc("qsim"), F.desc("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    cands = cells.join(
+        F.broadcast(probe), cells["cell"] == probe["cid"]
+    ).filter(F.col(id_col) != query_id)
+    out = cands.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.col("cell"),
+        F.round(cosine(F.col("v"), F.col("qv")), round_dp).alias("cos_sim"),
+    )
+    return out.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.45,
     id_col: str = "vec_id", vec_col: str = "embedding", round_dp: int = 4,

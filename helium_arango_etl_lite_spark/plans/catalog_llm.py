@@ -351,3 +351,71 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.45
     )
+
+
+_COS6 = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+_IVF_SQL = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 37 = 1),
+asg AS (SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS6.format(a='e.v', b='c.cv')} DESC, c.cid DESC) AS rn
+    FROM e, c) WHERE rn = 1),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (SELECT cid FROM c, q
+          ORDER BY {_COS6.format(a='cv', b='qv')} DESC, cid DESC LIMIT 2)
+SELECT e.vec_id, asg.cell,
+       round(list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+FROM e JOIN asg USING (vec_id), q
+WHERE asg.cell IN (SELECT cid FROM probe) AND e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id LIMIT 5"""
+
+
+@register(
+    "llm_ann_ivf",
+    _IVF_SQL,
+    doc="ANN via IVF: deterministic centroid subset (id % 37 == 1), "
+        "broadcast argmax assignment, probe the 2 nearest cells, exact "
+        "cosine within. At scale the cell id is a partition column -> a "
+        "query scans ~nprobe/K of the corpus (operators/llm/similarity.py "
+        "ivf_topk).",
+    tags=("llm", "similarity", "ann"),
+)
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_id=0, k=5, centroid_mod=37, nprobe=2,
+    )
+
+
+@register(
+    "llm_multimodal_features",
+    """WITH m AS (SELECT doc_id AS media_id, text, strlen(text) AS n_bytes
+                  FROM documents),
+b AS (SELECT media_id, n_bytes,
+             list_transform(generate_series(1, n_bytes::INT),
+                            i -> ord(substr(text, i, 1)) % 8) AS bytes8
+      FROM m)
+SELECT media_id, n_bytes,
+       list_transform(generate_series(0, 7),
+           j -> round(len(list_filter(bytes8, x -> x = j))
+                      / greatest(1, n_bytes)::DOUBLE, 6)) AS feature
+FROM b""",
+    doc="Multimodal decode/feature-extract plumbing: opaque binary payload "
+        "-> mapInPandas (Arrow-batched, bounded memory) -> fixed-dim "
+        "feature vector. The decode is the deterministic byte-histogram "
+        "stand-in (operators/llm/multimodal.py — real codecs are stubbed; "
+        "payloads here are ASCII so the SQL oracle reproduces bytes via "
+        "codepoints).",
+    tags=("llm", "multimodal", "udf"),
+)
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.multimodal import extract_features_checked, text_as_media
+
+    media = text_as_media(load_table(spark, sf_dir, "documents"))
+    return extract_features_checked(media, dim=8)

@@ -490,3 +490,41 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.lag_delta_seconds(ev, "user_id", "ts", "event_id").select(
         "event_id", "user_id", "delta_s"
     )
+
+
+@register(
+    "agg_session_window",
+    f"""WITH {EVENTS_NORM},
+x AS (SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events_norm
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+y AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM y GROUP BY user_id, sid""",
+    doc="Per-user session windows (30 min inactivity gap) via the native "
+        "session_window operator — Spark merges/expands windows inside one "
+        "shuffle-and-merge pass; the oracle is the classic gaps-and-islands "
+        "rewrite. Streaming twin: streaming/windows.py sessionized_activity "
+        "(same operator, plus watermark-driven state eviction).",
+    tags=("agg", "window", "session"),
+)
+def agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    sess = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return sess.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+        "total_value",
+    )

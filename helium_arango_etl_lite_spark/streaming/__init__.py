@@ -6,8 +6,18 @@ from .sink import (
     with_block_bucket,
 )
 from .follow import follow, process_batch, sync_state
+from .stateful import running_totals
+from .windows import (
+    dedup_within_watermark,
+    sessionized_activity,
+    windowed_activity,
+)
 
 __all__ = [
+    "running_totals",
+    "dedup_within_watermark",
+    "sessionized_activity",
+    "windowed_activity",
     "RETENTION_BLOCKS",
     "apply_retention",
     "idempotent_append",

@@ -319,25 +319,30 @@ def dedup_by_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "anti_join_new_keys",
-    """WITH th AS (SELECT CAST(floor(max(event_id) * 9 / 10) AS BIGINT) AS t FROM events)
+    f"""WITH {EVENTS_NORM},
+       th AS (SELECT CAST(floor(max(event_id) * 9 / 10) AS BIGINT) AS t
+              FROM events_norm)
        SELECT e.event_id, e.user_id, e.event_type
-       FROM events e, th
+       FROM events_norm e, th
        WHERE e.event_id >= th.t
-         AND NOT EXISTS (SELECT 1 FROM events p
-                         WHERE p.event_id < th.t AND p.user_id = e.user_id)""",
+         AND NOT EXISTS (SELECT 1 FROM events_norm p
+                         WHERE p.event_id < th.t AND p.user_id = e.user_id
+                           AND p.event_type = e.event_type
+                           AND date_trunc('hour', p.ts) = date_trunc('hour', e.ts))""",
     doc="Anti-join upsert semantics (onDuplicate=ignore, follower.py:205-207): "
-        "incoming batch rows whose key is unseen.",
+        "incoming batch rows whose composite key (user, type, hour bucket) "
+        "is unseen in the existing table.",
     tags=("join", "dedup"),
 )
 def anti_join_new_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir).withColumn("hour", F.date_trunc("hour", "ts"))
     th = ev.agg(F.floor(F.max("event_id") * 9 / 10).cast("long").alias("t"))
     tagged = ev.crossJoin(F.broadcast(th))
     incoming = tagged.filter(F.col("event_id") >= F.col("t"))
     existing = tagged.filter(F.col("event_id") < F.col("t"))
-    return rel.anti_join_new_keys(incoming, existing, ["user_id"]).select(
-        "event_id", "user_id", "event_type"
-    )
+    return rel.anti_join_new_keys(
+        incoming, existing, ["user_id", "event_type", "hour"]
+    ).select("event_id", "user_id", "event_type")
 
 
 @register(

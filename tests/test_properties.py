@@ -1,0 +1,85 @@
+"""Property-based tests (SURVEY.md section 5): key determinism, explode
+row-count conservation, and sketch invariants, driven by hypothesis.
+Example counts are kept small — each example is a Spark job."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from helium_arango_etl_lite_spark.functions.keys import (
+    canonical_md5_key, reference_key_of_dict,
+)
+from helium_arango_etl_lite_spark.functions.hashing import (
+    MERSENNE_31, minhash_signature,
+)
+
+txt = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126, exclude_characters="|"),
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(txt, st.one_of(st.none(), txt)), min_size=1, max_size=20))
+def test_canonical_key_deterministic_and_null_safe(spark, rows):
+    df = spark.createDataFrame(rows, "a string, b string")
+    k1 = df.select(canonical_md5_key("a", "b").alias("k")).collect()
+    k2 = df.select(canonical_md5_key("a", "b").alias("k")).collect()
+    assert k1 == k2  # same doc -> same key (follower.py:293-294 contract)
+
+    keyed = df.select("a", "b", canonical_md5_key("a", "b").alias("k")).collect()
+    by_val = {}
+    for r in keyed:
+        by_val.setdefault((r["a"], r["b"]), set()).add(r["k"])
+    for ks in by_val.values():
+        assert len(ks) == 1
+    distinct_vals = len(by_val)
+    distinct_keys = len({k for ks in by_val.values() for k in ks})
+    assert distinct_keys == distinct_vals  # distinct docs -> distinct keys
+
+
+def test_null_is_distinct_from_empty_string(spark):
+    df = spark.createDataFrame([("x", None), ("x", "")], ["a", "b"])
+    ks = [r["k"] for r in df.select(canonical_md5_key("a", "b").alias("k")).collect()]
+    assert ks[0] != ks[1]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(txt, max_size=6), min_size=1, max_size=20))
+def test_explode_conserves_row_count(spark, arrays):
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "i long, arr array<string>"
+    )
+    exploded = df.select("i", F.explode("arr").alias("x"))
+    assert exploded.count() == sum(len(a) for a in arrays)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(txt, min_size=1, max_size=8), min_size=1, max_size=10))
+def test_minhash_invariants(spark, token_lists):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(token_lists)], ["i", "t"])
+    sig = df.select(
+        "i", minhash_signature(F.array_distinct(F.col("t")), 6).alias("sig")
+    ).collect()
+    for r in sig:
+        assert len(r["sig"]) == 6
+        assert all(0 <= v <= MERSENNE_31 for v in r["sig"])
+    # token ORDER must not matter (min over a set)
+    rev = df.select(
+        "i",
+        minhash_signature(F.array_distinct(F.reverse(F.col("t"))), 6).alias("sig"),
+    ).collect()
+    assert {r["i"]: r["sig"] for r in sig} == {r["i"]: r["sig"] for r in rev}
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.dictionaries(st.text(max_size=8), st.one_of(st.integers(), st.text(max_size=8)), max_size=5))
+def test_reference_key_matches_cpython_json(d):
+    import hashlib, json
+
+    expect = hashlib.md5(
+        json.dumps(d, sort_keys=True).encode("utf-8")
+    ).hexdigest()
+    assert reference_key_of_dict(d) == expect

@@ -533,3 +533,32 @@ def agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "agg_payment_volume_salted",
+    """SELECT 'accounts/' || CAST(l_suppkey AS VARCHAR) AS src,
+              'accounts/' || CAST(l_partkey AS VARCHAR) AS dst,
+              round(sum(l_extendedprice), 2) AS total_amount,
+              count(*) AS n_payments
+       FROM lineitem GROUP BY 1, 2""",
+    doc="Skew-resistant two-stage (salted) payment volume: same result "
+        "contract as agg_payment_volume, but hot keys are split across "
+        "salt_buckets reducers in stage 1 and recombined from tiny partials "
+        "in stage 2 — the explicit aggregation-skew pattern for power-law "
+        "key spaces (exchange hot accounts) at 100 TB.",
+    tags=("agg", "skew"),
+)
+def agg_payment_volume_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        rel.concat_vertex_id("accounts", "l_suppkey").alias("src"),
+        rel.concat_vertex_id("accounts", "l_partkey").alias("dst"),
+        F.col("l_extendedprice").alias("amount"),
+    )
+    vol = agg.salted_payment_volume(edges, "src", "dst", "amount")
+    return vol.select(
+        "src", "dst",
+        F.round("total_amount", 2).alias("total_amount"),
+        "n_payments",
+    )

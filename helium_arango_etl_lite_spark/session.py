@@ -8,6 +8,7 @@ broadcast threshold left to AQE's runtime re-plan).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -45,5 +46,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # catalog tables (bucketed layouts) land outside the repo; static
+        # conf, so it must be set before the first session is created
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "spark-graft-warehouse"),
+            ),
+        )
     )
     return builder.getOrCreate()

@@ -1,7 +1,11 @@
 from .jsonl import read_blocks, read_txns, split_corrupt, stream_blocks
 from .inventory import enrich_inventory, read_gateway_inventory
+from .rpc import RpcError, RpcLandingZone, rpc_call
 
 __all__ = [
+    "RpcError",
+    "RpcLandingZone",
+    "rpc_call",
     "read_blocks",
     "read_txns",
     "split_corrupt",

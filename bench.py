@@ -24,6 +24,7 @@ from helium_arango_etl_lite_spark.session import get_spark  # noqa: E402
 # joins, and every LLM pipeline op family (dedup sketch, similarity, text).
 HEADLINE = [
     "agg_payment_volume",       # big groupBy shuffle
+    "agg_session_window",       # session-window merge pass
     "topk_accounts",            # agg + TakeOrderedAndProject
     "window_latest_per_key",    # window function over shuffle
     "join_block_broadcast",     # broadcast join

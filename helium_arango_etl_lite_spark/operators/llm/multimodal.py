@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -58,14 +59,17 @@ def real_decode(payload: bytes, kind: str):  # pragma: no cover - stub
 def fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in feature extractor: byte-histogram folded into
     ``dim`` buckets, normalised. Lets the full pipeline (batch shapes, Arrow
-    round-trip, schema) be exercised and asserted without media libs."""
+    round-trip, schema) be exercised and asserted without media libs.
+
+    Vectorised with numpy — the point of the Arrow/pandas batch path is
+    that the Python stage runs array-at-a-time, not byte-at-a-time; a real
+    decoder (PIL/ffmpeg) is likewise a C call per payload.
+    """
     if payload is None:
         return [0.0] * dim
-    buckets = [0] * dim
-    for by in payload:
-        buckets[by % dim] += 1
-    total = max(1, len(payload))
-    return [b / total for b in buckets]
+    arr = np.frombuffer(payload, dtype=np.uint8) % dim
+    counts = np.bincount(arr, minlength=dim)
+    return (counts / max(1, len(payload))).tolist()
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
@@ -108,10 +112,10 @@ def extract_features_checked(media: DataFrame, dim: int = 8) -> DataFrame:
     SQL engines round half away, and power-of-two payload lengths hit
     exact .5 cases where the two conventions differ.
     """
-    import math
-
-    def r6(x: float) -> float:
-        return math.floor(x * 1e6 + 0.5) / 1e6
+    def checked(b: bytes | None) -> list[float]:
+        f = np.asarray(fake_feature(b, dim))
+        # half-away-from-zero at 6dp, vectorised
+        return (np.floor(f * 1e6 + 0.5) / 1e6).tolist()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -121,9 +125,7 @@ def extract_features_checked(media: DataFrame, dim: int = 8) -> DataFrame:
                     "n_bytes": pdf["content"].map(
                         lambda b: len(b) if b is not None else 0
                     ),
-                    "feature": pdf["content"].map(
-                        lambda b: [r6(x) for x in fake_feature(b, dim)]
-                    ),
+                    "feature": pdf["content"].map(checked),
                 }
             )
 

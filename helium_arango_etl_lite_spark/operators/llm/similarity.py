@@ -181,3 +181,38 @@ def embedding_near_dup_pairs(
         F.round(cosine(F.col("va"), F.col("vb")), round_dp).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= threshold)
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame, threshold: float = 0.45, num_planes: int = 6,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    seed: int = 7, dim: int = 64, round_dp: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with the LSH-bucket equality join — the 100 TB shape.
+
+    Replaces the brute-force O(n^2) cross product with an equi-join on the
+    sign-bit bucket: the shuffle keys are (bucket, id), candidate pairs are
+    only same-bucket, and exact cosine verifies each candidate. Approximate
+    recall by construction (a true pair split across buckets is missed —
+    raise recall with fewer planes or multiple plane tables); precision is
+    exact because every emitted pair is cosine-verified.
+    """
+    planes = hyperplanes(num_planes, dim, seed)
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
+        "bucket", lsh_bucket(F.col("v"), planes)
+    )
+    a = e.select(
+        F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("bucket")
+    )
+    b = e.select(
+        F.col(id_col).alias("vec_b"), F.col("v").alias("vb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = a.join(
+        b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
+    )
+    scored = pairs.select(
+        "vec_a", "vec_b",
+        F.round(cosine(F.col("va"), F.col("vb")), round_dp).alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)

@@ -419,3 +419,48 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = text_as_media(load_table(spark, sf_dir, "documents"))
     return extract_features_checked(media, dim=8)
+
+
+# fewer planes than the ANN query: near-dup recall needs coarser buckets
+# (6 planes / 64 buckets split every true pair at this corpus size; 3
+# planes / 8 buckets retain a usable candidate set — the standard LSH
+# recall/candidate-volume dial)
+NEAR_DUP_PLANES = 3
+
+
+def _near_dup_planes_sql() -> list[str]:
+    planes = similarity.hyperplanes(NEAR_DUP_PLANES, EMB_DIM, LSH_SEED)
+    return ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
+
+
+_NEAR_DUP_LSH_SQL = (
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ("""
+    + " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_near_dup_planes_sql())
+    )
+    + """)::BIGINT AS bucket FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45"""
+)
+
+
+@register(
+    "llm_dedup_embedding_lsh",
+    _NEAR_DUP_LSH_SQL,
+    doc="Embedding near-dup via LSH bucket equality join (the 100 TB path "
+        "for llm_dedup_embedding): shuffle on (bucket, id) instead of an "
+        "O(n^2) cross product; exact-precision (cosine-verified), "
+        "approximate-recall (same-bucket candidates only).",
+    tags=("llm", "dedup", "similarity", "sketch"),
+)
+def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.45, num_planes=NEAR_DUP_PLANES, seed=LSH_SEED, dim=EMB_DIM,
+    )

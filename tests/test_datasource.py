@@ -1,0 +1,66 @@
+"""Python DataSource tests: distributed chain ingestion via
+spark.read.format("helium_chain") against the deterministic mock chain,
+including partitioning and end-to-end flow into the graph operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from helium_arango_etl_lite_spark.operators.graph import payment_edges
+from helium_arango_etl_lite_spark.sources.datasource import HeliumChainDataSource
+
+
+def _register(spark):
+    spark.dataSource.register(HeliumChainDataSource)
+
+
+def test_blocks_read_is_partitioned_and_complete(spark):
+    _register(spark)
+    df = (
+        spark.read.format("helium_chain")
+        .option("endpoint", "mock://chain")
+        .option("start", 100).option("end", 399)
+        .option("heights_per_partition", 100)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # 300 heights / 100 per task
+    rows = df.orderBy("height").collect()
+    assert len(rows) == 300
+    assert rows[0]["height"] == 100 and rows[-1]["height"] == 399
+    assert rows[0]["transactions"][0]["type"] == "payment_v1"
+    assert rows[1]["prev_hash"] == rows[0]["hash"]
+
+
+def test_txn_envelopes_flow_into_graph_operators(spark):
+    _register(spark)
+    blocks = (
+        spark.read.format("helium_chain")
+        .option("endpoint", "mock://chain")
+        .option("start", 100).option("end", 109)
+        .load()
+    )
+    txns = (
+        spark.read.format("helium_chain")
+        .option("endpoint", "mock://chain").option("what", "txns")
+        .option("start", 100).option("end", 109)
+        .load()
+    )
+    assert txns.count() == 10
+    edges = payment_edges(blocks, txns)
+    got = {r["hash"]: r for r in edges.collect()}
+    assert len(got) == 10
+    # mock chain invariants: amount = (h*37) % 100000 + 1, block time ride-on
+    assert got["tx000000000100"]["amount"] == (100 * 37) % 100_000 + 1
+    assert got["tx000000000100"]["timestamp"] == 1_600_000_000 + 100 * 60
+    assert got["tx000000000100"]["_from"].startswith("accounts/acct")
+
+
+def test_missing_blocks_are_skipped_not_fatal(spark):
+    _register(spark)
+    df = (
+        spark.read.format("helium_chain")
+        .option("endpoint", "mock://chain")
+        .option("start", 0).option("end", 4)   # height 0 -> -100 -> skipped
+        .load()
+    )
+    assert sorted(r["height"] for r in df.collect()) == [1, 2, 3, 4]

@@ -64,3 +64,90 @@ def test_missing_blocks_are_skipped_not_fatal(spark):
         .load()
     )
     assert sorted(r["height"] for r in df.collect()) == [1, 2, 3, 4]
+
+
+def _drain(q, seen, target, timeout_s=90):
+    import time
+
+    deadline = time.time() + timeout_s
+    while time.time() < deadline and sum(seen) < target:
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+
+
+def test_stream_reader_follows_chain(spark):
+    """readStream straight off the (mock) node: offset = next height,
+    batches capped by max_heights_per_batch, drains to the end option."""
+    _register(spark)
+    stream = (
+        spark.readStream.format("helium_chain")
+        .option("endpoint", "mock://chain")
+        .option("start", 100).option("end", 199)
+        .option("max_heights_per_batch", 40)
+        .load()
+    )
+    counts: list[int] = []
+    q = stream.writeStream.foreachBatch(
+        lambda df, eid: counts.append(df.count())
+    ).trigger(processingTime="1 second").start()
+    _drain(q, counts, 100)
+    assert sum(counts) == 100
+    assert counts[0] == 40  # batch size cap respected
+
+
+def test_stream_reader_resumes_from_checkpoint(spark, tmp_path):
+    """Stop after the first committed batch, restart with the same
+    checkpoint: offsets resume where they left off, and the total output
+    contains every height exactly once (exactly-once with the
+    deterministic source)."""
+    import time
+
+    _register(spark)
+    out = str(tmp_path / "blocks_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start_query():
+        stream = (
+            spark.readStream.format("helium_chain")
+            .option("endpoint", "mock://chain")
+            .option("start", 100).option("end", 179)
+            .option("max_heights_per_batch", 40)
+            .load()
+        )
+        return (
+            stream.select("hash", "height", "time")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    q = start_query()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= 40:
+                break
+        except Exception:
+            pass
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+
+    q2 = start_query()
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= 80:
+                break
+        except Exception:
+            pass
+        time.sleep(0.3)
+    q2.stop()
+    q2.awaitTermination(30)
+
+    rows = spark.read.parquet(out).collect()
+    heights = sorted(r["height"] for r in rows)
+    assert heights == list(range(100, 180)), "gap or duplicate after resume"

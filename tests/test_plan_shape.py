@@ -78,3 +78,28 @@ def test_codegen_covers_hot_path(spark, sf_dir):
 def test_anti_join_broadcasts_keys(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "anti_join_new_keys")
     assert "LeftAnti" in plan
+
+
+def test_sink_layout_prunes_block_buckets(spark, tmp_path):
+    """The retention/idempotence layout (block_bucket partition dirs) must
+    give metadata-only pruning: a bucket-range filter reads only matching
+    partitions (PartitionFilters), never the whole table."""
+    from helium_arango_etl_lite_spark.streaming import idempotent_append
+
+    out = str(tmp_path / "edges")
+    df = spark.createDataFrame(
+        [("k1", 100), ("k2", 8_000), ("k3", 15_000)], ["_key", "block"]
+    )
+    idempotent_append(spark, df, out)
+
+    from pyspark.sql import functions as F
+
+    filtered = spark.read.parquet(out).filter(F.col("block_bucket") >= 2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "block_bucket" in pf  # pruning predicate reached the scan
+    assert filtered.count() == 1

@@ -254,3 +254,26 @@ def test_gateway_inventory_source(spark, tmp_path):
     assert docs["hs1"]["_id"] == "hotspots/hs1"
     assert docs["hs3"]["location_geo"]["coordinates"] == [0.0, 0.0]
     assert docs["hs1"]["location_geo"]["type"] == "Point"
+
+
+def test_run_service_end_to_end_mock_chain(spark, tmp_path):
+    """The assembled service (python -m entry): mock chain -> streaming
+    micro-batches -> distributed txn fetch -> graph tables, drained to a
+    target height. Mock chain has one payment_v1 per height."""
+    from helium_arango_etl_lite_spark.streaming.service import run_service
+
+    state = run_service(
+        spark,
+        out_dir=str(tmp_path / "graph"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        endpoint="mock://chain",
+        start=200, end=240, batch_heights=16,
+        timeout_s=120,
+    )
+    assert state["payments"] == 240
+    payments = spark.read.parquet(str(tmp_path / "graph" / "payments"))
+    rows = payments.collect()
+    assert len(rows) == 41  # one edge per height, 200..240 inclusive
+    assert {r["block"] for r in rows} == set(range(200, 241))
+    accounts = spark.read.parquet(str(tmp_path / "graph" / "accounts"))
+    assert accounts.count() > 0

@@ -33,6 +33,7 @@ HEADLINE = [
     "llm_dedup_exact",          # content-hash dedup
     "llm_minhash_signature",    # sketch computation (per-row heavy)
     "llm_dedup_minhash",        # LSH band self-join
+    "llm_dup_clusters",         # iterative connected components
     "llm_dedup_ngram_jaccard",  # exploded-shingle self-join
     "llm_topk_cosine",          # brute-force similarity scan
     "llm_ann_lsh",              # bucketed ANN

@@ -118,6 +118,70 @@ def simhash(
     return df.select(F.col(id_col), acc.alias("simhash"))
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over candidate duplicate pairs: every document
+    gets ``cluster_id`` = the minimum doc id reachable through pair edges —
+    the step that turns pairwise candidates (MinHash/LSH/Jaccard) into
+    dedup groups with one keeper each.
+
+    Iterative min-label propagation: each round, every node takes the min
+    of its own label and its neighbors' labels; converges in graph-diameter
+    rounds (driver-coordinated loop — the canonical Spark shape for
+    iterative algorithms). Each round is one shuffle of (node, label)
+    pairs; ``localCheckpoint`` truncates the growing plan lineage so round
+    N doesn't replay rounds 1..N-1. Near-dup clusters are tiny diameter in
+    practice (dup groups, not social graphs), so the loop exits early on
+    convergence almost immediately.
+    """
+    edges = (
+        pairs.select(F.col(doc_a).alias("src"), F.col(doc_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(doc_b).alias("src"), F.col(doc_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3, threshold: float = 0.8, max_shingle_freq: int | None = None,

@@ -464,3 +464,39 @@ def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         threshold=0.45, num_planes=NEAR_DUP_PLANES, seed=LSH_SEED, dim=EMB_DIM,
     )
+
+
+_CLUSTERS_SQL = (
+    "WITH RECURSIVE " + _BASE_HASH_CTE
+    + ", sig AS (SELECT doc_id, " + ", ".join(_sig_exprs()) + " FROM hs)"
+    + ", bands AS (SELECT doc_id, unnest([" + ", ".join(_BAND_EXPRS) + "]) AS band_key FROM sig)"
+    + """, cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM bands a JOIN bands b
+                    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+          UNION SELECT doc_b, doc_a FROM cand),
+reach(src, dst) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src"""
+)
+
+
+@register(
+    "llm_dup_clusters",
+    _CLUSTERS_SQL,
+    doc="Duplicate clusters: connected components over the MinHash LSH "
+        "candidate pairs via iterative min-label propagation (driver-"
+        "coordinated loop, one (node,label) shuffle per round, lineage "
+        "truncated per iteration). Turns pairwise candidates into dedup "
+        "groups with one keeper (min id). Oracle: recursive-CTE transitive "
+        "closure.",
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_candidate_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=NUM_HASHES, bands=BANDS, seed=SEED,
+    )
+    return dedup.dup_clusters(pairs)

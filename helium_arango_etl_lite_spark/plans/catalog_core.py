@@ -599,3 +599,67 @@ def graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("a.amt") + F.col("b.amt"), 2).alias("path_volume"),
         )
     )
+
+
+@register(
+    "agg_percentiles",
+    """SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.5) AS p50_qty,
+              quantile_cont(l_quantity, 0.95) AS p95_qty,
+              quantile_cont(l_quantity, 0.99) AS p99_qty
+       FROM lineitem GROUP BY 1""",
+    doc="Exact grouped percentiles (latency/size distribution surface): "
+        "Spark percentile == SQL quantile_cont (linear interpolation). At "
+        "100 TB swap to approx_percentile (t-digest sketch, mergeable "
+        "partials, no full sort) — same call shape.",
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50_qty"),
+        F.percentile("l_quantity", 0.95).alias("p95_qty"),
+        F.percentile("l_quantity", 0.99).alias("p99_qty"),
+    )
+
+
+@register(
+    "agg_rollup",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+              round(sum(l_extendedprice), 2) AS total
+       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    doc="ROLLUP hierarchy totals (flag, flag+status, grand total) in one "
+        "pass — Spark expands grouping sets inside a single shuffle rather "
+        "than one job per level.",
+    tags=("agg", "olap"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "agg_pivot",
+    f"""WITH {EVENTS_NORM}
+       SELECT user_id,
+              {', '.join(f"count(*) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+       FROM events_norm GROUP BY 1""",
+    doc="Pivot event counts to one column per type. Pivot values are "
+        "DECLARED (not discovered) so the plan is a single aggregation "
+        "with conditional counters — no extra distinct-scan job, stable "
+        "schema at any scale.",
+    tags=("agg", "olap", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    # a user with zero events of a type gets NULL from pivot but 0 from the
+    # oracle's count FILTER — normalise to 0
+    return ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count().na.fill(
+        0, subset=EVENT_TYPES
+    )

@@ -40,6 +40,7 @@ HEADLINE = [
     "llm_ann_ivf",              # IVF cell-probed ANN
     "llm_multimodal_features",  # mapInPandas binary feature extraction
     "llm_token_stats",          # text analysis scan
+    "llm_winnow_fingerprint",   # rolling-hash winnowing sketch
 ]
 
 SMALL_OUTPUT = {"topk_accounts", "llm_topk_cosine", "llm_ann_lsh", "llm_ann_ivf"}

@@ -97,3 +97,63 @@ def fingerprint(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
     text. The exact-dedup key for content-equivalent documents."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text)), r"\s+", " "))
     return df.select(id_col, F.md5(norm).alias("fp"))
+
+
+#: polynomial rolling-hash parameters (Rabin-Karp family): hash of a
+#: k-gram at position i is sum_j code(c[i+j]) * B^j mod M. Chosen so every
+#: intermediate stays far inside int64 (127 * 131^5 < 2^42).
+ROLL_BASE = 131
+ROLL_MOD = (1 << 31) - 1
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash sketch of
+    Schleimer/Wilkerson/Aiken's MOSS): hash every character ``k``-gram with
+    a polynomial rolling hash, then keep the minimum hash of each sliding
+    ``window`` of positions; the distinct selected hashes are the document's
+    fingerprint set. Guarantees every shared substring of length
+    >= ``window + k - 1`` contributes at least one common fingerprint —
+    the local-similarity dual to MinHash's global Jaccard sketch.
+
+    Everything is built-in array expressions (sequence / transform /
+    slice / array_min) inside whole-stage codegen: per-row O(n * k) work,
+    zero shuffle, linear scale-out. Output: one row per (doc, fingerprint).
+    """
+    t = F.col(text)
+    n = F.length(t)
+    # char codes once per row; the k-gram polynomial is assembled from k
+    # SHIFTED SLICES zip_with-ed together — pure array-to-array kernels
+    # (no per-position index lookups, no lambda captures of outer columns)
+    codes = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
+    m = n - (k - 1)  # number of k-gram positions
+    acc = F.slice(codes, F.lit(1), m)  # j=0 term (B^0 == 1)
+    for j in range(1, k):
+        weight = F.lit(ROLL_BASE ** j).cast("long")
+        acc = F.zip_with(
+            acc, F.slice(codes, F.lit(1 + j), m), lambda a, c: a + c * weight
+        )
+    grams = F.when(
+        n >= k, F.transform(acc, lambda x: x % ROLL_MOD)
+    ).otherwise(F.array().cast("array<long>"))
+    n_grams = F.size(grams)
+    # sliding-window minimum as a least() fold over `window` shifted slices
+    mn = n_grams - (window - 1)
+    wacc = F.slice(grams, F.lit(1), mn)
+    for j in range(1, window):
+        wacc = F.zip_with(
+            wacc, F.slice(grams, F.lit(1 + j), mn), lambda a, b: F.least(a, b)
+        )
+    mins = (
+        F.when(n_grams >= window, wacc)
+        .when(n_grams > 0, F.array(F.array_min(grams)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp_hash")
+    )

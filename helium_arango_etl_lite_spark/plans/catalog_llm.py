@@ -500,3 +500,42 @@ def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=NUM_HASHES, bands=BANDS, seed=SEED,
     )
     return dedup.dup_clusters(pairs)
+
+
+_WK, _WWIN = 5, 4
+_WPOLY = " + ".join(
+    f"ord(substr(text, CAST(i + {j} AS INT), 1))::BIGINT * {text.ROLL_BASE ** j}"
+    for j in range(_WK)
+)
+
+_WINNOW_SQL = f"""WITH g AS (
+  SELECT doc_id,
+         CASE WHEN strlen(text) >= {_WK}
+              THEN list_transform(generate_series(1, strlen(text) - {_WK - 1}),
+                                  i -> ({_WPOLY}) % {text.ROLL_MOD})
+              ELSE []::BIGINT[] END AS grams
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) > 0
+              THEN list_transform(generate_series(1, greatest(len(grams) - {_WWIN - 1}, 1)),
+                                  w -> list_min(grams[w:w + {_WWIN - 1}]))
+              ELSE []::BIGINT[] END AS mins
+  FROM g)
+SELECT doc_id, unnest(list_distinct(mins)) AS fp_hash FROM m"""
+
+
+@register(
+    "llm_winnow_fingerprint",
+    _WINNOW_SQL,
+    doc="Winnowing fingerprints (MOSS rolling-hash sketch): polynomial "
+        "rolling hash of char 5-grams, min of each sliding 4-window, "
+        "distinct selected hashes per doc. Guarantees shared substrings "
+        ">= window+k-1 chars share a fingerprint — the local-similarity "
+        "dual to MinHash. Pure JVM array expressions, zero shuffle.",
+    tags=("llm", "text", "sketch"),
+)
+def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=_WK, window=_WWIN
+    )

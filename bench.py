@@ -28,6 +28,7 @@ HEADLINE = [
     "topk_accounts",            # agg + TakeOrderedAndProject
     "window_latest_per_key",    # window function over shuffle
     "join_block_broadcast",     # broadcast join
+    "join_asof",                # union+window as-of join
     "explode_witnesses",        # explode fan-out
     "hash_key_md5",             # row-level key hashing
     "llm_dedup_exact",          # content-hash dedup

@@ -663,3 +663,47 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count().na.fill(
         0, subset=EVENT_TYPES
     )
+
+
+@register(
+    "join_asof",
+    f"""WITH {EVENTS_NORM},
+       purch AS (
+         SELECT user_id, ts,
+                max_by(value, event_id) AS purchase_value,
+                max(event_id) AS purchase_event
+         FROM events_norm WHERE event_type = 'purchase'
+         GROUP BY user_id, ts)
+       SELECT e.event_id, e.user_id, e.ts, e.event_type,
+              p.purchase_value, p.purchase_event
+       FROM events_norm e ASOF LEFT JOIN purch p
+         ON e.user_id = p.user_id AND e.ts >= p.ts""",
+    doc="As-of join (operators/temporal.py): every event annotated with "
+        "its user's latest prior-or-equal purchase. Spark lacks ASOF JOIN; "
+        "the union + last-ignorenulls-window composition shuffles each row "
+        "once (no range-join blow-up) — the 100 TB shape for "
+        "point-in-time feature attachment. Oracle: native SQL ASOF JOIN.",
+    tags=("join", "temporal"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    en = load_events(spark, sf_dir)
+    purch = (
+        en.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("purchase_value"),
+            F.max("event_id").alias("purchase_event"),
+        )
+    )
+    joined = asof_join(
+        en.select("event_id", "ts", "user_id", "event_type"),
+        purch,
+        key="user_id",
+        value_cols=["purchase_value", "purchase_event"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "event_type",
+        "purchase_value", "purchase_event",
+    )

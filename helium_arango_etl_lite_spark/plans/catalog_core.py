@@ -707,3 +707,43 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "event_type",
         "purchase_value", "purchase_event",
     )
+
+
+@register(
+    "join_range_window",
+    f"""WITH {EVENTS_NORM},
+       err AS (SELECT event_id, user_id, ts FROM events_norm
+               WHERE event_type = 'error'),
+       clk AS (SELECT user_id, ts FROM events_norm
+               WHERE event_type = 'click')
+       SELECT e.event_id, e.user_id,
+              count(c.ts) AS n_recent_clicks
+       FROM err e LEFT JOIN clk c
+         ON e.user_id = c.user_id
+        AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
+       GROUP BY e.event_id, e.user_id""",
+    doc="Keyed range join: clicks of the same user within the 10 minutes "
+        "before each error event. The equi key (user) carries the shuffle; "
+        "the range predicate refines inside each key group — no "
+        "nested-loop join (plan stays SortMergeJoin/ShuffledHashJoin). For "
+        "keyless range joins, bucketize time and equi-join on the bucket.",
+    tags=("join", "temporal", "range"),
+)
+def join_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    en = load_events(spark, sf_dir)
+    err = en.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("err_ts")
+    )
+    clk = en.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("clk_ts")
+    )
+    joined = err.join(
+        clk,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("clk_ts") >= F.col("err_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("clk_ts") < F.col("err_ts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("clk_ts").alias("n_recent_clicks")
+    )

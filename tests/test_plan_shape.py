@@ -103,3 +103,12 @@ def test_sink_layout_prunes_block_buckets(spark, tmp_path):
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "block_bucket" in pf  # pruning predicate reached the scan
     assert filtered.count() == 1
+
+
+def test_range_join_is_not_nested_loop(spark, sf_dir):
+    """The keyed range join must ride its equi key through a hash/merge
+    join with the range predicate as a residual filter — a
+    BroadcastNestedLoopJoin here would be quadratic at scale."""
+    plan = plan_of(spark, sf_dir, "join_range_window")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

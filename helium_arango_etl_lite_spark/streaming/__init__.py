@@ -6,6 +6,7 @@ from .sink import (
     with_block_bucket,
 )
 from .follow import follow, process_batch, sync_state
+from .rollup import continuous_rollup, merge_rollup
 from .stateful import running_totals
 from .windows import (
     dedup_within_watermark,

@@ -152,3 +152,45 @@ def test_running_totals_stateful(spark, tmp_path):
     assert b2[1]["n_events_total"] == 3 and b2[1]["total_value"] == 7.0
     assert b2[1]["batch_rows"] == 1
     assert 2 not in b2  # user 2 absent from batch 2 -> no emission
+
+
+def test_continuous_rollup_incremental_merge(spark, tmp_path):
+    """Hypertable-style continuous aggregate: two micro-batches (the second
+    overlapping the first's hour bucket AND adding a new day) must merge to
+    exactly the batch-recompute result, rewriting only affected day
+    partitions."""
+    from helium_arango_etl_lite_spark.streaming.rollup import continuous_rollup
+
+    src = str(tmp_path / "ev")
+    os.mkdir(src)
+    now = time.time()
+    _land(src, "f1.jsonl", [
+        _ev(1, "2024-01-01 10:05:00", etype="click", value=1.0),
+        _ev(2, "2024-01-01 10:20:00", etype="click", value=2.0),
+        _ev(3, "2024-01-01 11:05:00", etype="view", value=3.0),
+    ], now - 20)
+    _land(src, "f2.jsonl", [
+        _ev(4, "2024-01-01 10:40:00", etype="click", value=4.0),  # merges into 10:00
+        _ev(5, "2024-01-02 09:00:00", etype="click", value=5.0),  # new day partition
+    ], now - 10)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    out = str(tmp_path / "rollup")
+    q = continuous_rollup(spark, stream, out, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {
+        (str(r["bucket"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("2024-01-01 10:00:00", "click"): (3, 7.0),
+        ("2024-01-01 11:00:00", "view"): (1, 3.0),
+        ("2024-01-02 09:00:00", "click"): (1, 5.0),
+    }
+    days = {n for n in os.listdir(out) if n.startswith("bucket_day=")}
+    assert days == {"bucket_day=2024-01-01", "bucket_day=2024-01-02"}

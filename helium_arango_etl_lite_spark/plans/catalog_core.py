@@ -747,3 +747,32 @@ def join_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_id", "user_id").agg(
         F.count("clk_ts").alias("n_recent_clicks")
     )
+
+
+@register(
+    "dq_profile",
+    """SELECT count(*) AS n_rows,
+              count(l_orderkey) AS nn_orderkey,
+              count(l_shipdate) AS nn_shipdate,
+              min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+              min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+              count(DISTINCT l_returnflag) AS n_flags
+       FROM lineitem""",
+    doc="Data-quality profile in ONE pass: row/non-null counts, min/max "
+        "ranges, low-cardinality distinct — the validation gate a pipeline "
+        "runs before promoting a batch. All partial-aggregatable, single "
+        "shuffle of one row per partition.",
+    tags=("agg", "dq"),
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_orderkey").alias("nn_orderkey"),
+        F.count("l_shipdate").alias("nn_shipdate"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )

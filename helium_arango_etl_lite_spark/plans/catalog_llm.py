@@ -539,3 +539,42 @@ def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_fingerprints(
         load_table(spark, sf_dir, "documents"), k=_WK, window=_WWIN
     )
+
+
+@register(
+    "llm_sample_hash",
+    """SELECT doc_id, source
+       FROM documents
+       WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 10""",
+    doc="Deterministic 10% sample by content-independent key hash: "
+        "reproducible across runs/engines/cluster sizes (unlike "
+        "df.sample's partition-dependent RNG), composable into "
+        "train/val/test splits by disjoint hash ranges, and pushed down "
+        "as a cheap per-row predicate — the training-data split "
+        "primitive.",
+    tags=("llm", "sampling"),
+)
+def llm_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash32
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = hash32(F.col("doc_id").cast("string")) % 100
+    return d.filter(bucket < 10).select("doc_id", "source")
+
+
+@register(
+    "llm_vocab_topk",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       SELECT token, count(*) AS freq
+       FROM tok GROUP BY token
+       ORDER BY freq DESC, token LIMIT 50""",
+    doc="Corpus vocabulary head: explode tokens, partial-aggregated "
+        "count, TakeOrderedAndProject top-k with deterministic tie-break "
+        "— the vocab/stopword-discovery scan.",
+    tags=("llm", "text", "topk"),
+)
+def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return freq.orderBy(F.desc("freq"), F.asc("token")).limit(50)

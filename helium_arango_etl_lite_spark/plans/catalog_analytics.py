@@ -1,0 +1,351 @@
+"""Analytics catalog: graph algorithms, funnels, cumulative windows, and
+sampling surfaces layered over the reference's property-graph schema.
+
+The reference materializes a payment/witness graph precisely so that
+downstream AQL can run adjacency analytics (reference README.md:2); this
+module supplies those consumer-side queries as first-class Spark plans —
+PageRank over the money-flow graph, triangle counting on the co-supply
+graph, funnel conversion over event streams, running balances, CUBE
+summaries, semi-join activity filters, and stratified hash sampling.
+
+Cross-engine exactness notes (the driver hashes values):
+- Running sums accumulate in INTEGER cents (exact, order-independent);
+  the final ``/100.0`` is a single IEEE division both engines agree on.
+- PageRank rounds each iteration's contribution sum to 12 dp — the only
+  order-dependent float reduction — then the final rank to 8 dp.
+- Everything else is integer counts, min/max on timestamps, or 2/6 dp
+  rounded terminal aggregates (the established catalog convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash32, hash32_oracle_sql
+from .registry import EVENTS_NORM, load_events, load_table, register
+
+
+@register(
+    "window_running_sum",
+    """SELECT o_custkey, o_orderkey,
+              sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) / 100.0 AS running_spend
+       FROM orders""",
+    doc="Cumulative spend per account over time — the running-balance "
+        "view of the reference's payment ledger (amounts are integer "
+        "bones, follower.py:151; we mirror that by accumulating integer "
+        "cents so the prefix sum is exact and order-independent). One "
+        "shuffle on the partition key; at 100 TB the sort is per-key "
+        "within partitions, no global sort.",
+    tags=("window", "temporal"),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("running_spend"),
+    )
+
+
+@register(
+    "agg_cube",
+    """SELECT l_returnflag, l_linestatus,
+              count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+       FROM lineitem
+       GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    doc="CUBE over (returnflag, linestatus): all 2^2 grouping sets in one "
+        "pass — the OLAP rollup board. Spark expands the sets and keeps "
+        "partial aggregation, so the fact table is scanned once; "
+        "grouping-set expansion multiplies shuffle rows by 4, still tiny "
+        "versus the scan at 100 TB.",
+    tags=("agg", "olap"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "join_semi_urgent",
+    """SELECT c_custkey, c_name
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority = '1-URGENT')""",
+    doc="Left-semi join: accounts with at least one urgent order — the "
+        "existence filter behind 'active vertex' extraction (the "
+        "reference keeps a vertex iff an edge references it, "
+        "follower.py:147,156). Semi join keeps only the probe side's "
+        "columns, dedups build keys before the shuffle, and Catalyst "
+        "broadcasts the filtered build side when small.",
+    tags=("join", "semi"),
+)
+def join_semi_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "agg_event_funnel",
+    f"""WITH {EVENTS_NORM},
+       v AS (SELECT user_id, min(ts) AS t1 FROM events_norm
+             WHERE event_type = 'view' GROUP BY 1),
+       c AS (SELECT e.user_id, min(e.ts) AS t2
+             FROM events_norm e JOIN v ON e.user_id = v.user_id
+             WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+       p AS (SELECT e.user_id, min(e.ts) AS t3
+             FROM events_norm e JOIN c ON e.user_id = c.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+       SELECT (SELECT count(*) FROM v) AS n_view,
+              (SELECT count(*) FROM c) AS n_click,
+              (SELECT count(*) FROM p) AS n_purchase""",
+    doc="Ordered three-stage funnel (view -> click -> purchase, strictly "
+        "increasing timestamps): per-stage min-timestamp aggregation and "
+        "re-join on user_id. All three stages shuffle on the same key, so "
+        "AQE reuses one exchange partitioning; counts are exact integers. "
+        "At 100 TB the stage frames are pre-filtered slices of one scan.",
+    tags=("agg", "temporal", "funnel"),
+)
+def agg_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    en = load_events(spark, sf_dir)
+    v = (
+        en.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        en.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        en.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+@register(
+    "llm_sample_stratified",
+    "SELECT doc_id, lang FROM documents "
+    f"WHERE {hash32_oracle_sql('doc_id::VARCHAR')} % 100 < "
+    "CASE WHEN lang = 'en' THEN 10 ELSE 40 END",
+    doc="Stratified deterministic sampling: per-stratum hash-threshold "
+        "rates (down-sample the dominant language, keep more of the "
+        "tail) — the corpus-rebalancing primitive for training-data "
+        "mixes. Pure per-row predicate: no shuffle, no RNG state, "
+        "reproducible on any cluster size, and the filter pushes down "
+        "to the scan.",
+    tags=("llm", "sampling"),
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(40))
+    bucket = hash32(F.col("doc_id").cast("string")) % 100
+    return d.filter(bucket < rate).select("doc_id", "lang")
+
+
+@register(
+    "llm_length_histogram",
+    """SELECT n_chars // 100 AS bucket,
+              count(*) AS n_docs,
+              round(avg(n_chars), 6) AS avg_chars
+       FROM documents GROUP BY 1""",
+    doc="Document-length histogram (100-char buckets) with per-bucket "
+        "mean — the corpus length profile a pipeline inspects before "
+        "choosing truncation/packing lengths. Integer bucketing keys, "
+        "partial-aggregated counts; single shuffle of one row per "
+        "(partition, bucket).",
+    tags=("llm", "profile"),
+)
+def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.expr("n_chars div 100").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+def _money_flow_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed nation-level money-flow graph: customer nation -> supplier
+    nation, one distinct edge per observed pair (the nation-rollup of the
+    reference's account->account payment edges, follower.py:148-155)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            c["c_nationkey"].alias("src").cast("int"),
+            s["s_nationkey"].alias("dst").cast("int"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+_PR_EDGES_SQL = """edges AS (
+         SELECT DISTINCT c.c_nationkey::INTEGER AS src,
+                         s.s_nationkey::INTEGER AS dst
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         WHERE c.c_nationkey <> s.s_nationkey)"""
+
+
+def _pagerank_oracle() -> str:
+    """Three unrolled PageRank iterations as chained CTEs (the DuckDB twin
+    of the Spark loop in graph_pagerank; same 12-dp per-iteration round)."""
+    parts = [
+        "WITH " + _PR_EDGES_SQL,
+        "nodes AS (SELECT n_nationkey::INTEGER AS id FROM nation)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY 1)",
+        "r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes)",
+    ]
+    prev = "r0"
+    for i in (1, 2, 3):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS id, "
+            f"round(sum({prev}.r / deg.outd), 12) AS contrib "
+            f"FROM edges e JOIN {prev} ON e.src = {prev}.id "
+            "JOIN deg ON e.src = deg.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.id, "
+            f"round(0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c{i}.contrib, 0.0), 12) AS r "
+            f"FROM nodes n LEFT JOIN c{i} ON n.id = c{i}.id)"
+        )
+        prev = f"r{i}"
+    return (
+        ",\n".join(parts)
+        + "\nSELECT id AS nation_id, round(r, 8) AS pagerank FROM r3"
+    )
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_oracle(),
+    doc="PageRank (3 iterations, d=0.85) over the nation-level money-flow "
+        "graph — the centrality analytic the reference's payment graph "
+        "exists to feed (reference README.md:2). The expensive stage is "
+        "the distinct-edge extraction over the fact tables (scales with "
+        "data); the iteration itself joins the tiny broadcast rank "
+        "vector against the edge list, so at 100 TB each step is one "
+        "shuffle-free broadcast join + a groupBy on dst. Contribution "
+        "sums round to 12 dp per iteration (the one order-dependent "
+        "float reduction), final rank to 8 dp.",
+    tags=("graph", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").cast("int").alias("id"))
+    )
+    n = nodes.count()  # tiny dimension; a driver-side scalar like the
+    # reference's chain-tip probe (client.py:21-23)
+    edges = _money_flow_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    ed = edges.join(deg, "src")
+    ranks = nodes.select("id", (F.lit(1.0) / F.lit(float(n))).alias("r"))
+    for _ in range(3):
+        contrib = (
+            ed.join(F.broadcast(ranks), ed["src"] == ranks["id"])
+            .groupBy("dst")
+            .agg(F.round(F.sum(F.col("r") / F.col("outd")), 12).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(contrib), nodes["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                F.round(
+                    F.lit(0.15) / F.lit(float(n))
+                    + F.lit(0.85) * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                    12,
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("id").alias("nation_id"), F.round("r", 8).alias("pagerank")
+    )
+
+
+@register(
+    "graph_triangle_count",
+    """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+       pairs AS (SELECT a.sk AS src, b.sk AS dst, count(*) AS shared
+                 FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+                 GROUP BY 1, 2),
+       top_e AS (SELECT src, dst FROM pairs
+                 ORDER BY shared DESC, src, dst LIMIT 200)
+       SELECT count(*) AS n_triangles
+       FROM top_e e1
+       JOIN top_e e2 ON e1.dst = e2.src
+       JOIN top_e e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
+    doc="Triangle count on the strongest co-supply edges (suppliers "
+        "linked by shared parts, canonical src<dst so each triangle "
+        "counts once) — the clustering-coefficient analytic over the "
+        "graph the reference materializes. The scale-bearing stage is "
+        "the shared-part pair aggregation (one shuffle on part); the "
+        "top-200 edge set broadcasts into both triangle joins. At full "
+        "scale, swap LIMIT for a weight threshold and order each join "
+        "by degree (node-iterator) to bound intermediate size.",
+    tags=("graph", "join"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.sk") < F.col("b.sk")))
+        .groupBy(F.col("a.sk").alias("src"), F.col("b.sk").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    top = pairs.orderBy(F.desc("shared"), F.asc("src"), F.asc("dst")).limit(200)
+    e1, e2, e3 = top.alias("e1"), top.alias("e2"), top.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

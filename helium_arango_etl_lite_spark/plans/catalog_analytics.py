@@ -306,6 +306,183 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_moving_avg",
+    """WITH daily AS (
+         SELECT o_orderdate AS day,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+         FROM orders GROUP BY 1)
+       SELECT day,
+              round(sum(cents) OVER w / (100.0 * count(*) OVER w), 6)
+                AS ma7_revenue
+       FROM daily
+       WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+    doc="7-day moving average of daily revenue: pre-aggregate to one row "
+        "per day (the scale-bearing shuffle), then a rows-frame window "
+        "over the tiny daily series. Integer-cent sums keep the frame "
+        "arithmetic exact; one division + 6 dp round at the end. The "
+        "post-agg series is small at ANY input scale, so the unpartitioned "
+        "window is a deliberate single-task stage, not a bottleneck.",
+    tags=("window", "temporal"),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(cents).alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        F.round(
+            F.sum("cents").over(w) / (F.lit(100.0) * F.count(F.lit(1)).over(w)), 6
+        ).alias("ma7_revenue"),
+    )
+
+
+@register(
+    "join_outer_reconcile",
+    """WITH a AS (SELECT o_orderkey FROM orders
+                  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+       b AS (SELECT o_orderkey FROM orders WHERE o_totalprice >= 100000)
+       SELECT CASE WHEN a.o_orderkey IS NULL THEN 'only_right'
+                   WHEN b.o_orderkey IS NULL THEN 'only_left'
+                   ELSE 'both' END AS status,
+              count(*) AS n
+       FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+       GROUP BY 1""",
+    doc="Snapshot reconciliation: full-outer join two keyed extracts and "
+        "bucket rows into only_left / only_right / both — the audit twin "
+        "of the reference's duplicate-ignore upsert (follower.py:205-207 "
+        "silently drops collisions; this op makes the delta visible). "
+        "Shuffle-on-key join; at 100 TB both sides hash-partition on the "
+        "same key so the join is co-located, and the CASE + count folds "
+        "into the join's output without another shuffle.",
+    tags=("join", "dq"),
+)
+def join_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        F.col("o_orderkey").alias("a_key")
+    )
+    b = o.filter(F.col("o_totalprice") >= 100000).select(
+        F.col("o_orderkey").alias("b_key")
+    )
+    joined = a.join(b, a["a_key"] == b["b_key"], "full_outer")
+    status = (
+        F.when(F.col("a_key").isNull(), F.lit("only_right"))
+        .when(F.col("b_key").isNull(), F.lit("only_left"))
+        .otherwise(F.lit("both"))
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "agg_cohort_retention",
+    f"""WITH {EVENTS_NORM},
+       first_seen AS (SELECT user_id, min(ts) AS ft FROM events_norm GROUP BY 1)
+       SELECT CAST(date_trunc('week', f.ft) AS DATE) AS cohort_week,
+              date_diff('day', date_trunc('week', f.ft),
+                        date_trunc('week', e.ts)) // 7 AS week_offset,
+              count(DISTINCT e.user_id) AS n_active
+       FROM events_norm e JOIN first_seen f ON e.user_id = f.user_id
+       GROUP BY 1, 2""",
+    doc="Cohort retention matrix: users grouped by first-seen week, "
+        "counted distinct in each subsequent activity week — the "
+        "engagement analytic over the reference's timestamped edge "
+        "stream (follower.py:154). Two shuffles on user_id (first-seen "
+        "agg, then the re-join) that share one exchange partitioning; "
+        "the distinct-count shuffles on the tiny (cohort, offset) key.",
+    tags=("agg", "temporal", "cohort"),
+)
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    en = load_events(spark, sf_dir)
+    first_seen = en.groupBy("user_id").agg(F.min("ts").alias("ft"))
+    j = en.join(first_seen, "user_id")
+    cohort = F.date_trunc("week", F.col("ft"))
+    offset = F.expr(
+        "datediff(date_trunc('week', ts), date_trunc('week', ft)) div 7"
+    ).cast("long")
+    return (
+        j.groupBy(
+            cohort.cast("date").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "llm_doc_pack",
+    """WITH toks AS (
+         SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+         FROM documents)
+       SELECT doc_id, n_tokens,
+              (sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - 1) // 4096 AS pack_id
+       FROM toks""",
+    doc="Sequence packing: assign documents to fixed 4096-token context "
+        "windows by integer prefix-sum over a deterministic order — the "
+        "batch-construction step of a training-data pipeline. Token "
+        "counts are exact integers so the running sum is "
+        "order-independent arithmetic. The oracle form uses one global "
+        "order; the scale form runs the identical window per "
+        "hash-partition (pack ids namespaced by partition), keeping "
+        "packing embarrassingly parallel at 100 TB.",
+    tags=("llm", "packing"),
+)
+def llm_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = F.sum("n_tokens").over(w)
+    # /4096 is a power-of-two division: exact in IEEE, floor == DuckDB //
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((run - F.lit(1)) / F.lit(4096)).cast("long").alias("pack_id"),
+    )
+
+
+@register(
+    "llm_bigram_topk",
+    """WITH tok AS (SELECT string_split(text, ' ') AS a FROM documents),
+       bg AS (SELECT unnest(list_transform(range(1, len(a)),
+                                           i -> a[i] || ' ' || a[i + 1]))
+                AS bigram FROM tok)
+       SELECT bigram, count(*) AS freq
+       FROM bg GROUP BY bigram
+       ORDER BY freq DESC, bigram LIMIT 50""",
+    doc="Corpus bigram head: adjacent-pair extraction as a zip_with over "
+        "two shifted slices (array kernel — no per-position lambda "
+        "lookups, which are ~50x slower), explode, partial-aggregated "
+        "count, TakeOrderedAndProject top-k with deterministic "
+        "tie-break. The n-gram statistics scan for tokenizer/quality "
+        "work.",
+    tags=("llm", "text", "topk"),
+)
+def llm_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = d.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+                "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
+                "(x, y) -> concat(x, ' ', y))"
+            )
+        ).alias("bigram")
+    )
+    freq = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
+    return freq.orderBy(F.desc("freq"), F.asc("bigram")).limit(50)
+
+
+@register(
     "graph_triangle_count",
     """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
        pairs AS (SELECT a.sk AS src, b.sk AS dst, count(*) AS shared

@@ -112,3 +112,48 @@ def test_range_join_is_not_nested_loop(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_range_window")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_semi_join_stays_semi_with_pushed_filter(spark, sf_dir):
+    """The existence filter must execute as a semi join (build side dedups
+    before probing) with the priority predicate pushed into the scan."""
+    plan = plan_of(spark, sf_dir, "join_semi_urgent")
+    assert "LeftSemi" in plan
+    assert "1-URGENT" in plan.split("PushedFilters: [", 2)[-1].split("]", 1)[0] or \
+        "o_orderpriority" in plan
+
+
+def test_pagerank_iterations_broadcast_rank_vector(spark, sf_dir):
+    """Each PageRank step joins the tiny rank vector against the edge
+    list — that must be a broadcast join (shuffle-free per iteration),
+    never a nested-loop."""
+    plan = plan_of(spark, sf_dir, "graph_pagerank")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_joins_broadcast_edge_set(spark, sf_dir):
+    """The top-k edge set is tiny by construction; both triangle joins
+    must broadcast it rather than shuffle or nested-loop."""
+    plan = plan_of(spark, sf_dir, "graph_triangle_count")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_moving_avg_preaggregates_before_window(spark, sf_dir):
+    """The 7-day moving average must reduce to one row per day (partial +
+    final hash agg) BEFORE the unpartitioned window, so the single-task
+    window stage sees a bounded series at any input scale."""
+    plan = plan_of(spark, sf_dir, "window_moving_avg")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+
+
+def test_cube_expands_with_partial_aggregation(spark, sf_dir):
+    """CUBE must execute as Expand + partial/final hash aggregation —
+    one scan of the fact table for all four grouping sets."""
+    plan = plan_of(spark, sf_dir, "agg_cube")
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2

@@ -42,9 +42,16 @@ HEADLINE = [
     "llm_multimodal_features",  # mapInPandas binary feature extraction
     "llm_token_stats",          # text analysis scan
     "llm_winnow_fingerprint",   # rolling-hash winnowing sketch
+    "graph_pagerank",           # iterative broadcast-join rank propagation
+    "agg_event_funnel",         # multi-stage funnel sharing one key shuffle
+    "agg_cohort_retention",     # distinct-count cohort matrix
+    "llm_bigram_topk",          # shifted-slice array kernel + top-k
 ]
 
-SMALL_OUTPUT = {"topk_accounts", "llm_topk_cosine", "llm_ann_lsh", "llm_ann_ivf"}
+SMALL_OUTPUT = {
+    "topk_accounts", "llm_topk_cosine", "llm_ann_lsh", "llm_ann_ivf",
+    "graph_pagerank", "agg_event_funnel", "llm_bigram_topk",
+}
 
 
 def main() -> None:

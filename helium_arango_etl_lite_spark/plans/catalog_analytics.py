@@ -526,3 +526,206 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+@register(
+    "tpch_q1_pricing",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                AS sum_charge,
+              round(avg(l_quantity), 6) AS avg_qty,
+              round(avg(l_extendedprice), 6) AS avg_price,
+              count(*) AS n
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY 1, 2""",
+    doc="TPC-H Q1 shape (pricing summary): single-scan wide aggregation "
+        "with per-row derived expressions folded into partial aggregates. "
+        "The canonical whole-stage-codegen stress: one shuffle of a few "
+        "grouped rows regardless of input scale; the shipdate predicate "
+        "pushes to the parquet scan.",
+    tags=("agg", "tpch"),
+)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+        F.round(F.sum(disc), 2).alias("sum_disc"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "tpch_q3_priority",
+    """SELECT l.l_orderkey AS o_key,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+              o.o_orderdate
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1997-03-15'
+         AND l.l_shipdate > TIMESTAMP '1997-03-15'
+       GROUP BY 1, 3
+       ORDER BY revenue DESC, o_key LIMIT 10""",
+    doc="TPC-H Q3 shape (shipping priority): selective dim filter -> "
+        "fact join chain -> grouped revenue -> top-k. The filtered "
+        "customer side broadcasts; the orders-lineitem join shuffles on "
+        "the shared orderkey; the LIMIT rides TakeOrderedAndProject "
+        "(rounded revenue + key tie-break keeps the cut deterministic).",
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q3_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    j = c.join(o, c["c_custkey"] == o["o_custkey"]).join(
+        li, o["o_orderkey"] == li["l_orderkey"]
+    )
+    return (
+        j.groupBy(F.col("l_orderkey").alias("o_key"), F.col("o_orderdate"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_key"))
+        .limit(10)
+        .select("o_key", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "tpch_q5_region_volume",
+    """SELECT n.n_name,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                      AND c.c_nationkey = s.s_nationkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name = 'ASIA'
+         AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY 1""",
+    doc="TPC-H Q5 shape (local-supplier volume): five-way join where "
+        "Catalyst's join reordering + broadcast selection matter — "
+        "supplier/nation/region broadcast, the customer-supplier "
+        "same-nation predicate rides the join, and only the "
+        "orders-lineitem join shuffles. The plan a 1000-executor run "
+        "needs: one big shuffle, everything else map-side.",
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return j.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+_CENTROID_SQL = """WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+  pos AS (SELECT unnest(range(1, 65)) AS i),
+  cent AS (SELECT label AS clabel, i, round(avg(v[i]), 6) AS cx
+           FROM e, pos GROUP BY 1, 2),
+  cvec AS (SELECT clabel, list(cx ORDER BY i) AS cv FROM cent GROUP BY 1),
+  scored AS (SELECT e.vec_id, e.label, c.clabel,
+               round(list_dot_product(e.v, c.cv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(c.cv, c.cv))), 4) AS cos
+             FROM e CROSS JOIN cvec c),
+  best AS (SELECT vec_id, label, clabel,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, clabel) AS rn
+           FROM scored)
+  SELECT label, clabel AS assigned, count(*) AS n
+  FROM best WHERE rn = 1 GROUP BY 1, 2"""
+
+
+@register(
+    "llm_centroid_assign",
+    _CENTROID_SQL,
+    doc="Per-label centroid (element-wise mean, one avg aggregate per "
+        "position — single pass, no posexplode shuffle blow-up) + "
+        "nearest-centroid assignment by cosine: the k-means E-step / "
+        "embedding-space label-purity check of a curation pipeline. The "
+        "k x dim centroid table broadcasts; each vector scores against k "
+        "centroids in one map stage, so corpus scale only widens the "
+        "scan. Centroids round to 6 dp (the order-dependent reduction), "
+        "similarity to 4 dp with a label tie-break before argmax.",
+    tags=("llm", "similarity", "clustering"),
+)
+def llm_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dim = 64
+    cent = (
+        e.groupBy(F.col("label").alias("clabel"))
+        .agg(
+            *[
+                F.round(F.avg(F.col("v")[i]), 6).alias(f"c{i}")
+                for i in range(dim)
+            ]
+        )
+        .select(
+            "clabel", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("cv")
+        )
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(cosine(F.col("v"), F.col("cv")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return best.groupBy(
+        "label", F.col("clabel").alias("assigned")
+    ).agg(F.count(F.lit(1)).alias("n"))

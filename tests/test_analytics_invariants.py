@@ -1,0 +1,136 @@
+"""Semantic invariants for the analytics catalog (catalog_analytics.py) —
+properties the oracle hash-match can't express: funnel monotonicity,
+packing feasibility, PageRank mass conservation, reconciliation
+completeness. Run on the sf0.001 tables like the parity suite."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from helium_arango_etl_lite_spark.plans.queries import QUERIES
+
+
+def run(spark, sf_dir, name):
+    return QUERIES[name].spark_fn(spark, sf_dir)
+
+
+def test_funnel_stages_are_monotone(spark, sf_dir):
+    """Each stage requires the previous one strictly earlier, so counts
+    can only shrink down the funnel."""
+    row = run(spark, sf_dir, "agg_event_funnel").collect()[0]
+    assert row["n_view"] >= row["n_click"] >= row["n_purchase"]
+    assert row["n_purchase"] >= 0
+
+
+def test_doc_pack_ids_contiguous_and_bounded(spark, sf_dir):
+    """Pack ids form a contiguous 0..max range and every pack except
+    possibly the last holds > 4096 - max_doc tokens (no premature cut:
+    chunked prefix-sum packing never leaves a pack short by more than
+    one document)."""
+    rows = run(spark, sf_dir, "llm_doc_pack").collect()
+    packs = {}
+    for r in rows:
+        packs.setdefault(r["pack_id"], 0)
+        packs[r["pack_id"]] += r["n_tokens"]
+    ids = sorted(packs)
+    assert ids == list(range(ids[-1] + 1))
+    max_doc = max(r["n_tokens"] for r in rows)
+    for pid in ids[:-1]:
+        assert packs[pid] > 4096 - max_doc
+
+
+def test_pagerank_is_a_distribution_up_to_dangling(spark, sf_dir):
+    """Ranks are positive and total mass stays in (0, 1]: dangling nodes
+    leak mass but nothing is created."""
+    rows = run(spark, sf_dir, "graph_pagerank").collect()
+    total = sum(r["pagerank"] for r in rows)
+    assert all(r["pagerank"] > 0 for r in rows)
+    assert 0 < total <= 1 + 1e-6
+    # every nation appears exactly once
+    assert len({r["nation_id"] for r in rows}) == len(rows)
+
+
+def test_reconcile_partitions_the_union(spark, sf_dir):
+    """only_left + both must equal |A|, only_right + both must equal |B|."""
+    o = QUERIES["join_outer_reconcile"]
+    counts = {r["status"]: r["n"] for r in o.spark_fn(spark, sf_dir).collect()}
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    n_a = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).count()
+    n_b = orders.filter(F.col("o_totalprice") >= 100000).count()
+    assert counts.get("only_left", 0) + counts.get("both", 0) == n_a
+    assert counts.get("only_right", 0) + counts.get("both", 0) == n_b
+
+
+def test_stratified_sample_respects_per_stratum_rates(spark, sf_dir):
+    """The en stratum samples at ~10%, others at ~40%; hash sampling is
+    deterministic so the test pins exact reproducibility, and rates are
+    sanity-bounded (binomial tolerance on small strata)."""
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    s1 = {tuple(r) for r in run(spark, sf_dir, "llm_sample_stratified").collect()}
+    s2 = {tuple(r) for r in run(spark, sf_dir, "llm_sample_stratified").collect()}
+    assert s1 == s2  # deterministic
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sampled = {}
+    for _, lang in s1:
+        sampled[lang] = sampled.get(lang, 0) + 1
+    en_rate = sampled.get("en", 0) / totals["en"]
+    assert 0.0 <= en_rate <= 0.25
+    rest_total = sum(v for k, v in totals.items() if k != "en")
+    rest_sampled = sum(v for k, v in sampled.items() if k != "en")
+    assert 0.2 <= rest_sampled / rest_total <= 0.6
+
+
+def test_centroid_assign_counts_cover_corpus(spark, sf_dir):
+    """Every vector gets exactly one assignment (argmax is total), so the
+    confusion-matrix counts sum to the corpus size; diagonal mass above
+    chance (1/k for k=10 labels) sanity-checks that centroids carry
+    signal without assuming the synthetic labels are cleanly separable."""
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    rows = run(spark, sf_dir, "llm_centroid_assign").collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n"] for r in rows) == n_vecs
+    diag = sum(r["n"] for r in rows if r["label"] == r["assigned"])
+    assert diag / n_vecs > 1.0 / 10
+
+
+def test_cube_totals_are_consistent(spark, sf_dir):
+    """The grand-total cell equals the sum of the per-flag cells — the
+    grouping-set lattice is internally consistent."""
+    rows = run(spark, sf_dir, "agg_cube").collect()
+    grand = [r for r in rows if r["l_returnflag"] is None and r["l_linestatus"] is None]
+    per_flag = [
+        r for r in rows
+        if r["l_returnflag"] is not None and r["l_linestatus"] is None
+    ]
+    assert len(grand) == 1
+    assert sum(r["n"] for r in per_flag) == grand[0]["n"]
+
+
+def test_running_sum_is_prefix_monotone_per_key(spark, sf_dir):
+    """Within one customer the running spend is nondecreasing in the
+    window order (all amounts are positive)."""
+    df = run(spark, sf_dir, "window_running_sum")
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    joined = df.join(orders, "o_orderkey").collect()
+    by_cust = {}
+    for r in joined:
+        by_cust.setdefault(r["o_custkey"], []).append(
+            (r["o_orderdate"], r["o_orderkey"], r["running_spend"])
+        )
+    for seq in by_cust.values():
+        seq.sort()
+        spends = [s for _, _, s in seq]
+        assert spends == sorted(spends)

@@ -87,6 +87,47 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = round(min(run_once(name), run_once(name)), 3)
 
+    # The reference's actual workload: the follower ETL itself. Drain 20k
+    # synthetic blocks (chain DataSource, mock transport) through the full
+    # per-batch dataflow (type dispatch -> explode -> edges/vertices ->
+    # deterministic keys -> idempotent sink). The reference does >= 2 HTTP
+    # round-trips per block on one thread; this measures our distributed
+    # equivalent end-to-end, including the sink's anti-join.
+    import shutil
+    import tempfile
+
+    from helium_arango_etl_lite_spark.sources.datasource import (
+        HeliumChainDataSource,
+    )
+    from helium_arango_etl_lite_spark.streaming.follow import process_batch
+
+    spark.dataSource.register(HeliumChainDataSource)
+
+    def run_follow() -> float:
+        out = tempfile.mkdtemp(prefix="bench_follow_")
+        try:
+            t0 = time.time()
+            blocks = (
+                spark.read.format("helium_chain")
+                .option("endpoint", "mock://bench")
+                .option("start", 1).option("end", 20_000)
+                .load()
+            )
+            txns = (
+                spark.read.format("helium_chain")
+                .option("endpoint", "mock://bench").option("what", "txns")
+                .option("start", 1).option("end", 20_000)
+                .load()
+            )
+            process_batch(spark, blocks, txns, out)
+            return time.time() - t0
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    timings["follow_pipeline_20k_blocks"] = round(
+        min(run_follow(), run_follow()), 3
+    )
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",

@@ -53,26 +53,39 @@ def process_batch(
     PERMISSIVE read; bad rows are quarantined (the engine's ValidationError
     path, follower.py:58-69) and good rows flow on.
     """
+    raw_blocks = None
     if CORRUPT_COL in blocks.columns:
-        blocks = blocks.cache()
-        bad = blocks.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        raw_blocks = blocks.cache()
+        bad = raw_blocks.filter(F.col(CORRUPT_COL).isNotNull()).select(
             F.col(CORRUPT_COL).alias("raw")
         )
         if not bad.isEmpty():
             bad.write.mode("append").parquet(f"{out_dir}/{QUARANTINE}")
-        blocks = blocks.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        blocks = raw_blocks.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     if CORRUPT_COL in txns.columns:
         txns = txns.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
 
-    idempotent_append(spark, payment_edges(blocks, txns), f"{out_dir}/{PAYMENTS}")
-    idempotent_append(
-        spark,
-        witness_edges(blocks, txns, strict_path0=strict_path0),
-        f"{out_dir}/{RECEIPTS}",
-    )
-    idempotent_append(
-        spark, account_vertices(blocks, txns), f"{out_dir}/{ACCOUNTS}", partitioned=False
-    )
+    # Three sinks consume the same micro-batch; persist the inputs so the
+    # source (Python DataSource / JSON parse) is evaluated once, not once
+    # per sink action. In streaming, foreachBatch hands us a materialized
+    # batch for blocks but txns would re-read per action regardless.
+    blocks = blocks.persist()
+    txns = txns.persist()
+    try:
+        idempotent_append(spark, payment_edges(blocks, txns), f"{out_dir}/{PAYMENTS}")
+        idempotent_append(
+            spark,
+            witness_edges(blocks, txns, strict_path0=strict_path0),
+            f"{out_dir}/{RECEIPTS}",
+        )
+        idempotent_append(
+            spark, account_vertices(blocks, txns), f"{out_dir}/{ACCOUNTS}", partitioned=False
+        )
+    finally:
+        blocks.unpersist()
+        txns.unpersist()
+        if raw_blocks is not None:
+            raw_blocks.unpersist()
 
 
 def follow(

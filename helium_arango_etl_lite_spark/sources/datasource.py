@@ -48,6 +48,9 @@ from ..schemas import BLOCK_SCHEMA, TXN_ENVELOPE_SCHEMA
 from .rpc import Transport, rpc_call
 
 DEFAULT_HEIGHTS_PER_PARTITION = 64
+# rows buffered per Arrow batch on the batch-read path; bounds executor
+# memory per task while keeping the Python->JVM transfer columnar
+ARROW_BATCH_ROWS = 4096
 
 
 class HeightRange(InputPartition):
@@ -117,7 +120,7 @@ class ChainReader(DataSourceReader):
             lo = hi + 1
         return parts
 
-    def read(self, partition: HeightRange) -> Iterator[tuple]:
+    def _rows(self, partition: HeightRange) -> Iterator[tuple]:
         transport = _transport_for(self.endpoint)
         for h in range(partition.lo, partition.hi + 1):
             block = rpc_call(
@@ -147,6 +150,70 @@ class ChainReader(DataSourceReader):
                             stub["type"],
                             json.dumps(txn, sort_keys=True),
                         )
+
+    def _arrow_schema(self):
+        import pyarrow as pa
+
+        if self.what == "blocks":
+            return pa.schema(
+                [
+                    pa.field("hash", pa.string(), nullable=False),
+                    pa.field("height", pa.int64(), nullable=False),
+                    pa.field("prev_hash", pa.string()),
+                    pa.field("time", pa.int64(), nullable=False),
+                    pa.field(
+                        "transactions",
+                        pa.list_(
+                            pa.struct(
+                                [
+                                    pa.field("hash", pa.string(), nullable=False),
+                                    pa.field("type", pa.string(), nullable=False),
+                                ]
+                            )
+                        ),
+                        nullable=False,
+                    ),
+                ]
+            )
+        return pa.schema(
+            [
+                pa.field("hash", pa.string(), nullable=False),
+                pa.field("type", pa.string(), nullable=False),
+                pa.field("json", pa.string(), nullable=False),
+            ]
+        )
+
+    def read(self, partition: HeightRange) -> Iterator:
+        """Yield pyarrow.RecordBatch (columnar Python->JVM transfer; the
+        per-row pickle path costs ~10x at bulk-backfill scale). Rows are
+        buffered ARROW_BATCH_ROWS at a time so task memory stays bounded
+        no matter the height range."""
+        import pyarrow as pa
+
+        schema = self._arrow_schema()
+        names = schema.names
+
+        def to_batch(buf: list[tuple]):
+            cols = list(zip(*buf))
+            if self.what == "blocks":
+                # list<struct> column: pa infers struct fields from dicts
+                cols = list(cols)
+                cols[4] = [
+                    [{"hash": h, "type": t} for h, t in txns] for txns in cols[4]
+                ]
+            arrays = [
+                pa.array(c, type=schema.field(i).type) for i, c in enumerate(cols)
+            ]
+            return pa.RecordBatch.from_arrays(arrays, names=names)
+
+        buf: list[tuple] = []
+        for row in self._rows(partition):
+            buf.append(row)
+            if len(buf) >= ARROW_BATCH_ROWS:
+                yield to_batch(buf)
+                buf = []
+        if buf:
+            yield to_batch(buf)
 
 
 class ChainStreamReader(SimpleDataSourceStreamReader):
@@ -182,7 +249,9 @@ class ChainStreamReader(SimpleDataSourceStreamReader):
             }
         )
         for part in reader.partitions():
-            yield from reader.read(part)
+            # row tuples, not Arrow batches: the simple stream reader
+            # prefetches plain rows on the driver
+            yield from reader._rows(part)
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         lo = start["height"]

@@ -151,3 +151,38 @@ def test_stream_reader_resumes_from_checkpoint(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     heights = sorted(r["height"] for r in rows)
     assert heights == list(range(100, 180)), "gap or duplicate after resume"
+
+
+def test_batch_read_yields_bounded_arrow_batches():
+    """The batch path transfers columnar Arrow batches (not pickled rows),
+    chunked so task memory is bounded, and with exact row parity vs the
+    row iterator the stream reader uses."""
+    import pyarrow as pa
+
+    from helium_arango_etl_lite_spark.sources import datasource as ds
+
+    reader = ds.ChainReader(
+        {"endpoint": "mock://chain", "start": "1", "end": "5000", "what": "txns"}
+    )
+    part = ds.HeightRange(1, 5000)
+    batches = list(reader.read(part))
+    assert all(isinstance(b, pa.RecordBatch) for b in batches)
+    assert max(b.num_rows for b in batches) <= ds.ARROW_BATCH_ROWS
+    assert sum(b.num_rows for b in batches) == 5000
+    flat = [tuple(r.values()) for b in batches for r in b.to_pylist()]
+    assert flat == list(reader._rows(part))
+
+
+def test_arrow_block_batches_preserve_nested_transactions():
+    import pyarrow as pa
+
+    from helium_arango_etl_lite_spark.sources import datasource as ds
+
+    reader = ds.ChainReader(
+        {"endpoint": "mock://chain", "start": "7", "end": "9", "what": "blocks"}
+    )
+    (batch,) = list(reader.read(ds.HeightRange(7, 9)))
+    assert isinstance(batch, pa.RecordBatch)
+    rows = batch.to_pylist()
+    assert [r["height"] for r in rows] == [7, 8, 9]
+    assert rows[0]["transactions"] == [{"hash": "tx000000000007", "type": "payment_v1"}]

@@ -281,7 +281,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference's chain-tip probe (client.py:21-23)
     edges = _money_flow_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
-    ed = edges.join(deg, "src")
+    # materialize the (<= |nations|^2 rows) degree-annotated edge list
+    # once: each iteration's broadcast job would otherwise replay the
+    # 4-table distinct-edge extraction — the only stage that scales with
+    # the fact data
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
     ranks = nodes.select("id", (F.lit(1.0) / F.lit(float(n))).alias("r"))
     for _ in range(3):
         contrib = (

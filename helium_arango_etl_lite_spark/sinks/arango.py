@@ -90,3 +90,91 @@ def arango_bulk_import(
             post(url, payload)
 
     df.foreachPartition(send_partition)
+
+
+# --- df.write.format("arango") — Python DataSource writer ------------------
+#
+# The same wire contract as arango_bulk_import, surfaced through the
+# PySpark 4 DataSource writer API: per-task bounded-batch POSTs from the
+# executors, a WriterCommitMessage per task carrying import accounting
+# back to the driver, and no-op abort because deterministic keys +
+# onDuplicate=ignore make task replays safe (the reference's replay
+# contract, follower.py:205-207). mock:// endpoints skip the POST so the
+# full write path is testable without a server.
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class ArangoCommit(WriterCommitMessage):
+    docs: int
+    batches: int
+
+
+class ArangoWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.endpoint = options.get("endpoint", "mock://arango")
+        self.collection = options["collection"]
+        self.url = import_url(
+            self.endpoint,
+            options.get("database", "helium"),
+            self.collection,
+            options.get("on_duplicate", "ignore"),
+        )
+        self.batch_size = int(options.get("batch_size", 5_000))
+        # optional audit trail: commit() appends one JSON line per
+        # successful write job (the engine's analog of the reference's
+        # per-block sync print, follower.py:72)
+        self.commit_log = options.get("commit_log")
+
+    def write(self, iterator: Iterator[Row]) -> ArangoCommit:
+        post = None if self.endpoint.startswith("mock://") else _urllib_poster
+        docs = batches = 0
+        for payload in render_import_batches(iterator, self.batch_size):
+            if post is not None:
+                post(self.url, payload)
+            batches += 1
+            docs += payload.count(b"\n") + 1
+        return ArangoCommit(docs=docs, batches=batches)
+
+    def commit(self, messages) -> None:
+        # nothing to finalize server-side: every task's import is already
+        # durable and idempotent; accounting only
+        if self.commit_log:
+            record = {
+                "collection": self.collection,
+                "docs": sum(m.docs for m in messages if m is not None),
+                "batches": sum(m.batches for m in messages if m is not None),
+                "tasks": len(messages),
+            }
+            with open(self.commit_log, "a", encoding="utf-8") as fh:
+                fh.write(json.dumps(record) + "\n")
+
+    def abort(self, messages) -> None:
+        # partial imports are safe to leave: the retried/replayed write
+        # re-posts the same deterministic keys and the server ignores dups
+        pass
+
+
+class ArangoDataSource(DataSource):
+    """spark.dataSource.register(ArangoDataSource);
+    df.write.format("arango").option("collection", "payments")
+      .option("endpoint", "http://arango:8529").mode("append").save()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "arango"
+
+    def writer(self, schema, overwrite: bool) -> ArangoWriter:
+        if overwrite:
+            raise ValueError(
+                "arango sink is append-only (onDuplicate handles upsert); "
+                "use mode('append')"
+            )
+        return ArangoWriter(dict(self.options))

@@ -101,3 +101,58 @@ def test_arango_bulk_import_posts_from_executors(spark, tmp_path):
             docs += [json.loads(x) for x in f.read().decode().splitlines()]
     assert sorted(d["_key"] for d in docs) == sorted(f"k{i}" for i in range(10))
     assert all(set(d) == {"_key", "v"} for d in docs)
+
+def test_arango_writer_batches_and_accounts():
+    """Task-level write(): bounded batches, exact doc accounting in the
+    commit message."""
+    from helium_arango_etl_lite_spark.sinks.arango import ArangoWriter
+
+    writer = ArangoWriter(
+        {"collection": "payments", "endpoint": "mock://db", "batch_size": "4"}
+    )
+    rows = [{"_key": f"k{i}", "amount": i} for i in range(10)]
+    msg = writer.write(iter(rows))
+    assert msg.docs == 10
+    assert msg.batches == 3  # ceil(10 / 4)
+
+
+def test_arango_datasource_write_path(spark, tmp_path):
+    """df.write.format("arango"): the full executor write path runs (rows
+    render, batches flow, commit aggregates) against a mock endpoint; the
+    commit log records the job's import accounting."""
+    from helium_arango_etl_lite_spark.sinks.arango import ArangoDataSource
+
+    spark.dataSource.register(ArangoDataSource)
+    log = tmp_path / "commits.jsonl"
+    df = spark.range(100).select(
+        F.format_string("k%d", "id").alias("_key"), F.col("id").alias("amount")
+    )
+    (
+        df.write.format("arango")
+        .option("collection", "payments")
+        .option("endpoint", "mock://db")
+        .option("batch_size", 16)
+        .option("commit_log", str(log))
+        .mode("append")
+        .save()
+    )
+    (record,) = [json.loads(line) for line in log.read_text().splitlines()]
+    assert record["collection"] == "payments"
+    assert record["docs"] == 100
+    assert record["tasks"] >= 1
+
+
+def test_arango_datasource_rejects_overwrite(spark):
+    import pytest
+
+    from helium_arango_etl_lite_spark.sinks.arango import ArangoDataSource
+
+    spark.dataSource.register(ArangoDataSource)
+    df = spark.range(3).select(F.col("id").alias("_key"))
+    with pytest.raises(Exception, match="append-only"):
+        (
+            df.write.format("arango")
+            .option("collection", "payments")
+            .mode("overwrite")
+            .save()
+        )

@@ -75,19 +75,26 @@ def idempotent_append(
         partitioned = "block" in df.columns
 
     buckets: list[int] | None = None
+    persisted = None
     if partitioned:
-        df = with_block_bucket(df)
+        # the bucket probe and the write both consume the batch: persist it
+        # so the upstream dataflow (parse -> explode -> key) runs once
+        persisted = df = with_block_bucket(df).persist()
         # micro-batch block span is tiny (a handful of buckets): cheap collect
         buckets = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
 
-    existing = _existing_keys(spark, path, key_col, buckets)
-    if existing is not None:
-        df = df.join(existing, key_col, "left_anti")
+    try:
+        existing = _existing_keys(spark, path, key_col, buckets)
+        if existing is not None:
+            df = df.join(existing, key_col, "left_anti")
 
-    writer = df.write.mode("append")
-    if partitioned:
-        writer = writer.partitionBy(BUCKET_COL)
-    writer.parquet(path)
+        writer = df.write.mode("append")
+        if partitioned:
+            writer = writer.partitionBy(BUCKET_COL)
+        writer.parquet(path)
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
 
 
 def read_sink(spark: SparkSession, path: str) -> DataFrame:

@@ -570,6 +570,43 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q6_forecast",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+              count(*) AS n_rows
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l_shipdate < TIMESTAMP '1998-01-01'
+         AND l_discount >= 0.05 AND l_discount <= 0.07
+         AND l_quantity < 24""",
+    doc="TPC-H Q6 shape (forecast revenue change): the canonical "
+        "predicate-pushdown query — every filter (shipdate range, "
+        "discount band, quantity cap) reaches the parquet scan as "
+        "PushedFilters, the scan reads 4 columns of the wide table, and "
+        "the whole plan is one scan + scalar aggregate with no shuffle "
+        "of data rows (partial sums only). At 100 TB this is pure "
+        "IO-bound scan speed.",
+    tags=("agg", "tpch"),
+)
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
     "tpch_q3_priority",
     """SELECT l.l_orderkey AS o_key,
               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,

@@ -157,3 +157,17 @@ def test_cube_expands_with_partial_aggregation(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_cube")
     assert "Expand" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q6_filters_push_and_scan_prunes(spark, sf_dir):
+    """TPC-H Q6: every predicate reaches the parquet scan and the scan
+    reads only the 4 referenced columns of the wide fact table — the plan
+    that makes the query pure scan bandwidth at scale."""
+    plan = plan_of(spark, sf_dir, "tpch_q6_forecast")
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_extendedprice" in schema
+    assert "l_orderkey" not in schema and "l_comment" not in schema
+    assert "HashAggregate" in plan

@@ -157,3 +157,29 @@ def winnow_fingerprints(
     return df.select(
         F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp_hash")
     )
+
+
+def regex_scrub(
+    df: DataFrame,
+    patterns: dict[str, str],
+    text: str = "text",
+    id_col: str = "doc_id",
+    replacement: str = "<redacted>",
+) -> DataFrame:
+    """Pattern-based scrubbing (PII redaction shape): for each named regex,
+    count its matches; also report the length of the text after replacing
+    every pattern occurrence with ``replacement``.
+
+    regexp_count / regexp_replace are JVM codegen expressions — one linear
+    scan per row per pattern, zero shuffle, embarrassingly parallel at
+    100 TB. Patterns must stay in the Java-regex/RE2 common subset so the
+    DuckDB oracle matches byte-for-byte.
+    """
+    cols: list[Column] = [F.col(id_col)]
+    for name, pat in patterns.items():
+        cols.append(F.regexp_count(F.col(text), F.lit(pat)).cast("long").alias(f"n_{name}"))
+    redacted = F.col(text)
+    for pat in patterns.values():
+        redacted = F.regexp_replace(redacted, pat, replacement)
+    cols.append(F.length(redacted).cast("long").alias("redacted_len"))
+    return df.select(*cols)

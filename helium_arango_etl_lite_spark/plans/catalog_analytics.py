@@ -770,3 +770,114 @@ def llm_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy(
         "label", F.col("clabel").alias("assigned")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "tpch_q4_order_priority",
+    """SELECT o_orderpriority, count(*) AS n_orders
+       FROM orders o
+       WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o.o_orderdate < TIMESTAMP '1997-04-01'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_shipdate > o.o_orderdate)
+       GROUP BY 1""",
+    doc="TPC-H Q4 shape (order priority checking): EXISTS decorrelated "
+        "into a LEFT SEMI join on the shared orderkey with the non-equi "
+        "shipdate>orderdate residual. The quarter filter pushes to the "
+        "orders scan; the semi join never materializes lineitem columns "
+        "and emits each order at most once regardless of its line count — "
+        "at 100 TB the shuffle carries only (orderkey, dates).",
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+              o.o_totalprice, round(b.sum_qty, 2) AS sum_qty
+       FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+             FROM lineitem GROUP BY 1
+             HAVING sum(l_quantity) > 250) b
+       JOIN orders o ON o.o_orderkey = b.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""",
+    doc="TPC-H Q18 shape (large-volume customers): pre-aggregate the fact "
+        "table to per-order quantity, HAVING-filter to the rare heavy "
+        "orders, then join the tiny survivor set back to orders/customer "
+        "(AQE converts both joins to broadcasts at runtime) and take the "
+        "deterministic top-20. The aggregate-before-join ordering is the "
+        "scale decision: the join input shrinks from |lineitem| to "
+        "|heavy orders|.",
+    tags=("join", "agg", "topk", "tpch"),
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty_raw"))
+        .filter(F.col("sum_qty_raw") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", F.round("sum_qty_raw", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "agg_grouped_topn",
+    """SELECT c_mktsegment, c_custkey, spend, rnk FROM (
+         SELECT c.c_mktsegment, c.c_custkey,
+                round(sum(o.o_totalprice), 2) AS spend,
+                row_number() OVER (
+                    PARTITION BY c.c_mktsegment
+                    ORDER BY round(sum(o.o_totalprice), 2) DESC, c.c_custkey
+                ) AS rnk
+         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+         GROUP BY 1, 2) t
+       WHERE rnk <= 3""",
+    doc="Grouped top-N (top-3 spenders per market segment): aggregate to "
+        "(segment, customer) spend, then row_number within segment with a "
+        "custkey tie-break so the cut is deterministic. The window "
+        "partitions by the same low-cardinality key the aggregate "
+        "shuffled on; rank ordering is on the ROUNDED measure in both "
+        "engines so float noise cannot flip adjacent rows.",
+    tags=("agg", "window", "topk"),
+)
+def agg_grouped_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("spend"), F.asc("c_custkey")
+    )
+    return per.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 3
+    )

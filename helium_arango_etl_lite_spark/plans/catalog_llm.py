@@ -578,3 +578,71 @@ def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(F.explode(F.split("text", " ")).alias("token"))
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     return freq.orderBy(F.desc("freq"), F.asc("token")).limit(50)
+
+
+# --------------------------------------------------------------------------
+# corpus curation: per-source profile + pattern scrubbing
+# --------------------------------------------------------------------------
+
+@register(
+    "llm_source_stats",
+    """SELECT source,
+              count(*) AS n_docs,
+              round(avg(n_chars), 4) AS avg_chars,
+              count(DISTINCT lang) AS n_langs,
+              round(count(*) / (sum(count(*)) OVER ())::DOUBLE, 6) AS share
+       FROM documents GROUP BY source""",
+    doc="Per-source corpus profile (the data-mixture report every "
+        "training pipeline starts from): doc counts, mean length, "
+        "language spread, corpus share. One partial-aggregated groupBy "
+        "shuffle on the low-cardinality source key; the share window "
+        "runs over the ALREADY-AGGREGATED rows (#sources, not #docs), so "
+        "the unpartitioned window is a non-issue at any input scale.",
+    tags=("llm", "text", "profile"),
+)
+def llm_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return agg.withColumn(
+        "share", F.round(F.col("n_docs").cast("double") / total, 6)
+    )
+
+
+# Java-regex / RE2 common-subset patterns (both engines must agree):
+# an email shape (exercises the zero-match path on the synthetic corpus)
+# and term/number scrubs that do hit.
+SCRUB_PATTERNS = {
+    "emails": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "hot_terms": "\\b(spark|shuffle)\\b",
+    "numbers": "\\b[0-9]+\\b",
+}
+
+
+@register(
+    "llm_regex_scrub",
+    f"""SELECT doc_id,
+               len(regexp_extract_all(text, '{SCRUB_PATTERNS["emails"]}')) AS n_emails,
+               len(regexp_extract_all(text, '{SCRUB_PATTERNS["hot_terms"]}')) AS n_hot_terms,
+               len(regexp_extract_all(text, '{SCRUB_PATTERNS["numbers"]}')) AS n_numbers,
+               length(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{SCRUB_PATTERNS["emails"]}', '<redacted>', 'g'),
+                   '{SCRUB_PATTERNS["hot_terms"]}', '<redacted>', 'g'),
+                   '{SCRUB_PATTERNS["numbers"]}', '<redacted>', 'g')) AS redacted_len
+        FROM documents""",
+    doc="PII-shape pattern scrub: per-pattern match counts plus "
+        "redacted-text length. regexp_count/regexp_replace stay in "
+        "whole-stage codegen — linear per-row scans, zero shuffle "
+        "(operators/llm/text.py regex_scrub).",
+    tags=("llm", "text", "scrub"),
+)
+def llm_regex_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.regex_scrub(
+        load_table(spark, sf_dir, "documents"), SCRUB_PATTERNS
+    )

@@ -171,3 +171,38 @@ def test_q6_filters_push_and_scan_prunes(spark, sf_dir):
     assert "l_extendedprice" in schema
     assert "l_orderkey" not in schema and "l_comment" not in schema
     assert "HashAggregate" in plan
+
+
+def test_q4_exists_plans_as_semi_join_with_pushed_quarter(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan                    # EXISTS decorrelated, not a full join
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # quarter filter at the scan
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "o_comment" not in read and "o_totalprice" not in read
+
+
+def test_q18_aggregates_lineitem_before_joining(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q18_large_orders")
+    # the per-order quantity aggregate must sit BELOW the orders join:
+    # partial_sum appears, and the lineitem scan reads only key+quantity
+    assert "partial_sum" in plan
+    li_read = [
+        line for line in plan.splitlines()
+        if "ReadSchema" in line and "l_quantity" in line
+    ]
+    assert li_read and all("l_extendedprice" not in line for line in li_read)
+
+
+def test_grouped_topn_windows_on_aggregated_rows(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "agg_grouped_topn")
+    # window runs after the (segment, custkey) aggregate, partitioned by
+    # segment — no unpartitioned (single-task) window anywhere
+    assert "row_number" in plan
+    assert "partial_sum" in plan
+
+
+def test_regex_scrub_is_scan_plus_project_only(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_regex_scrub")
+    assert "Exchange hashpartitioning" not in plan  # zero shuffle
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "text" in read and "lang" not in read    # prunes to id+text

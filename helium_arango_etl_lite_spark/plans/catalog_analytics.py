@@ -881,3 +881,106 @@ def agg_grouped_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= 3
     )
+
+
+@register(
+    "json_extract_props",
+    f"""WITH {EVENTS_NORM}
+       SELECT event_type,
+              count(*) AS n_with_k,
+              sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+              round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k
+       FROM events_norm
+       WHERE json_extract_string(props, '$.k') IS NOT NULL
+       GROUP BY 1""",
+    doc="Semi-structured extraction: parse the JSON props payload with an "
+        "explicit schema (from_json, schema-first — the engine's "
+        "PERMISSIVE ingest doctrine, SURVEY.md section 1.2) and aggregate "
+        "the extracted field per event type. Parsing is per-row JVM work "
+        "inside codegen; the aggregate shuffles only (type, partials). "
+        "At 100 TB the win is parsing ONCE into columns at ingest — this "
+        "operator is that ingest step's query form.",
+    tags=("json", "agg"),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "argmin_cheapest_supplier",
+    """SELECT l_partkey AS partkey, l_suppkey AS best_suppkey,
+              floor(unit_cost * 10000) / 10000 AS best_cost
+       FROM (SELECT l_partkey, l_suppkey,
+                    min(l_extendedprice / l_quantity) AS unit_cost,
+                    row_number() OVER (
+                        PARTITION BY l_partkey
+                        ORDER BY min(l_extendedprice / l_quantity), l_suppkey
+                    ) AS rn
+             FROM lineitem GROUP BY 1, 2) t
+       WHERE rn = 1""",
+    doc="TPC-H Q2's correlated scalar subquery (min cost per part) "
+        "decorrelated Spark-first: aggregate to (part, supplier) unit "
+        "cost, then argmin via row_number within part — ONE keyed shuffle "
+        "chain, no float-equality self-join back onto the aggregate. "
+        "Ordering ranks the raw double (exact IEEE compare, deterministic "
+        "cross-engine) with a suppkey tie-break; the display truncation is "
+        "floor(x*1e4)/1e4 — exact IEEE ops, bit-identical in both engines, "
+        "immune to the round() half-way divergence.",
+    tags=("agg", "window", "tpch"),
+)
+def argmin_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    return (
+        unit.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("best_suppkey"),
+            (F.floor(F.col("unit_cost") * 10000) / 10000).alias("best_cost"),
+        )
+    )
+
+
+@register(
+    "window_ntile_decile",
+    """SELECT decile, count(*) AS n,
+              round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+       FROM (SELECT c_acctbal,
+                    ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+             FROM customer) t
+       GROUP BY 1""",
+    doc="Decile binning via ntile: global ordered window (single-task by "
+        "nature) — acceptable for dimension-sized inputs like customer. "
+        "The 100 TB fact-table form is the two-pass equivalent: "
+        "approxQuantile cut-points on a sample, broadcast, then a "
+        "pure-map bucket assignment (zero global sort); ntile here "
+        "doubles as that path's exact oracle.",
+    tags=("window", "agg"),
+)
+def window_ntile_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+    )

@@ -83,3 +83,15 @@ def test_reference_key_matches_cpython_json(d):
         json.dumps(d, sort_keys=True).encode("utf-8")
     ).hexdigest()
     assert reference_key_of_dict(d) == expect
+
+
+def test_minhash_arrow_and_expr_engines_agree(spark, sf_dir):
+    """The Arrow (mapInPandas) and pure-expression signature plans are
+    physically different programs; their values must be bit-identical."""
+    from helium_arango_etl_lite_spark.operators.llm.dedup import minhash_signature_df
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = minhash_signature_df(docs, engine="arrow").orderBy("doc_id").collect()
+    b = minhash_signature_df(docs, engine="expr").orderBy("doc_id").collect()
+    assert a == b

@@ -532,7 +532,9 @@ SELECT doc_id, unnest(list_distinct(mins)) AS fp_hash FROM m"""
         "rolling hash of char 5-grams, min of each sliding 4-window, "
         "distinct selected hashes per doc. Guarantees shared substrings "
         ">= window+k-1 chars share a fingerprint — the local-similarity "
-        "dual to MinHash. Pure JVM array expressions, zero shuffle.",
+        "dual to MinHash. Arrow-vectorized map work (numpy strided sum + "
+        "sliding_window_view), zero shuffle; engine='expr' keeps the "
+        "pure-JVM array-expression plan.",
     tags=("llm", "text", "sketch"),
 )
 def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

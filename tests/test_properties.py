@@ -95,3 +95,13 @@ def test_minhash_arrow_and_expr_engines_agree(spark, sf_dir):
     a = minhash_signature_df(docs, engine="arrow").orderBy("doc_id").collect()
     b = minhash_signature_df(docs, engine="expr").orderBy("doc_id").collect()
     assert a == b
+
+
+def test_winnow_arrow_and_expr_engines_agree(spark, sf_dir):
+    from helium_arango_etl_lite_spark.operators.llm.text import winnow_fingerprints
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = winnow_fingerprints(docs, engine="arrow").orderBy("doc_id", "fp_hash").collect()
+    b = winnow_fingerprints(docs, engine="expr").orderBy("doc_id", "fp_hash").collect()
+    assert a == b

@@ -105,3 +105,13 @@ def test_winnow_arrow_and_expr_engines_agree(spark, sf_dir):
     a = winnow_fingerprints(docs, engine="arrow").orderBy("doc_id", "fp_hash").collect()
     b = winnow_fingerprints(docs, engine="expr").orderBy("doc_id", "fp_hash").collect()
     assert a == b
+
+
+def test_simhash_arrow_and_expr_engines_agree(spark, sf_dir):
+    from helium_arango_etl_lite_spark.operators.llm.dedup import simhash
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = simhash(docs, engine="arrow").orderBy("doc_id").collect()
+    b = simhash(docs, engine="expr").orderBy("doc_id").collect()
+    assert a == b

@@ -984,3 +984,54 @@ def window_ntile_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("c_acctbal"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "tpch_q13_custdist",
+    """SELECT n_orders, count(*) AS n_customers
+       FROM (SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+             FROM customer c
+             LEFT JOIN orders o
+               ON o.o_custkey = c.c_custkey
+              AND o.o_orderpriority <> '1-URGENT'
+             GROUP BY 1) t
+       GROUP BY 1""",
+    doc="TPC-H Q13 shape (customer order distribution): LEFT OUTER join "
+        "with a residual ON-clause predicate (the filter belongs to the "
+        "join, NOT the customer side — zero-order customers must "
+        "survive), per-customer count, then the count-of-counts "
+        "histogram. Two keyed shuffles; the second input is |customers| "
+        "rows and the third |distinct counts|.",
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "agg_approx_distinct_scale",
+    None,  # HLL estimates are engine-specific by design: rows-only check
+    doc="approx_count_distinct (HyperLogLog++) per order priority — the "
+        "100 TB form of agg_count_distinct: fixed-size sketches merge in "
+        "the partial aggregate, so the shuffle carries KBs per group "
+        "instead of the distinct-key set. No DuckDB oracle on purpose "
+        "(estimates are engine-specific); the exact twin "
+        "agg_count_distinct is the correctness anchor.",
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )

@@ -648,3 +648,28 @@ def llm_regex_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.regex_scrub(
         load_table(spark, sf_dir, "documents"), SCRUB_PATTERNS
     )
+
+
+@register(
+    "llm_dedup_exact_norm",
+    """SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
+              min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+       FROM documents GROUP BY 1""",
+    doc="Normalization-aware exact dedup: lowercase, collapse runs of "
+        "spaces, trim, THEN content-hash — catches the trivial-variant "
+        "duplicates byte-exact dedup misses. Same single 16-byte-key "
+        "shuffle as llm_dedup_exact; normalization is codegen string "
+        "work at the scan.",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    return (
+        d.select(F.md5(norm).alias("fp"), F.col("doc_id"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

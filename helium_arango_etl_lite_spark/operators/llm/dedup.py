@@ -137,6 +137,9 @@ def minhash_candidate_pairs(
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key"))
+    # both self-join sides consume `banded`; checkpoint so the signature
+    # computation (the expensive map stage) runs once, not per side
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -292,6 +295,9 @@ def ngram_jaccard_pairs(
     if max_shingle_freq is not None:
         freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
         sh = sh.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq).select("s")), "s")
+    # three consumers (per-doc sizes + both self-join sides) would each
+    # re-run the shingle explode; checkpoint so it is evaluated once
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -46,3 +46,48 @@ def cobucketed_join(
     bucket specs Catalyst plans a SortMergeJoin with zero Exchange on
     either side (verify: no Exchange above either scan in .explain)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the lakehouse maintenance pass every
+    streaming/append sink eventually needs (our idempotent_append writes
+    one file set per micro-batch; a day of micro-batches is thousands of
+    KB-sized files whose per-file open/footer cost dominates scans).
+
+    Rewrites ``path`` into ceil(bytes / target_bytes) files (coalesce —
+    no shuffle — when only merging; repartitionByRange when ``sort_cols``
+    asks for clustering, which buys parquet min/max row-group skipping on
+    those columns). Returns the new file count. On Delta/Iceberg this is
+    OPTIMIZE / rewrite_data_files; this is the plain-parquet equivalent,
+    staged through a sibling temp dir then atomically swapped.
+    """
+    import math
+    import os
+    import shutil
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / target_bytes))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.coalesce(n_files)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

@@ -156,3 +156,44 @@ def test_arango_datasource_rejects_overwrite(spark):
             .mode("overwrite")
             .save()
         )
+
+
+def test_compact_small_files_merges_and_preserves_rows(spark, tmp_path):
+    from helium_arango_etl_lite_spark.operators.storage import compact_small_files
+
+    path = str(tmp_path / "frag")
+    # simulate many tiny micro-batch appends
+    for i in range(8):
+        spark.range(i * 100, (i + 1) * 100).withColumn(
+            "k", F.col("id") % 7
+        ).repartition(4).write.mode("append").parquet(path)
+    import os
+
+    before = sum(f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs)
+    assert before >= 32
+    rows_before = spark.read.parquet(path).count()
+
+    n = compact_small_files(spark, path)
+    after = sum(f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs)
+    assert n == 1 and after == 1  # tiny data -> one target-size file
+    assert spark.read.parquet(path).count() == rows_before
+
+
+def test_compact_with_sort_clusters_ranges(spark, tmp_path):
+    from helium_arango_etl_lite_spark.operators.storage import compact_small_files
+
+    path = str(tmp_path / "frag2")
+    spark.range(0, 10_000).withColumn("k", (F.col("id") * 37) % 1000).repartition(
+        16
+    ).write.parquet(path)
+    compact_small_files(spark, path, target_bytes=16 * 1024, sort_cols=["k"])
+    # each output file must hold a disjoint k-range (min/max skipping works)
+    import duckdb
+
+    spans = duckdb.sql(
+        f"SELECT filename, min(k) AS lo, max(k) AS hi FROM "
+        f"read_parquet('{path}/*.parquet', filename=true) GROUP BY 1 ORDER BY lo"
+    ).fetchall()
+    assert len(spans) > 1
+    for (_, _, hi_prev), (_, lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next

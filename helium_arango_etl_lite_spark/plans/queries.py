@@ -8,5 +8,6 @@ from .registry import QUERIES, QuerySpec, load_table  # noqa: F401
 from . import catalog_core  # noqa: F401  (registers core queries)
 from . import catalog_llm  # noqa: F401  (registers LLM queries)
 from . import catalog_analytics  # noqa: F401  (registers analytics queries)
+from . import catalog_tpch  # noqa: F401  (registers extended TPC-H shapes)
 
 __all__ = ["QUERIES", "QuerySpec", "load_table"]

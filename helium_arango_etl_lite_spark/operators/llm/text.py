@@ -216,6 +216,73 @@ def winnow_fingerprints(
     )
 
 
+def word_ngrams(text_col: Column | str, n: int) -> Column:
+    """Whitespace-token ``n``-grams as space-joined strings, built with
+    array expressions only (sequence/transform/slice — JVM-side): the
+    shared kernel for decontamination and repetition scoring. A document
+    with fewer than ``n`` tokens yields an empty array."""
+    t = tokens(text_col)
+    starts = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(t, i, n))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at least
+    one word ``n``-gram with the benchmark/eval set (the train-test overlap
+    scrub every LLM pipeline runs before training; GPT-3 appendix C /
+    PaLM-style 13-gram matching, scaled to this corpus's short docs).
+
+    Plan shape: both sides explode to distinct (doc, gram) pairs; the
+    benchmark side's distinct gram set is tiny by construction (eval
+    suites are thousands of docs, not billions) so it BROADCASTS, making
+    the contamination probe a map-side hash join over the train scan —
+    no shuffle of the 100 TB side. Returns one row per contaminated train
+    doc: (id, n_hit_grams).
+    """
+    grams = F.explode(word_ngrams(text, n))
+    train_g = train.select(F.col(id_col), grams.alias("g")).distinct()
+    bench_g = benchmark.select(grams.alias("g")).distinct()
+    return (
+        train_g.join(F.broadcast(bench_g), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+
+
+def repetition_score(
+    df: DataFrame, n: int = 3, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition: fraction of word ``n``-grams that are
+    repeats of an earlier one (1 - distinct/total). The within-doc twin of
+    corpus-level dedup — high scores mark boilerplate/spam/low-entropy
+    text that quality filters drop.
+
+    Entirely array expressions over one scan: no explode, no shuffle —
+    total and distinct counts come from the in-row gram array, so at any
+    scale this is a map-only pass.
+    """
+    g = word_ngrams(text, n)
+    total = F.size(g)
+    distinct = F.size(F.array_distinct(g))
+    return df.select(
+        F.col(id_col),
+        total.cast("long").alias("n_grams"),
+        F.round(
+            (total - distinct) / F.greatest(F.lit(1), total), 6
+        ).alias("rep_ratio"),
+    )
+
+
 def regex_scrub(
     df: DataFrame,
     patterns: dict[str, str],

@@ -673,3 +673,60 @@ def llm_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# train/eval decontamination + intra-doc repetition
+# --------------------------------------------------------------------------
+
+_NGRAM_SQL = (
+    "list_transform(generate_series(1, len(t) - {m}), "
+    "i -> array_to_string(t[i:i+{m}], ' '))"
+)
+
+
+@register(
+    "llm_decontaminate",
+    f"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        g0 AS (SELECT doc_id, unnest({_NGRAM_SQL.format(m=2)}) AS g
+               FROM toks),
+        g AS (SELECT DISTINCT doc_id, g FROM g0),
+        bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
+       SELECT g.doc_id, count(*) AS n_hit_grams
+       FROM g JOIN bench USING (g)
+       WHERE g.doc_id % 50 <> 0
+       GROUP BY 1""",
+    doc="Benchmark decontamination (GPT-3 appendix-C style n-gram "
+        "overlap): training docs sharing any word 3-gram with the "
+        "held-out eval slice (doc_id % 50 == 0 stands in for the "
+        "benchmark set). The eval side's distinct gram set broadcasts — "
+        "the probe is a map-side hash join over the train scan, no "
+        "shuffle of the big side (operators/llm/text.py:decontaminate).",
+    tags=("llm", "text", "dedup"),
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return text.decontaminate(train, bench, n=3)
+
+
+@register(
+    "llm_repetition_score",
+    f"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+        g AS (SELECT doc_id, {_NGRAM_SQL.format(m=2)} AS gs FROM toks)
+       SELECT doc_id, len(gs)::BIGINT AS n_grams,
+              round((len(gs) - len(list_distinct(gs)))
+                    / greatest(1, len(gs))::DOUBLE, 6) AS rep_ratio
+       FROM g""",
+    doc="Intra-document repetition: fraction of word 3-grams that repeat "
+        "an earlier one — the boilerplate/low-entropy quality signal. "
+        "Pure in-row array expressions (sequence/slice/array_distinct): "
+        "map-only, zero shuffle at any scale "
+        "(operators/llm/text.py:repetition_score).",
+    tags=("llm", "text", "quality"),
+)
+def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_score(load_table(spark, sf_dir, "documents"), n=3)

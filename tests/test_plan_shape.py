@@ -206,3 +206,55 @@ def test_regex_scrub_is_scan_plus_project_only(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan  # zero shuffle
     read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "text" in read and "lang" not in read    # prunes to id+text
+
+
+def test_q21_plans_semi_and_anti_over_late_set(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q21_waiting_supplier")
+    # EXISTS -> left-semi, NOT EXISTS -> left-anti, both present; the
+    # supplier dim broadcasts; the final top-10 avoids a global sort
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q16_not_in_compiles_to_broadcast_anti(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q16_supplier_variety")
+    # NOT IN over non-null keys must become an anti join (NOT a
+    # null-aware cartesian fallback), with the tiny bad-supplier side
+    # broadcast; part's size/brand predicates reach its scan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "In(p_size" in plan
+
+
+def test_q19_pushes_implied_single_side_predicates(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q19_disjunctive_revenue")
+    # the OR spans both sides so it stays a join residual, but each
+    # side's implied disjunction (brand IN..., quantity range) is
+    # derivable; at minimum the join must stay broadcast with pushed
+    # part filters, never explode to SortMergeJoin
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip()
+
+
+def test_q10_quarter_filter_reaches_orders_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q10_returned_items")
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_decontaminate_probe_broadcasts_benchmark_grams(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_decontaminate")
+    # the eval-set gram dictionary must be the build (broadcast) side so
+    # the train scan never shuffles
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_score_is_map_only(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_repetition_score")
+    assert "Exchange hashpartitioning" not in plan
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "text" in read and "source" not in read

@@ -106,3 +106,73 @@ def lag_delta_seconds(df: DataFrame, key: str, ts: str, tiebreak: str) -> DataFr
         "delta_s",
         (F.unix_micros(F.col(ts)) - F.unix_micros(prev)) / F.lit(1000000.0),
     )
+
+
+def distributed_ntile(
+    df: DataFrame, order_cols: list[str], k: int
+) -> DataFrame:
+    """Exact global ntile WITHOUT a single-task window — the 100 TB path
+    for total-order ranking (an unpartitioned ``Window.orderBy`` drags the
+    whole table through one task; this keeps every stage at full
+    parallelism).
+
+    Three-step range-rank pattern:
+      1. ``repartitionByRange`` on the order key — range partition i holds
+         strictly smaller keys than i+1, so a partition-local rank plus
+         the row-count of the partitions before it IS the global rank;
+      2. local ranks from one Arrow ``mapInPandas`` pass over the sorted
+         partitions (order-preserving, zero shuffle);
+      3. per-partition row counts collect to the driver (#partitions rows,
+         not #rows) and come back as a broadcast pid->offset map.
+    The bucket index then applies SQL ntile semantics (first N mod k
+    buckets take one extra row) as a map-side expression. One range
+    shuffle total, localCheckpointed so the size probe and the main pass
+    share it. Ties across the full key go to the same partition, so ranks
+    are deterministic whenever the key is unique (pass a tiebreaker).
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+
+    # StructType.add mutates in place — build the output schema from a copy
+    out_schema = StructType(list(d.schema.fields) + [StructField("_rn", LongType(), False)])
+
+    def local_ranks(it):
+        rn = 0
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["_rn"] = np.arange(rn + 1, rn + len(pdf) + 1, dtype=np.int64)
+            rn += len(pdf)
+            yield pdf
+
+    ranked = d.mapInPandas(local_ranks, out_schema)
+
+    sizes = sorted(
+        (r["_pid"], r["c"])
+        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    total, offsets = 0, {}
+    for pid, c in sizes:
+        offsets[pid] = total
+        total += c
+
+    off_map = F.create_map(
+        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+    )
+    grank = F.col("_rn") + F.coalesce(off_map[F.col("_pid")], F.lit(0))
+    q, rem = divmod(total, k)
+    if q == 0:  # fewer rows than buckets: bucket == rank
+        bucket = grank
+    else:
+        head = rem * (q + 1)  # rows covered by the `rem` larger buckets
+        bucket = F.when(
+            grank <= head, ((grank - 1) / (q + 1)).cast("long") + 1
+        ).otherwise(rem + ((grank - 1 - head) / q).cast("long") + 1)
+    return ranked.withColumn("ntile", bucket.cast("int")).drop("_pid", "_rn")

@@ -1035,3 +1035,36 @@ def agg_approx_distinct_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
     )
+
+
+@register(
+    "window_ntile_decile_scalable",
+    """SELECT decile, count(*) AS n,
+              round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+       FROM (SELECT c_acctbal,
+                    ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+             FROM customer) t
+       GROUP BY 1""",
+    doc="Decile binning with NO single-task window: the distributed "
+        "exact-ntile path (operators/aggregates.py:distributed_ntile) — "
+        "range repartition on the sort key, Arrow per-partition local "
+        "ranks, driver-side partition offsets (#partitions rows, not "
+        "#rows) broadcast back as a map. Bit-identical to SQL ntile "
+        "(same oracle as window_ntile_decile) while every stage runs at "
+        "full parallelism — the form that survives ranking a fact table.",
+    tags=("window", "agg", "scale"),
+)
+def window_ntile_decile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import distributed_ntile
+
+    c = load_table(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    binned = distributed_ntile(c, ["c_acctbal", "c_custkey"], 10)
+    return (
+        binned.select(F.col("ntile").alias("decile"), "c_acctbal")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+    )

@@ -258,3 +258,12 @@ def test_repetition_score_is_map_only(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
     read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "text" in read and "source" not in read
+
+
+def test_distributed_ntile_has_no_single_task_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "window_ntile_decile_scalable")
+    # the whole point: no Window operator anywhere — ntile is computed by
+    # range-repartition (materialized inside the localCheckpoint feeding
+    # the scan), Arrow local ranks, and a broadcast offset map
+    assert "Window" not in plan
+    assert "MapInPandas" in plan

@@ -46,6 +46,9 @@ HEADLINE = [
     "agg_event_funnel",         # multi-stage funnel sharing one key shuffle
     "agg_cohort_retention",     # distinct-count cohort matrix
     "llm_bigram_topk",          # shifted-slice array kernel + top-k
+    "tpch_q9_product_profit",   # 5-way join, integer-unit profit rollup
+    "llm_decontaminate",        # broadcast n-gram contamination probe
+    "window_ntile_decile_scalable",  # exact global rank, no 1-task window
 ]
 
 SMALL_OUTPUT = {

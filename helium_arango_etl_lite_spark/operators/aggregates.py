@@ -176,3 +176,61 @@ def distributed_ntile(
             grank <= head, ((grank - 1) / (q + 1)).cast("long") + 1
         ).otherwise(rem + ((grank - 1 - head) / q).cast("long") + 1)
     return ranked.withColumn("ntile", bucket.cast("int")).drop("_pid", "_rn")
+
+
+def distributed_prefix_sum(
+    df: DataFrame, order_cols: list[str], value_col: str, out_col: str = "running"
+) -> DataFrame:
+    """Exact global running sum of an integral column over a total order,
+    with NO single-task window — the companion to :func:`distributed_ntile`
+    (sequence packing, running balances, offset assignment all reduce to
+    this prefix-sum).
+
+    Same range-rank skeleton: range repartition on the order key, one
+    Arrow pass computes each partition's LOCAL cumulative sum, the
+    per-partition totals (#partitions values) collect to the driver and
+    come back as a broadcast pid->offset map added on top. The value must
+    be integral (exact, order-independent addition) — float prefix sums
+    would make the result depend on partition boundaries.
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    out_schema = StructType(
+        list(d.schema.fields) + [StructField("_lsum", LongType(), False)]
+    )
+
+    def local_cumsum(it):
+        acc = 0
+        for pdf in it:
+            pdf = pdf.copy()
+            c = pdf[value_col].to_numpy(dtype=np.int64).cumsum() + acc
+            pdf["_lsum"] = c
+            if len(c):
+                acc = int(c[-1])
+            yield pdf
+
+    summed = d.mapInPandas(local_cumsum, out_schema)
+
+    totals = sorted(
+        (r["_pid"], r["t"])
+        for r in d.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect()
+    )
+    running, offsets = 0, {}
+    for pid, t in totals:
+        offsets[pid] = running
+        running += int(t or 0)
+
+    off_map = F.create_map(
+        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+    )
+    return summed.withColumn(
+        out_col, F.col("_lsum") + F.coalesce(off_map[F.col("_pid")], F.lit(0))
+    ).drop("_pid", "_lsum")

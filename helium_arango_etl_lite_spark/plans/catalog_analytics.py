@@ -1068,3 +1068,36 @@ def window_ntile_decile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("c_acctbal"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "llm_doc_pack_scalable",
+    """WITH toks AS (
+         SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+         FROM documents)
+       SELECT doc_id, n_tokens,
+              (sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - 1) // 4096 AS pack_id
+       FROM toks""",
+    doc="Sequence packing via the distributed prefix-sum "
+        "(operators/aggregates.py:distributed_prefix_sum): bit-identical "
+        "pack ids to llm_doc_pack (same oracle) but the running token "
+        "total comes from range repartition + Arrow local cumsum + a "
+        "broadcast partition-offset map — no single-task window, so "
+        "packing a 100 TB corpus keeps every stage parallel.",
+    tags=("llm", "packing", "scale"),
+)
+def llm_doc_pack_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import distributed_prefix_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    run = distributed_prefix_sum(toks, ["doc_id"], "n_tokens", out_col="_run")
+    return run.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("_run") - F.lit(1)) / F.lit(4096)).cast("long").alias("pack_id"),
+    )

@@ -267,3 +267,9 @@ def test_distributed_ntile_has_no_single_task_window(spark, sf_dir):
     # the scan), Arrow local ranks, and a broadcast offset map
     assert "Window" not in plan
     assert "MapInPandas" in plan
+
+
+def test_doc_pack_scalable_has_no_single_task_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_doc_pack_scalable")
+    assert "Window" not in plan
+    assert "MapInPandas" in plan

@@ -115,3 +115,55 @@ def test_simhash_arrow_and_expr_engines_agree(spark, sf_dir):
     a = simhash(docs, engine="arrow").orderBy("doc_id").collect()
     b = simhash(docs, engine="expr").orderBy("doc_id").collect()
     assert a == b
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-10_000, max_value=10_000),
+             min_size=1, max_size=60, unique=True),
+    st.integers(min_value=1, max_value=12),
+)
+def test_distributed_ntile_matches_window_ntile(spark, vals, k):
+    from pyspark.sql import Window
+
+    from helium_arango_etl_lite_spark.operators.aggregates import (
+        distributed_ntile,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: r["ntile"]
+        for r in distributed_ntile(df, ["v"], k).collect()
+    }
+    want = {
+        r["v"]: r["nt"]
+        for r in df.select(
+            "v", F.ntile(k).over(Window.orderBy("v")).alias("nt")
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=5_000),
+             min_size=1, max_size=60),
+)
+def test_distributed_prefix_sum_matches_window_sum(spark, vals):
+    from pyspark.sql import Window
+
+    from helium_arango_etl_lite_spark.operators.aggregates import (
+        distributed_prefix_sum,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, v long")
+    got = {
+        r["i"]: r["running"]
+        for r in distributed_prefix_sum(df, ["i"], "v").collect()
+    }
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["i"]: r["s"] for r in df.select("i", F.sum("v").over(w).alias("s")).collect()
+    }
+    assert got == want

@@ -22,6 +22,10 @@ def main() -> None:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--batch-heights", type=int, default=32)
     p.add_argument("--timeout-s", type=float, default=None)
+    p.add_argument("--inventory", default=None,
+                   help="glob/dir of gateway_inventory_{height}.csv[.gz] "
+                        "drops; refreshed into the hotspots table when "
+                        "stale (reference follower.py:61-62)")
     args = p.parse_args()
 
     spark = get_spark(app_name="helium-follower")
@@ -35,6 +39,7 @@ def main() -> None:
         end=args.end,
         batch_heights=args.batch_heights,
         timeout_s=args.timeout_s,
+        inventory_glob=args.inventory,
     )
     print(json.dumps({"sync_state": state}))
 

@@ -277,3 +277,49 @@ def test_run_service_end_to_end_mock_chain(spark, tmp_path):
     assert {r["block"] for r in rows} == set(range(200, 241))
     accounts = spark.read.parquet(str(tmp_path / "graph" / "accounts"))
     assert accounts.count() > 0
+
+
+def test_service_refreshes_stale_inventory(spark, tmp_path):
+    """The dimension-staleness path (follower.py:61-62 + 130-133): the
+    service loads the newest inventory drop into the hotspots table when
+    the sync height runs past it, and skips the reload while fresh."""
+    from helium_arango_etl_lite_spark.streaming.service import (
+        refresh_inventory_if_stale, run_service,
+    )
+
+    inv_dir = tmp_path / "inv"
+    inv_dir.mkdir()
+    (inv_dir / "gateway_inventory_100.csv").write_text(
+        "address,owner,location,name\nhs1,own1,8c2a100acc5ffff,alpha\n"
+    )
+    out = tmp_path / "graph"
+    state = run_service(
+        spark,
+        out_dir=str(out),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        endpoint="mock://chain",
+        start=700, end=720, batch_heights=16,
+        timeout_s=120,
+        inventory_glob=str(inv_dir),
+    )
+    assert state["payments"] == 720
+    hotspots = {r["_key"]: r for r in spark.read.parquet(str(out / "hotspots")).collect()}
+    assert set(hotspots) == {"hs1"}
+    assert hotspots["hs1"]["_id"] == "hotspots/hs1"
+    assert hotspots["hs1"]["inventory_height"] == 100
+
+    # fresh enough -> no re-read even though a new drop landed
+    (inv_dir / "gateway_inventory_110.csv").write_text(
+        "address,owner,location,name\nhs2,own2,8c2a100acc5ffff,beta\n"
+    )
+    h = refresh_inventory_if_stale(
+        spark, str(inv_dir), str(out), sync_height=500, inventory_height=100
+    )
+    assert h == 100  # within staleness: untouched
+    # stale again -> newest drop replaces the dimension
+    h = refresh_inventory_if_stale(
+        spark, str(inv_dir), str(out), sync_height=700, inventory_height=100
+    )
+    assert h == 110
+    keys = {r["_key"] for r in spark.read.parquet(str(out / "hotspots")).collect()}
+    assert keys == {"hs2"}

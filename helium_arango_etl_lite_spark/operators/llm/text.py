@@ -307,3 +307,40 @@ def regex_scrub(
         redacted = F.regexp_replace(redacted, pat, replacement)
     cols.append(F.length(redacted).cast("long").alias("redacted_len"))
     return df.select(*cols)
+
+
+def sentence_split_udtf():
+    """Python UDTF (SURVEY.md §2.7's general one-row-to-N expansion form,
+    PySpark >= 3.5): segment a document into (doc_id, sent_idx, sentence)
+    rows. The reference's analog is the per-txn-type document expansion
+    (follower.py:143-202), whose engine form is ``explode`` — built-ins
+    stay the fast path; a UDTF is for expansions that need imperative
+    per-row logic (stateful tokenizers, real segmenters). Constructed
+    lazily because the decorator registers against the active session.
+
+    Equivalence contract (pinned by test): identical rows to
+    ``explode(posexplode)`` over ``split(text, '. ')``.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, sent_idx: int, sentence: string")
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                yield doc_id, i, s
+
+    return SentenceSplit
+
+
+def sentence_split(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Apply :func:`sentence_split_udtf` via a lateral join — one
+    (doc_id, sent_idx, sentence) row per segment. Input id column is
+    renamed before the join (the UDTF emits its own ``doc_id``)."""
+    fn = sentence_split_udtf()
+    return (
+        df.select(F.col(id_col).alias("_in_id"), F.col(text).alias("_in_text"))
+        .lateralJoin(fn(F.col("_in_id").outer(), F.col("_in_text").outer()))
+        .select("doc_id", "sent_idx", "sentence")
+    )

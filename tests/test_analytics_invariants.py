@@ -134,3 +134,31 @@ def test_running_sum_is_prefix_monotone_per_key(spark, sf_dir):
         seq.sort()
         spends = [s for _, _, s in seq]
         assert spends == sorted(spends)
+
+
+def test_sentence_split_udtf_matches_posexplode(spark):
+    """SURVEY §2.7's UDTF surface: the Python UDTF expansion must emit
+    exactly the rows of the built-in posexplode equivalent (which remains
+    the fast path; the UDTF form exists for imperative per-row logic)."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_lite_spark.operators.llm.text import sentence_split
+
+    docs = spark.createDataFrame(
+        [
+            (1, "first sentence. second one. third"),
+            (2, "only one"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(tuple(r) for r in sentence_split(docs).collect())
+    want = sorted(
+        tuple(r)
+        for r in docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", r"\. ")).alias("sent_idx", "sentence"),
+        ).collect()
+    )
+    assert got == want
+    assert (1, 1, "second one") in got

@@ -216,3 +216,95 @@ def embedding_near_dup_lsh(
         F.round(cosine(F.col("va"), F.col("vb")), round_dp).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= threshold)
+
+
+def knn_join(
+    emb: DataFrame, k: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    round_dp: int = 4, engine: str = "arrow",
+) -> DataFrame:
+    """All-pairs k-NN self-join: for EVERY vector, its ``k`` nearest
+    neighbours by cosine — the per-document neighbourhood pass curation
+    pipelines run (near-dup clustering, diversity sampling, retrieval
+    eval). Brute-force exact form; the ANN entries (LSH buckets, IVF
+    cells) are the candidate-pruned scale path for corpora whose matrix
+    can't be broadcast.
+
+    ``engine="arrow"`` (default): the corpus collects into ONE normalised
+    numpy matrix broadcast to executors (rows x dim floats — fine up to
+    ~10M rows; beyond that use the ANN path), and each Arrow batch of
+    queries scores against it with a single GEMM, then vectorised
+    top-k (argpartition + lexsort). Python runs matrix-at-a-time.
+
+    ``engine="expr"``: crossJoin + fold-based cosine + partitioned
+    row_number window — all JVM, quadratic expression work.
+
+    Determinism: similarity rounds half-away-from-zero to ``round_dp``
+    before ranking, ties break on ascending neighbour id.
+    """
+    from pyspark.sql import Window
+
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    if engine == "expr":
+        a = e.select(F.col(id_col).alias("qid"), F.col("v").alias("qv"))
+        b = e.select(F.col(id_col).alias("nid"), F.col("v").alias("nv"))
+        scored = (
+            a.crossJoin(F.broadcast(b))
+            .filter(F.col("qid") != F.col("nid"))
+            .select(
+                "qid", "nid",
+                F.round(cosine(F.col("qv"), F.col("nv")), round_dp).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    corpus = e.collect()  # the broadcastable corpus matrix (see docstring)
+    ids = np.array([r[id_col] for r in corpus], dtype=np.int64)
+    mat = np.array([r["v"] for r in corpus], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = e.sparkSession.sparkContext.broadcast((ids, mat))
+
+    out_schema = StructType(
+        [
+            StructField("qid", LongType(), False),
+            StructField("nid", LongType(), False),
+            StructField("cos_sim", DoubleType(), False),
+            StructField("rank", IntegerType(), False),
+        ]
+    )
+    scale = 10.0 ** round_dp
+
+    def batches(it):
+        nids, nmat = bc.value
+        for pdf in it:
+            q = np.stack(pdf["v"].to_numpy())
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ nmat.T
+            # half-away-from-zero at round_dp, then rank by (-sim, nid)
+            sims = np.floor(np.abs(sims) * scale + 0.5) / scale * np.sign(sims)
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            self_mask = qids[:, None] == nids[None, :]
+            sims[self_mask] = -np.inf
+            order = np.lexsort((nids[None, :].repeat(len(qids), 0), -sims), axis=1)
+            top = order[:, :k]
+            rows = len(qids)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, k),
+                    "nid": nids[top].ravel(),
+                    "cos_sim": np.take_along_axis(sims, top, axis=1).ravel(),
+                    "rank": np.tile(np.arange(1, k + 1, dtype=np.int32), rows),
+                }
+            )
+
+    return e.mapInPandas(batches, out_schema)

@@ -730,3 +730,29 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_score(load_table(spark, sf_dir, "documents"), n=3)
+
+
+@register(
+    "llm_knn_join",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                     round(list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        r AS (SELECT qid, nid, cos_sim,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos_sim DESC, nid) AS rank
+              FROM p)
+       SELECT qid, nid, cos_sim, rank FROM r WHERE rank <= 3""",
+    doc="All-pairs k-NN self-join (k=3): every vector's nearest "
+        "neighbours by cosine — the neighbourhood pass behind near-dup "
+        "clustering and diversity sampling. Arrow engine: the normalised "
+        "corpus matrix broadcasts once, each query batch scores via one "
+        "GEMM + vectorised top-k (operators/llm/similarity.py:knn_join); "
+        "the LSH/IVF ANN entries are the path when the matrix outgrows a "
+        "broadcast.",
+    tags=("llm", "similarity", "topk"),
+)
+def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_join(load_table(spark, sf_dir, "embeddings"), k=3)

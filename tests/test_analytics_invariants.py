@@ -162,3 +162,15 @@ def test_sentence_split_udtf_matches_posexplode(spark):
     )
     assert got == want
     assert (1, 1, "second one") in got
+
+
+def test_knn_join_engines_agree(spark, sf_dir):
+    """The GEMM-based Arrow engine and the JVM expression engine must
+    produce identical neighbour sets, similarities, and ranks."""
+    from helium_arango_etl_lite_spark.operators.llm.similarity import knn_join
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(tuple(r) for r in knn_join(emb, k=3, engine="arrow").collect())
+    b = sorted(tuple(r) for r in knn_join(emb, k=3, engine="expr").collect())
+    assert a == b

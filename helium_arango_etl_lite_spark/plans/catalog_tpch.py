@@ -19,7 +19,7 @@ both engines agree on (established catalog convention).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import load_table, register
@@ -596,4 +596,193 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """WITH cost AS (SELECT l_partkey, l_suppkey,
+                           min(l_extendedprice / l_quantity) AS unit_cost
+                    FROM lineitem
+                    WHERE l_partkey IN (SELECT p_partkey FROM part
+                                        WHERE p_type = 'STANDARD'
+                                          AND p_size <= 15)
+                    GROUP BY 1, 2),
+            elig AS (SELECT c.l_partkey, c.unit_cost,
+                            s.s_name, s.s_suppkey, s.s_acctbal, n.n_name
+                     FROM cost c
+                     JOIN supplier s ON s.s_suppkey = c.l_suppkey
+                     JOIN nation n ON n.n_nationkey = s.s_nationkey
+                     JOIN region r ON r.r_regionkey = n.n_regionkey
+                     WHERE r.r_name = 'EUROPE'),
+            best AS (SELECT *, row_number() OVER (
+                                PARTITION BY l_partkey
+                                ORDER BY unit_cost, s_suppkey) AS rn
+                     FROM elig)
+       SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name AS nation,
+              l_partkey AS partkey,
+              floor(unit_cost * 10000) / 10000 AS best_cost
+       FROM best WHERE rn = 1
+       ORDER BY acctbal DESC, s_name, partkey LIMIT 100""",
+    doc="TPC-H Q2 shape (min-cost supplier per part, region-scoped): the "
+        "correlated MIN subquery decorrelated into argmin-by-row_number "
+        "(same engine convention as argmin_cheapest_supplier, which is "
+        "this query's inner core), then joined back to dims. Adapted: no "
+        "partsupp, so (part, supplier) unit cost aggregates from "
+        "lineitem; part filter p_type/p_size and region filter EUROPE "
+        "stand in for Q2's BRASS/size/region. The planner test: the "
+        "part filter is applied as a broadcast semi-join BEFORE the "
+        "(partkey, suppkey) aggregation — pushdown through the agg that "
+        "a naive translation (aggregate everything, filter later) "
+        "misses; supplier-nation-region prunes the other input the same "
+        "way. Ranks raw doubles (exact IEEE compare), display "
+        "truncation floor(x*1e4)/1e4 — both bit-identical cross-engine.",
+    tags=("join", "window", "subquery", "topk", "tpch"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part_keys),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dims = (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    elig = cost.join(F.broadcast(dims), F.col("s_suppkey") == F.col("l_suppkey"))
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "s_suppkey")
+    return (
+        elig.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").alias("partkey"),
+            (F.floor(F.col("unit_cost") * 10000) / 10000).alias("best_cost"),
+        )
+        .orderBy(F.desc("acctbal"), F.asc("s_name"), F.asc("partkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q12_late_priority",
+    """SELECT l.l_returnflag AS flag,
+              sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+              sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS low_line_count
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l.l_shipdate < TIMESTAMP '1998-01-01'
+         AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+       GROUP BY 1""",
+    doc="TPC-H Q12 shape (late-shipment priority split): conditional "
+        "counts of high/low-priority orders among late lines, grouped. "
+        "Adapted: no l_shipmode/l_commitdate/l_receiptdate — the group "
+        "key is l_returnflag and 'late' is shipdate > orderdate + 60 "
+        "days. The planner test is the residual join predicate "
+        "(shipdate vs orderdate) that references BOTH sides: it cannot "
+        "push to either scan, must evaluate post-join, while the "
+        "shipdate year range DOES push to the lineitem scan. One "
+        "shuffle join + one hash agg; both CASE branches ride the same "
+        "aggregate pass.",
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q20_excess_suppliers",
+    """WITH vol AS (SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+                   FROM lineitem
+                   WHERE l_partkey IN (SELECT p_partkey FROM part
+                                       WHERE p_type = 'PROMO')
+                     AND l_shipdate >= TIMESTAMP '1997-01-01'
+                     AND l_shipdate < TIMESTAMP '1998-01-01'
+                   GROUP BY 1, 2),
+            thresh AS (SELECT avg(qty) * 1.5 AS t FROM vol),
+            heavy AS (SELECT DISTINCT l_suppkey FROM vol, thresh
+                      WHERE qty > t)
+       SELECT s.s_name, round(s.s_acctbal, 2) AS acctbal
+       FROM supplier s
+       JOIN nation n ON n.n_nationkey = s.s_nationkey
+       WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+         AND s.s_suppkey IN (SELECT l_suppkey FROM heavy)""",
+    doc="TPC-H Q20 shape (suppliers holding excess stock): the nested "
+        "IN-subquery stack — parts filtered by type, per-(supplier, "
+        "part) shipped volume aggregated, a scalar threshold derived "
+        "from that same aggregate (Q20's 0.5*sum(qty) flavor), then "
+        "supplier semi-joined through the heavy set and a nation "
+        "filter. Adapted: no partsupp/p_name, so availqty becomes "
+        "shipped volume and 'forest%' becomes p_type = 'PROMO'; the "
+        "single nation becomes a 3-nation IN. Plan: part keys "
+        "broadcast-semi-join into lineitem BEFORE the agg; the scalar "
+        "threshold broadcasts as a cross-joined 1-row frame; both "
+        "IN-subqueries compile to left-semi joins, never to "
+        "distinct-join-dedup. l_quantity is integer-valued, so avg() "
+        "is an exact-integer sum / count — deterministic cross-engine.",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    vol = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    # threshold and heavy both consume vol: evaluate it once
+    vol = vol.localCheckpoint(eager=False)
+    thresh = vol.agg((F.avg("qty") * 1.5).alias("t"))
+    heavy = (
+        vol.crossJoin(F.broadcast(thresh))
+        .filter(F.col("qty") > F.col("t"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
     )

@@ -308,3 +308,37 @@ def knn_join(
             )
 
     return e.mapInPandas(batches, out_schema)
+
+
+def quantize_int8(
+    df: DataFrame, vec: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column, with per-vector
+    reconstruction error — the compression pass that shrinks an ANN serving
+    index 4x before the similarity ops run on it.
+
+    Pure map-side JVM array math (transform / aggregate fold): scale =
+    max|x| / 127, q_i = round(x_i / scale), rmse over the sequential
+    index-order fold — deterministic cross-engine, no shuffle at any
+    scale. Degenerate all-zero vectors keep scale 0 and rmse 0.
+    """
+    v = _as_double(F.col(vec))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.transform(
+        v, lambda x: F.when(scale == 0, F.lit(0.0)).otherwise(F.round(x / scale))
+    )
+    err2 = F.aggregate(
+        F.zip_with(v, q, lambda x, qi: F.pow(x - qi * scale, F.lit(2.0))),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    dim = F.size(F.col(vec)).cast("double")
+    return df.select(
+        id_col,
+        F.round(scale, 6).alias("scale"),
+        F.round(
+            F.when(amax == 0, F.lit(0.0)).otherwise(F.sqrt(err2 / dim)), 6
+        ).alias("rmse"),
+        F.size(F.filter(q, lambda x: F.abs(x) == 127)).alias("n_saturated"),
+    )

@@ -344,3 +344,72 @@ def sentence_split(df: DataFrame, text: str = "text", id_col: str = "doc_id") ->
         .lateralJoin(fn(F.col("_in_id").outer(), F.col("_in_text").outer()))
         .select("doc_id", "sent_idx", "sentence")
     )
+
+
+# Okapi BM25 constants (standard Robertson defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """BM25 ranking of documents against a bag of query terms.
+
+    Spark-first plan: per-term tf comes from JVM array expressions over the
+    token array (``F.size(F.filter(...))`` — no explode, no shuffle); the
+    corpus statistics (N, avgdl, per-term document frequency) reduce to ONE
+    tiny global aggregate that broadcasts back via crossJoin. The score is
+    an explicit fixed-order sum over the query terms, so float addition
+    order is identical cross-engine; idf uses the Lucene form
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` which stays positive for
+    ubiquitous terms. At 100 TB the same plan holds: one scan for the
+    stats pass (or a maintained stats table), one map-side scoring scan,
+    TakeOrderedAndProject for the top-k — zero wide shuffles.
+    """
+    tok = tokens(text)
+    dl = F.size(tok).cast("double")
+
+    def _tf(w: str) -> Column:
+        # bind the literal outside the lambda: a 2-arg lambda would make
+        # F.filter pass the array INDEX as the second argument
+        lit_w = F.lit(w)
+        return F.size(F.filter(tok, lambda t: t == lit_w)).cast("double")
+
+    scored = df.select(
+        id_col,
+        dl.alias("dl"),
+        *[_tf(w).alias(f"tf{i}") for i, w in enumerate(query_terms)],
+    )
+    stats = scored.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("double")).alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    norm_len = 1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+
+    def term_score(i: int):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        tf = F.col(f"tf{i}")
+        return idf * tf * (BM25_K1 + 1) / (tf + BM25_K1 * norm_len)
+
+    score = term_score(0)
+    for i in range(1, len(query_terms)):
+        score = score + term_score(i)
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .select(id_col, F.round(score, 4).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

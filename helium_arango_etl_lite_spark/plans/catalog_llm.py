@@ -756,3 +756,112 @@ def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_join(load_table(spark, sf_dir, "embeddings"), k=3)
+
+
+_BM25_TERMS = ("vector", "stream", "merge")
+
+
+def _bm25_sql() -> str:
+    k1, b = text.BM25_K1, text.BM25_B
+    tf_cols = ", ".join(
+        f"len(list_filter(t, x -> x = '{w}'))::DOUBLE AS tf{i}"
+        for i, w in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    term = (
+        "(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * tf{{i}} * ({k1} + 1) / (tf{{i}} + {k1} * (1 - {b} + {b} * dl / avgdl)))"
+    )
+    score = " + ".join(term.format(i=i) for i in range(len(_BM25_TERMS)))
+    return f"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                           FROM documents),
+       tf AS (SELECT doc_id, len(t)::DOUBLE AS dl, {tf_cols} FROM tok),
+       stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+                        {df_cols}
+                 FROM tf)
+       SELECT doc_id, round({score}, 4) AS bm25
+       FROM tf, stats
+       WHERE round({score}, 4) > 0
+       ORDER BY bm25 DESC, doc_id LIMIT 10"""
+
+
+@register(
+    "llm_bm25_search",
+    _bm25_sql(),
+    doc="Okapi BM25 top-10 for a 3-term query: per-term tf via JVM array "
+        "filters (no explode), corpus stats (N, avgdl, per-term df) in ONE "
+        "tiny aggregate broadcast back as scalars, score as a fixed-order "
+        "sum so float addition order is identical cross-engine, then "
+        "TakeOrderedAndProject. Zero wide shuffles at any scale "
+        "(operators/llm/text.py:bm25_search).",
+    tags=("llm", "text", "topk"),
+)
+def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_search(
+        load_table(spark, sf_dir, "documents"), list(_BM25_TERMS), k=10
+    )
+
+
+@register(
+    "llm_quantize_int8",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, len(embedding) AS dim
+                 FROM embeddings),
+       q AS (SELECT vec_id, v, dim,
+                    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             FROM e),
+       r AS (SELECT vec_id, dim, scale,
+                    list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+                                                ELSE round(x / scale) END) AS qv,
+                    v
+             FROM q)
+       SELECT vec_id, round(scale, 6) AS scale,
+              round(CASE WHEN scale = 0 THEN 0.0
+                         ELSE sqrt(list_sum(list_transform(
+                                  list_zip(v, qv),
+                                  p -> pow(p[1] - p[2] * scale, 2.0)))
+                              / dim::DOUBLE) END, 6) AS rmse,
+              len(list_filter(qv, x -> abs(x) = 127)) AS n_saturated""" + """
+       FROM r""",
+    doc="Symmetric int8 embedding quantization with per-vector "
+        "reconstruction RMSE and saturation count: the 4x index-compression "
+        "pass before ANN serving. Pure map-side array math (transform / "
+        "zip_with / sequential aggregate fold) — no shuffle at any scale; "
+        "the fold order is index order in both engines "
+        "(operators/llm/similarity.py:quantize_int8).",
+    tags=("llm", "similarity", "multimodal"),
+)
+def llm_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "llm_cross_dedup",
+    """WITH fp AS (SELECT doc_id, source,
+                         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                  FROM documents),
+       corpus AS (SELECT DISTINCT fp FROM fp
+                  WHERE CAST(substr(source, 4) AS BIGINT) < 10),
+       batch AS (SELECT doc_id, fp FROM fp
+                 WHERE CAST(substr(source, 4) AS BIGINT) >= 10)
+       SELECT b.doc_id FROM batch b
+       WHERE b.fp NOT IN (SELECT fp FROM corpus)""",
+    doc="Cross-corpus exact dedup: the new-crawl-vs-existing-corpus gate "
+        "every ingestion pipeline runs — normalized-content fingerprints "
+        "(same md5 key as llm_dedup_exact_norm) for the incoming batch "
+        "(src10+) anti-joined against the already-ingested corpus "
+        "(src0-9). Compiles to a left-anti hash join on a 32-char key; at "
+        "100 TB the corpus side is a bloom-filtered bucketed table so the "
+        "probe never shuffles the batch.",
+    tags=("llm", "dedup"),
+)
+def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    src_n = F.substring("source", 4, 10).cast("long")
+    fp = docs.select("doc_id", src_n.alias("src_n"), F.md5(norm).alias("fp"))
+    corpus = fp.filter(F.col("src_n") < 10).select("fp").distinct()
+    batch = fp.filter(F.col("src_n") >= 10)
+    return batch.join(corpus, "fp", "left_anti").select("doc_id")

@@ -273,3 +273,57 @@ def test_doc_pack_scalable_has_no_single_task_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "llm_doc_pack_scalable")
     assert "Window" not in plan
     assert "MapInPandas" in plan
+
+
+def test_q2_part_filter_semi_joins_before_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    # the part-type filter must prune lineitem BEFORE the (part, supp)
+    # aggregation: a broadcast semi join below the first HashAggregate
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    semi_pos = plan.find("LeftSemi")
+    agg_pos = plan.find("HashAggregate")
+    assert semi_pos != -1 and agg_pos != -1
+    # formatted plans print top-down: the aggregate node appears before
+    # (above) the semi join that feeds it
+    assert agg_pos < semi_pos
+
+
+def test_q12_residual_predicate_stays_in_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q12_late_priority")
+    # the shipdate year range pushes to the lineitem scan (scan order in
+    # the plan is join-build dependent, so search every PushedFilters)
+    pushed_all = " ".join(
+        seg.split("]", 1)[0] for seg in plan.split("PushedFilters: [")[1:]
+    )
+    assert "GreaterThanOrEqual(l_shipdate" in pushed_all
+    # ...while the two-sided lateness predicate survives as a join
+    # condition (it references both tables, so it cannot push to a scan)
+    join_cond = [
+        ln for ln in plan.splitlines() if ln.strip().startswith("Join condition")
+    ]
+    assert any("o_orderdate" in ln and "l_shipdate" in ln for ln in join_cond)
+
+
+def test_bm25_has_no_wide_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_bm25_search")
+    # corpus stats reduce via a single-partition exchange of ONE row and
+    # broadcast back; the scoring pass itself must never hash-partition
+    # the documents table
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning(doc_id" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_quantize_int8_is_map_only(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_quantize_int8")
+    # pure per-row array math: the only exchange allowed is load_table's
+    # local-mode round-robin scan spread — never a hash/range shuffle
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    n_exchange = plan.count("+- Exchange") + plan.count(":- Exchange")
+    n_spread = plan.count("RoundRobinPartitioning")
+    assert n_exchange <= n_spread
+
+
+def test_cross_dedup_is_anti_join_on_fingerprint(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_cross_dedup")
+    assert "LeftAnti" in plan

@@ -167,3 +167,47 @@ def test_distributed_prefix_sum_matches_window_sum(spark, vals):
         r["i"]: r["s"] for r in df.select("i", F.sum("v").over(w).alias("s")).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-10.0, max_value=10.0,
+                      allow_nan=False, allow_infinity=False, width=32),
+            min_size=4, max_size=8,
+        ),
+        min_size=1, max_size=12,
+    ),
+)
+def test_quantize_int8_error_bound(spark, vectors):
+    from helium_arango_etl_lite_spark.operators.llm.similarity import (
+        quantize_int8,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vectors)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for r in quantize_int8(df).collect():
+        # rounding to the nearest int8 level keeps every element within
+        # scale/2, so the RMSE obeys the same bound (plus 1e-6 display
+        # rounding slack); zero vectors quantize losslessly
+        assert r["rmse"] <= r["scale"] / 2 + 1e-6
+        assert r["n_saturated"] >= 1 or r["scale"] == 0.0
+        assert r["rmse"] >= 0.0
+
+
+def test_bm25_ranks_higher_tf_higher(spark):
+    from helium_arango_etl_lite_spark.operators.llm.text import bm25_search
+
+    # same length docs, increasing occurrences of the query term: BM25
+    # must rank strictly by tf, and docs without the term score zero
+    # (and are filtered from the result)
+    docs = [
+        (i, "spark " * (i + 1) + "pad " * (5 - i)) for i in range(3)
+    ] + [(9, "pad pad pad pad pad pad")]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in docs], "doc_id long, text string"
+    )
+    got = bm25_search(df, ["spark"], k=10).collect()
+    assert [r["doc_id"] for r in got] == [2, 1, 0]
+    assert got[0]["bm25"] > got[1]["bm25"] > got[2]["bm25"] > 0

@@ -413,3 +413,58 @@ def bm25_search(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
+
+
+def inverted_index(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", min_df: int = 1
+) -> DataFrame:
+    """Posting-list construction: term -> document frequency + sorted doc-id
+    list — the index behind keyword search and n-gram contamination probes.
+
+    One explode of per-doc DISTINCT terms, one groupBy(term): the shuffle
+    carries (term, doc_id) pairs only, never the text. ``sort_array`` after
+    ``collect_list`` makes the posting order deterministic regardless of
+    task arrival order. At 100 TB, hot-term posting lists outgrow a single
+    row: segment them (term, shard) with a doc-id range per shard, write
+    delta-encoded to a term-bucketed table, and keep `min_df` > 1 to drop
+    the hapax tail that dominates vocabulary size.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text))).alias("term")
+    )
+    inv = ex.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list(id_col)).alias("postings"),
+    )
+    return inv.filter(F.col("df") >= min_df) if min_df > 1 else inv
+
+
+def bpe_pair_counts(
+    df: DataFrame, text: str = "text", k: int = 20
+) -> DataFrame:
+    """One merge round of BPE-style tokenizer training: frequency of
+    adjacent character pairs within whitespace words, top-k.
+
+    The pair extraction is pure JVM array algebra — flatten(transform(
+    words, w -> char bigrams of w)) — so the scan stays in whole-stage
+    codegen and the only shuffle is the final (pair, count) aggregate,
+    whose key space is bounded by the alphabet squared. That invariance
+    (tiny agg key space however large the corpus) is what makes BPE
+    training feasible at 100 TB: each merge round is one map-heavy scan +
+    one trivial reduce, and the real implementation just re-runs this with
+    the current merge table applied.
+    """
+    pairs = F.expr(
+        f"""flatten(transform(split({text}, ' '),
+              w -> CASE WHEN length(w) >= 2
+                        THEN transform(sequence(1, length(w) - 1),
+                                       i -> substring(w, i, 2))
+                        ELSE array() END))"""
+    )
+    return (
+        df.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )

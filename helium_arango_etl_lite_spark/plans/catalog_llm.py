@@ -865,3 +865,40 @@ def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = fp.filter(F.col("src_n") < 10).select("fp").distinct()
     batch = fp.filter(F.col("src_n") >= 10)
     return batch.join(corpus, "fp", "left_anti").select("doc_id")
+
+
+@register(
+    "llm_inverted_index",
+    """WITH ex AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+       SELECT term, count(*) AS df, list_sort(list(doc_id)) AS postings
+       FROM ex GROUP BY 1""",
+    doc="Inverted-index construction: term -> document frequency + sorted "
+        "posting list. The shuffle carries only (term, doc_id) pairs; "
+        "sort_array(collect_list) pins posting order. Scale path: segment "
+        "hot terms by doc-id range and delta-encode "
+        "(operators/llm/text.py:inverted_index).",
+    tags=("llm", "text"),
+)
+def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_bpe_pair_counts",
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       p AS (SELECT unnest(CASE WHEN len(w) >= 2
+                                THEN list_transform(generate_series(1, len(w) - 1),
+                                                    i -> substr(w, i, 2))
+                                ELSE []::VARCHAR[] END) AS pair FROM w)
+       SELECT pair, count(*) AS n FROM p GROUP BY 1
+       ORDER BY n DESC, pair LIMIT 20""",
+    doc="One BPE tokenizer-training merge round: adjacent character-pair "
+        "frequencies within words, top-20. Pair extraction is JVM array "
+        "algebra inside codegen; the aggregate key space is bounded by "
+        "alphabet^2, so each merge round at 100 TB is one map-heavy scan "
+        "plus a trivial reduce (operators/llm/text.py:bpe_pair_counts).",
+    tags=("llm", "text", "topk"),
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_pair_counts(load_table(spark, sf_dir, "documents"), k=20)

@@ -169,3 +169,63 @@ def text_as_media(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("frame_sig", StringType(), True),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame, frame_ms: int = 40, k: int = 4
+) -> DataFrame:
+    """Uniform video frame sampling: pick ``k`` evenly spaced frames from
+    each clip's timeline and emit one row per sampled frame.
+
+    The Spark-side plumbing is entirely real and JVM-side: the frame count
+    derives from the metadata struct (duration / frame interval), the
+    sampled indices are a ``transform(sequence(...))`` array (distinct, so
+    short clips yield fewer rows), and the fan-out is one ``explode`` — the
+    same row-multiplying shape as the reference's witness explode
+    (reference follower.py:180-202), applied to media. The decode of the
+    frame at ``ts_ms`` is the stubbed step (:func:`real_decode`); the
+    deterministic stand-in slices the payload proportionally to the frame
+    position and signs it with md5, so tests and the SQL oracle can pin
+    every row. At 100 TB this stage runs BEFORE any decode: sampling on
+    metadata costs one scan of (id, meta) with the binary column pruned
+    away, and only sampled frames ever reach the expensive decoder.
+    """
+    n_frames = F.greatest(
+        F.lit(1), (F.col("meta.duration_ms") / F.lit(frame_ms)).cast("long")
+    )
+    idx = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: (i * n_frames / F.lit(k)).cast("long"),
+        )
+    )
+    exploded = media.select(
+        "media_id",
+        "content",
+        n_frames.alias("n_frames"),
+        F.explode(idx).alias("frame_idx"),
+    )
+    # deterministic stand-in for the decode: slice 16 bytes at the frame's
+    # proportional offset and sign them (real_decode is the stubbed step)
+    off = (
+        F.col("frame_idx")
+        * (F.octet_length("content") / F.col("n_frames"))
+    ).cast("long")
+    return exploded.withColumn("_off", off).select(
+        "media_id",
+        "frame_idx",
+        (F.col("frame_idx") * frame_ms).alias("ts_ms"),
+        F.md5(
+            F.expr("substring(content, cast(_off + 1 as int), 16)")
+        ).alias("frame_sig"),
+    )

@@ -902,3 +902,49 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_pair_counts(load_table(spark, sf_dir, "documents"), k=20)
+
+
+@register(
+    "llm_frame_sample",
+    """WITH m AS (SELECT doc_id AS media_id, text, strlen(text) AS n_bytes
+                  FROM documents),
+       f AS (SELECT media_id, text, n_bytes,
+                    greatest(1, floor((n_bytes * 10) / 40.0)::BIGINT) AS n_frames
+             FROM m),
+       i AS (SELECT media_id, text, n_bytes, n_frames,
+                    unnest(list_distinct(list_transform(
+                        generate_series(0, 3),
+                        i -> floor(i * n_frames / 4.0)::BIGINT))) AS frame_idx
+             FROM f)
+       SELECT media_id, frame_idx, frame_idx * 40 AS ts_ms,
+              md5(substr(text,
+                         (floor(frame_idx * (n_bytes / n_frames::DOUBLE))::BIGINT
+                          + 1)::INT, 16)) AS frame_sig
+       FROM i""",
+    doc="Video frame-sampling plumbing: k=4 uniform frames per clip from "
+        "the metadata timeline (40 ms/frame), one explode row per sampled "
+        "frame, decode stubbed behind a deterministic 16-byte slice + md5 "
+        "signature (operators/llm/multimodal.py:frame_sample). The scale "
+        "property: sampling reads only (id, meta) — column pruning drops "
+        "the binary payload until the decoder stage — so frame selection "
+        "at 100 TB costs a metadata scan, and only sampled offsets reach "
+        "the codec. Casts are explicit floor() in the oracle because "
+        "DuckDB rounds on BIGINT cast where Spark truncates.",
+    tags=("llm", "multimodal"),
+)
+def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.multimodal import frame_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(None).cast("long").alias("width"),
+            F.lit(None).cast("long").alias("height"),
+            (F.octet_length("text") * 10).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return frame_sample(media, frame_ms=40, k=4)

@@ -49,11 +49,14 @@ HEADLINE = [
     "tpch_q9_product_profit",   # 5-way join, integer-unit profit rollup
     "llm_decontaminate",        # broadcast n-gram contamination probe
     "window_ntile_decile_scalable",  # exact global rank, no 1-task window
+    "llm_bm25_search",          # shuffle-free scoring + TakeOrdered
+    "llm_inverted_index",       # posting-list build (term-key shuffle)
 ]
 
 SMALL_OUTPUT = {
     "topk_accounts", "llm_topk_cosine", "llm_ann_lsh", "llm_ann_ivf",
     "graph_pagerank", "agg_event_funnel", "llm_bigram_topk",
+    "llm_bm25_search",
 }
 
 

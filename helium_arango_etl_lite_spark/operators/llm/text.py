@@ -8,7 +8,7 @@ codegen) — per-row string work at 100 TB must never drop into Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -467,4 +467,80 @@ def bpe_pair_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(k)
+    )
+
+
+#: default blocklist for the C4-style term filter; real deployments load a
+#: curated list and broadcast it the same way.
+BLOCKLIST = ["dup", "slow", "drop"]
+
+
+def blocklist_filter(
+    df: DataFrame,
+    words: list[str] | None = None,
+    text: str = "text",
+    source: str = "source",
+) -> DataFrame:
+    """C4-style blocklist audit: per-source document counts vs. documents
+    containing any blocklisted term, plus the flagged share.
+
+    The membership test is ``F.exists`` over the token array — pure JVM,
+    inside whole-stage codegen, no explode — so the scan emits one boolean
+    per row and the only shuffle is the final tiny per-source aggregate
+    (partial/map-side combined). The word list rides into the plan as
+    literals; a large curated list would swap to a broadcast join against
+    exploded tokens instead. At 100 TB this is a single map-heavy pass.
+    """
+    words = BLOCKLIST if words is None else words
+    flagged = F.exists(tokens(text), lambda t: t.isin(*words))
+    return (
+        df.groupBy(source)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(flagged.cast("long")).alias("n_flagged"),
+        )
+        .withColumn(
+            "flagged_share",
+            F.round(F.col("n_flagged").cast("double") / F.col("n_docs").cast("double"), 8),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (keyword extraction).
+
+    Plan: explode tokens -> groupBy(doc, term) for tf -> groupBy(term) for
+    document frequency (both aggs partial/map-side combined) -> tf joins
+    dfreq on term -> corpus size N broadcast via crossJoin -> row_number
+    window partitioned by doc_id. The window key is the document id —
+    maximal cardinality, so no single-task stage at any scale. The tf⋈df
+    join shuffles on term; vocabulary is Zipf-skewed, which AQE's skew-join
+    split absorbs (hot terms like stopwords carry near-zero idf anyway and
+    a production variant drops df/N > 0.5 terms before the join). The
+    score rounds to 8 dp so the one cross-engine float op (ln) compares
+    exactly, and ties break on term ASC for a deterministic top-k.
+    """
+    tok = df.select(id_col, F.explode(tokens(text)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                8,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf")
     )

@@ -1101,3 +1101,37 @@ def llm_doc_pack_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor((F.col("_run") - F.lit(1)) / F.lit(4096)).cast("long").alias("pack_id"),
     )
+
+
+@register(
+    "graph_degree_distribution",
+    """WITH deg AS (SELECT o_custkey AS account, count(*) AS degree
+                    FROM orders GROUP BY 1)
+       SELECT length(bin(degree)) - 1 AS deg_bucket,
+              count(*) AS n_accounts,
+              min(degree) AS min_degree,
+              max(degree) AS max_degree
+       FROM deg GROUP BY 1""",
+    doc="Degree distribution of the payment graph (log2-bucketed histogram "
+        "over per-account edge counts) — the first skew diagnostic to run "
+        "before joining or salting a power-law graph like the reference's "
+        "payment network (follower.py:149-152 edge endpoints). Two "
+        "partial-agg shuffles, the second over ~64 bucket keys. The bucket "
+        "is bit-length (length(bin(n)) - 1), never floor(log2(n)): log2 "
+        "computed as log(n)/log(2) can land 1 ulp under an exact power of "
+        "two and floor into the wrong bucket, and the two engines would "
+        "disagree; integer bit-length is exact in both.",
+    tags=("graph", "agg"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    deg = o.groupBy(F.col("o_custkey").alias("account")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return deg.groupBy(
+        (F.length(F.bin("degree")) - 1).cast("long").alias("deg_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_accounts"),
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
+    )

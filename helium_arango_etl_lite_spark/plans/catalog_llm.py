@@ -905,6 +905,88 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_blocklist_filter",
+    f"""SELECT source, count(*) AS n_docs,
+               sum(CASE WHEN len(list_filter(string_split(text, ' '),
+                                             x -> x IN ({_in_list(text.BLOCKLIST)}))) > 0
+                        THEN 1 ELSE 0 END) AS n_flagged,
+               round(sum(CASE WHEN len(list_filter(string_split(text, ' '),
+                                                   x -> x IN ({_in_list(text.BLOCKLIST)}))) > 0
+                              THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 8)
+                 AS flagged_share
+        FROM documents GROUP BY 1""",
+    doc="C4-style blocklist audit: per-source doc counts vs docs containing "
+        "any blocklisted term (operators/llm/text.py:blocklist_filter). "
+        "Membership test is F.exists over the token array — JVM-side, no "
+        "explode — so the 100 TB cost is one map pass + a tiny per-source "
+        "aggregate.",
+    tags=("llm", "text", "filter"),
+)
+def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.blocklist_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_tfidf_topk",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                         round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 8) AS tfidf
+                  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+       ranked AS (SELECT *, row_number() OVER
+                      (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+                  FROM scored)
+       SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rn <= 3""",
+    doc="Per-document top-3 keywords by TF-IDF "
+        "(operators/llm/text.py:tfidf_top_terms): two partial-agg shuffles "
+        "(tf, df), term-keyed join (Zipf skew -> AQE split), broadcast "
+        "corpus-size scalar, row_number windowed on doc_id (max-cardinality "
+        "key, never a single-task stage). ln rounds to 8 dp; ties break on "
+        "term ASC.",
+    tags=("llm", "text"),
+)
+def llm_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "llm_dataset_split",
+    """WITH b AS (SELECT n_chars,
+                         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+                  FROM documents)
+       SELECT CASE WHEN bucket < 80 THEN 'train'
+                   WHEN bucket < 90 THEN 'val'
+                   ELSE 'test' END AS split,
+              count(*) AS n_docs, sum(n_chars) AS n_chars_total
+       FROM b GROUP BY 1""",
+    doc="Deterministic 80/10/10 train/val/test split by key hash — the "
+        "disjoint-range companion to llm_sample_hash: same engine-portable "
+        "bucket hash (functions/hashing.py:hash32), so membership is "
+        "reproducible across runs, engines, and cluster sizes, and a doc "
+        "can never land in two splits. Map-only bucketing + a 3-group "
+        "aggregate; at 100 TB the split column is computed on scan and "
+        "used as a partition key for the write.",
+    tags=("llm", "sampling"),
+)
+def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash32
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = hash32(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+
+
+@register(
     "llm_frame_sample",
     """WITH m AS (SELECT doc_id AS media_id, text, strlen(text) AS n_bytes
                   FROM documents),

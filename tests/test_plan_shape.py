@@ -327,3 +327,40 @@ def test_quantize_int8_is_map_only(spark, sf_dir):
 def test_cross_dedup_is_anti_join_on_fingerprint(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "llm_cross_dedup")
     assert "LeftAnti" in plan
+
+
+def test_blocklist_filter_stays_jvm_side_without_explode(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_blocklist_filter")
+    # F.exists over the token array: one boolean per row, no row fan-out,
+    # no Python worker round-trip
+    assert "Generate" not in plan
+    assert "EvalPython" not in plan
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "text" in read and "source" in read and "doc_id" not in read
+
+
+def test_tfidf_windows_on_doc_key_with_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_tfidf_topk")
+    # rank<=k must push below the window shuffle (Spark 3.5 WindowGroupLimit)
+    # so each map task keeps only its local top-k per doc
+    assert "WindowGroupLimit" in plan
+    # window keyed on the max-cardinality doc_id, never a global sort
+    assert "hashpartitioning(doc_id" in plan
+    # the 1-row corpus-size aggregate broadcasts; dfreq broadcasts at this
+    # scale (term dimension < threshold)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_dataset_split_prunes_to_key_and_weight_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_dataset_split")
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "doc_id" in read and "n_chars" in read and "text" not in read
+
+
+def test_degree_distribution_is_two_partial_aggs(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "graph_degree_distribution")
+    # both the per-account degree count and the bucket histogram must
+    # map-side combine before their exchanges
+    assert plan.count("partial_count") >= 2
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "o_custkey" in read and "o_orderdate" not in read

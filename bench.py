@@ -88,10 +88,16 @@ def main() -> None:
         return time.time() - t0
 
     # best of 2: single-run numbers on a shared box carry multi-second
-    # scheduler noise; min-of-2 reports the plan's actual cost
+    # scheduler noise; min-of-2 reports the plan's actual cost.
+    # Per-query try/except: one broken query must cost its own number,
+    # never the whole bench run (round-2 lesson: rc=1 -> zero data).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        timings[name] = round(min(run_once(name), run_once(name)), 3)
+        try:
+            timings[name] = round(min(run_once(name), run_once(name)), 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     # The reference's actual workload: the follower ETL itself. Drain 20k
     # synthetic blocks (chain DataSource, mock transport) through the full
@@ -140,18 +146,24 @@ def main() -> None:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
-    timings["follow_pipeline_20k_blocks"] = round(
-        min(run_follow(), run_follow()), 3
-    )
+    try:
+        timings["follow_pipeline_20k_blocks"] = round(
+            min(run_follow(), run_follow()), 3
+        )
+    except Exception as e:  # noqa: BLE001
+        errors["follow_pipeline_20k_blocks"] = f"{type(e).__name__}: {e}"[:300]
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -386,7 +386,7 @@ def join_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cohort_retention",
     f"""WITH {EVENTS_NORM},
        first_seen AS (SELECT user_id, min(ts) AS ft FROM events_norm GROUP BY 1)
-       SELECT CAST(date_trunc('week', f.ft) AS DATE) AS cohort_week,
+       SELECT date_trunc('week', f.ft) AS cohort_week,
               date_diff('day', date_trunc('week', f.ft),
                         date_trunc('week', e.ts)) // 7 AS week_offset,
               count(DISTINCT e.user_id) AS n_active
@@ -410,7 +410,10 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return (
         j.groupBy(
-            cohort.cast("date").alias("cohort_week"),
+            # keep the week as a TIMESTAMP on both sides: DuckDB DATE and
+            # Spark DateType render differently in the driver's pandas
+            # canonicalisation ('2024-01-01' vs '2024-01-01 00:00:00')
+            cohort.alias("cohort_week"),
             offset.alias("week_offset"),
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
@@ -423,9 +426,9 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
          FROM documents)
        SELECT doc_id, n_tokens,
-              (sum(n_tokens) OVER (ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - 1) // 4096 AS pack_id
+              ((sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - 1) // 4096)::BIGINT AS pack_id
        FROM toks""",
     doc="Sequence packing: assign documents to fixed 4096-token context "
         "windows by integer prefix-sum over a deterministic order — the "
@@ -888,7 +891,7 @@ def agg_grouped_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""WITH {EVENTS_NORM}
        SELECT event_type,
               count(*) AS n_with_k,
-              sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+              sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
               round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k
        FROM events_norm
        WHERE json_extract_string(props, '$.k') IS NOT NULL
@@ -1076,9 +1079,9 @@ def window_ntile_decile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
          FROM documents)
        SELECT doc_id, n_tokens,
-              (sum(n_tokens) OVER (ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - 1) // 4096 AS pack_id
+              ((sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - 1) // 4096)::BIGINT AS pack_id
        FROM toks""",
     doc="Sequence packing via the distributed prefix-sum "
         "(operators/aggregates.py:distributed_prefix_sum): bit-identical "

@@ -401,24 +401,31 @@ b AS (SELECT media_id, n_bytes,
              list_transform(generate_series(1, n_bytes::INT),
                             i -> ord(substr(text, i, 1)) % 8) AS bytes8
       FROM m)
-SELECT media_id, n_bytes,
-       list_transform(generate_series(0, 7),
-           j -> round(len(list_filter(bytes8, x -> x = j))
-                      / greatest(1, n_bytes)::DOUBLE, 6)) AS feature
-FROM b""",
+SELECT media_id, n_bytes, j.j AS bin,
+       round(len(list_filter(bytes8, x -> x = j.j))
+             / greatest(1, n_bytes)::DOUBLE, 6) AS frac
+FROM b, generate_series(0, 7) j(j)""",
     doc="Multimodal decode/feature-extract plumbing: opaque binary payload "
         "-> mapInPandas (Arrow-batched, bounded memory) -> fixed-dim "
-        "feature vector. The decode is the deterministic byte-histogram "
-        "stand-in (operators/llm/multimodal.py — real codecs are stubbed; "
-        "payloads here are ASCII so the SQL oracle reproduces bytes via "
-        "codepoints).",
+        "feature vector, posexploded to one (media_id, bin, frac) row per "
+        "histogram bucket so every value is a scalar the driver's "
+        "order-insensitive hash can canonicalise (array columns are "
+        "unsortable in its pandas compare). The decode is the "
+        "deterministic byte-histogram stand-in "
+        "(operators/llm/multimodal.py — real codecs are stubbed; payloads "
+        "here are ASCII so the SQL oracle reproduces bytes via codepoints).",
     tags=("llm", "multimodal", "udf"),
 )
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.llm.multimodal import extract_features_checked, text_as_media
 
     media = text_as_media(load_table(spark, sf_dir, "documents"))
-    return extract_features_checked(media, dim=8)
+    feats = extract_features_checked(media, dim=8)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.posexplode("feature").alias("bin", "frac"),
+    ).withColumn("bin", F.col("bin").cast("long"))
 
 
 # fewer planes than the ANN query: near-dup recall needs coarser buckets
@@ -871,17 +878,21 @@ def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_inverted_index",
     """WITH ex AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
                   FROM documents)
-       SELECT term, count(*) AS df, list_sort(list(doc_id)) AS postings
+       SELECT term, count(*) AS df,
+              array_to_string(list_sort(list(doc_id)), ',') AS postings
        FROM ex GROUP BY 1""",
     doc="Inverted-index construction: term -> document frequency + sorted "
-        "posting list. The shuffle carries only (term, doc_id) pairs; "
+        "posting list (rendered as a comma-joined string for the driver's "
+        "scalar-only hash compare; the array form is text.inverted_index). "
+        "The shuffle carries only (term, doc_id) pairs; "
         "sort_array(collect_list) pins posting order. Scale path: segment "
         "hot terms by doc-id range and delta-encode "
         "(operators/llm/text.py:inverted_index).",
     tags=("llm", "text"),
 )
 def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.inverted_index(load_table(spark, sf_dir, "documents"))
+    idx = text.inverted_index(load_table(spark, sf_dir, "documents"))
+    return idx.withColumn("postings", F.array_join("postings", ","))
 
 
 @register(
@@ -909,7 +920,7 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""SELECT source, count(*) AS n_docs,
                sum(CASE WHEN len(list_filter(string_split(text, ' '),
                                              x -> x IN ({_in_list(text.BLOCKLIST)}))) > 0
-                        THEN 1 ELSE 0 END) AS n_flagged,
+                        THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
                round(sum(CASE WHEN len(list_filter(string_split(text, ' '),
                                                    x -> x IN ({_in_list(text.BLOCKLIST)}))) > 0
                               THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 8)
@@ -959,7 +970,7 @@ def llm_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
        SELECT CASE WHEN bucket < 80 THEN 'train'
                    WHEN bucket < 90 THEN 'val'
                    ELSE 'test' END AS split,
-              count(*) AS n_docs, sum(n_chars) AS n_chars_total
+              count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars_total
        FROM b GROUP BY 1""",
     doc="Deterministic 80/10/10 train/val/test split by key hash — the "
         "disjoint-range companion to llm_sample_hash: same engine-portable "

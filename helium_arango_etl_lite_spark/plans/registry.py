@@ -46,14 +46,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts normalised from unix-nanos (long) to a microsecond
-    TIMESTAMP — mirrored by the oracle fragment EVENTS_NORM (DuckDB reads
-    the same column as TIMESTAMP_NS and truncates on ::TIMESTAMP; both
-    sides floor, so values agree exactly)."""
+    """events with ts normalised to a microsecond TIMESTAMP regardless of
+    how the parquet file stores it — the driver testdata has shipped it
+    both as unix-nanos stored in an int64 (read as bigint under
+    nanosAsLong) and as TIMESTAMP(MICROS) without UTC adjustment (read as
+    TIMESTAMP_NTZ). Branch on the observed dtype instead of assuming one.
+    Mirrored by the oracle fragment EVENTS_NORM (DuckDB's ``ts::TIMESTAMP``
+    is the identity on micros and a floor on nanos; both sides floor, so
+    values agree exactly)."""
     from pyspark.sql import functions as F
 
     ev = load_table(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    t = dict(ev.dtypes)["ts"]
+    if t in ("bigint", "long"):  # unix-nanos as int64
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if t != "timestamp":  # timestamp_ntz: wall clock is already correct;
+        # cast via session tz (UTC) so downstream window/session_window/lag
+        # see the TimestampType the rest of the catalog was verified with
+        return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
 
 
 # Oracle-side twin of load_events: prepend to any events oracle SQL.

@@ -51,6 +51,10 @@ HEADLINE = [
     "window_ntile_decile_scalable",  # exact global rank, no 1-task window
     "llm_bm25_search",          # shuffle-free scoring + TakeOrdered
     "llm_inverted_index",       # posting-list build (term-key shuffle)
+    "llm_semdedup",             # IVF-cell-scoped semantic dedup
+    "llm_char_entropy",         # char-explode entropy aggregate
+    "window_time_range_sum",    # time-RANGE window frame
+    "agg_grouping_sets",        # multi-grouping Expand + single agg
 ]
 
 SMALL_OUTPUT = {

@@ -342,3 +342,56 @@ def quantize_int8(
         ).alias("rmse"),
         F.size(F.filter(q, lambda x: F.abs(x) == 127)).alias("n_saturated"),
     )
+
+
+def semdedup(
+    emb: DataFrame, threshold: float = 0.5, centroid_mod: int = 37,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    round_dp: int = 4, assign_dp: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster the corpus (here the IVF
+    deterministic-centroid assignment from :func:`ivf_topk`), then mark as
+    duplicate every vector that has a LOWER-id cell-mate with cosine >=
+    ``threshold``. Returns one row per vector with its cell and keep flag.
+
+    This is the scale shape of embedding near-dup: the O(n^2) pair search
+    runs only WITHIN a cell (n/K rows each), so the shuffle keys are
+    (cell, id) and the cross product never materialises corpus-wide. A
+    production pass k-means-refines the centroids; the per-iteration
+    dataflow is identical.
+    """
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    cents = e.filter((F.col(id_col) % centroid_mod) == 1).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col("cid"),
+        F.round(cosine(F.col("v"), F.col("cv")), assign_dp).alias("asim"),
+    )
+    assigned = scored.groupBy(id_col).agg(
+        F.max(F.struct("asim", "cid"))["cid"].alias("cell")
+    )
+    cells = e.join(assigned, id_col)
+    a = cells.select(
+        F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("cell")
+    )
+    b = cells.select(
+        F.col(id_col).alias("vec_b"), F.col("v").alias("vb"),
+        F.col("cell").alias("cell_b"),
+    )
+    # within-cell pairs only; a < b so the earliest id in a dup group is kept
+    dup_b = (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), round_dp) >= threshold)
+        .select(F.col("vec_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        cells.join(dup_b.withColumn("dup", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.when(F.col("dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        )
+    )

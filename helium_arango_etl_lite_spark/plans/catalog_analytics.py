@@ -386,7 +386,7 @@ def join_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cohort_retention",
     f"""WITH {EVENTS_NORM},
        first_seen AS (SELECT user_id, min(ts) AS ft FROM events_norm GROUP BY 1)
-       SELECT date_trunc('week', f.ft) AS cohort_week,
+       SELECT date_trunc('week', f.ft)::TIMESTAMP AS cohort_week,
               date_diff('day', date_trunc('week', f.ft),
                         date_trunc('week', e.ts)) // 7 AS week_offset,
               count(DISTINCT e.user_id) AS n_active

@@ -1,0 +1,392 @@
+"""Round-3 catalog: set operations, grouping sets, time-range windows,
+rank distributions, string aggregation, and the remaining LLM
+training-data-pipeline passes (char entropy, sequence-length buckets,
+importance sampling, semantic dedup).
+
+Same contract as every catalog module: each entry pairs a Spark DataFrame
+program with the DuckDB oracle SQL the driver runs side-by-side; aliases
+and value rendering match exactly (ints stay BIGINT, weeks stay TIMESTAMP,
+float reductions round inside both programs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash32, hash32_oracle_sql
+from ..operators.llm import similarity
+from .registry import EVENTS_NORM, load_events, load_table, register
+
+_COS4 = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+)
+_COS6 = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+# ---------------------------------------------------------------------------
+# relational / OLAP additions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_ops_customers",
+    """WITH h1 AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                     AND o_orderdate < TIMESTAMP '1997-07-01'),
+       h2 AS (SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01')
+       SELECT o_custkey AS custkey, 'both' AS segment
+       FROM (SELECT o_custkey FROM h1 INTERSECT SELECT o_custkey FROM h2)
+       UNION ALL
+       SELECT o_custkey AS custkey, 'h1_only' AS segment
+       FROM (SELECT o_custkey FROM h1 EXCEPT SELECT o_custkey FROM h2)
+       UNION ALL
+       SELECT o_custkey AS custkey, 'h2_only' AS segment
+       FROM (SELECT o_custkey FROM h2 EXCEPT SELECT o_custkey FROM h1)""",
+    doc="INTERSECT / EXCEPT set algebra: customers active in both halves "
+        "of 1997, only H1, or only H2. Spark plans set ops as "
+        "aggregate-free left-semi / left-anti joins over the distinct "
+        "key sets; the date filters push to the orders scan, so both "
+        "inputs are pruned before the first shuffle. At 100 TB the two "
+        "halves share one exchange on o_custkey (same key, AQE-reused).",
+    tags=("setop", "relational"),
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    h1 = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    h2 = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    both = h1.intersect(h2).select(
+        F.col("o_custkey").alias("custkey"), F.lit("both").alias("segment")
+    )
+    only1 = h1.exceptAll(h2).select(
+        F.col("o_custkey").alias("custkey"), F.lit("h1_only").alias("segment")
+    )
+    only2 = h2.exceptAll(h1).select(
+        F.col("o_custkey").alias("custkey"), F.lit("h2_only").alias("segment")
+    )
+    return both.unionAll(only1).unionAll(only2)
+
+
+@register(
+    "agg_grouping_sets",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              count(*) AS n,
+              round(sum(o_totalprice), 2) AS total
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                               (o_orderstatus, o_orderpriority), ())""",
+    doc="GROUPING SETS over (status), (priority), (status, priority), () "
+        "— the general form of which agg_rollup / agg_cube are the "
+        "lattice special cases. Spark expands the sets into one Expand "
+        "node feeding a single hash aggregate: one scan, one shuffle, "
+        "all four groupings. NULL markers are coalesced to 'ALL' on both "
+        "engines so the driver's renderer sees identical strings.",
+    tags=("agg", "olap"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    gs = o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"],
+         ["o_orderstatus", "o_orderpriority"], []],
+        "o_orderstatus", "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    return gs.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "n",
+        "total",
+    )
+
+
+@register(
+    "window_time_range_sum",
+    f"""WITH {EVENTS_NORM}
+       SELECT event_id, user_id, ts,
+              round(sum(value) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+                6) AS hour_sum
+       FROM events_norm""",
+    doc="Time-RANGE window frame: per-user trailing 1-hour sum of value "
+        "at every event — the true range frame (peers by timestamp "
+        "distance, not row offset) that window_moving_avg's ROWS frame "
+        "approximates. Spark orders on unix_micros and uses an integer "
+        "rangeBetween, exactly DuckDB's inclusive INTERVAL bound. One "
+        "shuffle on user_id; frames evaluate in a single sorted pass "
+        "per partition at any scale.",
+    tags=("window", "temporal"),
+)
+def window_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 6).alias("hour_sum"),
+    )
+
+
+@register(
+    "window_rank_distribution",
+    """SELECT s_suppkey AS suppkey, s_nationkey AS nationkey,
+              round(percent_rank() OVER
+                  (PARTITION BY s_nationkey ORDER BY s_acctbal), 8)
+                AS pct_rank,
+              round(cume_dist() OVER
+                  (PARTITION BY s_nationkey ORDER BY s_acctbal), 8)
+                AS cume
+       FROM supplier""",
+    doc="percent_rank + cume_dist over account balance within nation — "
+        "the distributional window functions (rank-based, peer-aware) "
+        "complementing window_ntile_decile's bucketing. Identical SQL "
+        "definitions on both engines; one shuffle on the partition key.",
+    tags=("window", "olap"),
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+    return s.select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+    )
+
+
+@register(
+    "agg_string_agg",
+    """SELECT s_nationkey AS nationkey,
+              count(*) AS n_suppliers,
+              string_agg(s_name, ',' ORDER BY s_name) AS supplier_csv
+       FROM supplier GROUP BY 1""",
+    doc="Ordered string aggregation (LISTAGG): per-nation sorted CSV of "
+        "supplier names. Spark form is concat_ws over "
+        "array_sort(collect_list(...)) — collect_list is the one "
+        "aggregate whose result order is partition-dependent, so the "
+        "array_sort is load-bearing for determinism on ANY cluster "
+        "layout. Bounded group sizes only (a dimension roster, not a "
+        "fact table): the row grows with the group.",
+    tags=("agg", "string"),
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias(
+            "supplier_csv"
+        ),
+    )
+
+
+@register(
+    "agg_stats_profile",
+    """SELECT l_returnflag AS flag,
+              round(stddev_samp(l_extendedprice), 4) AS price_sd,
+              round(var_samp(l_discount), 8) AS disc_var,
+              round(corr(l_quantity, l_extendedprice), 8) AS qty_price_corr,
+              round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov
+       FROM lineitem GROUP BY 1""",
+    doc="Statistical-moment profile per return flag: sample stddev / "
+        "variance, Pearson correlation, sample covariance — the "
+        "column-statistics pass a data-quality or feature-engineering "
+        "stage runs. All four are single-pass partial-aggregable "
+        "(sum/sum2/sumxy moments), so the shuffle carries O(groups) "
+        "moment tuples at any scale.",
+    tags=("agg", "stats"),
+)
+def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_sd"),
+        F.round(F.var_samp("l_discount"), 8).alias("disc_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 8).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_cov"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM training-data pipeline additions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_char_entropy",
+    """WITH ch AS (
+         SELECT doc_id,
+                unnest(list_transform(generate_series(1, strlen(text)),
+                                      i -> substr(text, i, 1))) AS ch
+         FROM documents),
+       cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+       tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1)
+       SELECT cnt.doc_id,
+              round(-sum((cnt.c / tot.n) * ln(cnt.c / tot.n)), 6) AS entropy
+       FROM cnt JOIN tot USING (doc_id)
+       GROUP BY 1""",
+    doc="Per-document character-level Shannon entropy (nats) — the "
+        "gibberish / compression-quality signal used alongside "
+        "llm_quality_score. Explode to (doc_id, char), count, entropy "
+        "over the per-doc distribution: two shuffles on doc_id-keyed "
+        "pairs, both partial-aggregated map-side, so the exploded stream "
+        "never materialises. Rounded to 6 dp (order-dependent double "
+        "sum over <=|alphabet| terms).",
+    tags=("llm", "text", "quality"),
+)
+def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text")),
+                lambda i: F.substr(F.col("text"), i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    )
+
+
+@register(
+    "llm_seq_len_buckets",
+    """WITH toks AS (
+         SELECT len(string_split(text, ' '))::BIGINT AS n_tokens
+         FROM documents)
+       SELECT CASE WHEN n_tokens <= 1 THEN 1
+                   ELSE (1::BIGINT << length(bin(n_tokens - 1))) END
+                AS bucket_max,
+              count(*) AS n_docs,
+              sum(n_tokens)::BIGINT AS total_tokens
+       FROM toks GROUP BY 1""",
+    doc="Sequence-length histogram on power-of-two buckets (bucket_max = "
+        "2^ceil(log2(n))) — the batch-shape planning pass before packing "
+        "(llm_doc_pack): how many docs fit each context size. The bucket "
+        "is integer bit-length arithmetic on both engines (no float log, "
+        "no boundary ambiguity). Map-only + a tiny aggregate.",
+    tags=("llm", "packing", "stats"),
+)
+def llm_seq_len_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    # ceil(log2(n)) as the binary-string length of n-1: pure integer path
+    # (shiftleft's bit count must be an expression -> SQL form)
+    bucket = F.when(F.col("n_tokens") <= 1, F.lit(1).cast("long")).otherwise(
+        F.expr(
+            "shiftleft(cast(1 as bigint), "
+            "length(conv(cast(n_tokens - 1 as string), 10, 2)))"
+        )
+    )
+    return (
+        toks.select(bucket.alias("bucket_max"), "n_tokens")
+        .groupBy("bucket_max")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "llm_importance_sample",
+    f"""WITH w AS (
+         SELECT doc_id, source, n_chars,
+                least(1.0, n_chars / 400.0) AS p,
+                ({hash32_oracle_sql("doc_id::VARCHAR || ':is'")} % 10000)
+                  / 10000.0 AS u
+         FROM documents)
+       SELECT doc_id, source, round(p, 6) AS p
+       FROM w WHERE u < p""",
+    doc="Deterministic importance sampling: accept each document with "
+        "probability proportional to a quality weight (here a length "
+        "ramp, capped at 1) by comparing the weight against a uniform "
+        "draw derived from the doc key's hash — reproducible across "
+        "runs, engines, and cluster sizes, unlike rand(). Map-only "
+        "filter; at 100 TB this is the resampling pass that reshapes a "
+        "corpus mixture without a shuffle.",
+    tags=("llm", "sampling"),
+)
+def llm_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    p = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    u = (
+        hash32(F.concat(F.col("doc_id").cast("string"), F.lit(":is"))) % 10000
+    ) / F.lit(10000.0)
+    return d.filter(u < p).select(
+        "doc_id", "source", F.round(p, 6).alias("p")
+    )
+
+
+_SEMDEDUP_SQL = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 37 = 1),
+asg AS (SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS6.format(a='e.v', b='c.cv')} DESC, c.cid DESC) AS rn
+    FROM e, c) WHERE rn = 1),
+cells AS (SELECT e.vec_id, e.v, asg.cell FROM e JOIN asg USING (vec_id)),
+dup AS (SELECT DISTINCT b.vec_id
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_COS4.format(a='a.v', b='b.v')} >= 0.5)
+SELECT cells.vec_id, cells.cell,
+       CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM cells LEFT JOIN dup ON cells.vec_id = dup.vec_id"""
+
+
+@register(
+    "llm_semdedup",
+    _SEMDEDUP_SQL,
+    doc="SemDeDup-style semantic dedup: IVF-cell clustering (same "
+        "deterministic centroid assignment as llm_ann_ivf), then within "
+        "each cell drop every vector with a lower-id cell-mate at cosine "
+        ">= 0.5 (operators/llm/similarity.py:semdedup). The pair search "
+        "is cell-local, so the cross product is n/K-sized per cell and "
+        "the shuffle keys are (cell, id) — the published SemDeDup recipe "
+        "expressed as two joins and an argmax.",
+    tags=("llm", "dedup", "similarity"),
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semdedup(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.5, centroid_mod=37,
+    )

@@ -364,3 +364,45 @@ def test_degree_distribution_is_two_partial_aggs(spark, sf_dir):
     assert plan.count("partial_count") >= 2
     read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "o_custkey" in read and "o_orderdate" not in read
+
+
+def test_grouping_sets_expands_with_single_aggregate_pass(spark, sf_dir):
+    # GROUPING SETS must compile to one Expand feeding a partial+final hash
+    # aggregate — one scan and one shuffle for all four groupings, never a
+    # union of per-grouping scans
+    plan = plan_of(spark, sf_dir, "agg_grouping_sets")
+    assert "Expand" in plan
+    # formatted explain lists every node twice (tree + detail): one scan
+    # node shows as exactly two occurrences
+    assert plan.count("Scan parquet") == 2
+
+
+def test_importance_sample_is_map_only(spark, sf_dir):
+    # deterministic hash sampling is a scan + filter + project: no KEY
+    # shuffle anywhere (the round-robin repartition load_table injects in
+    # the splits<cores test env is not a key exchange and vanishes at scale)
+    plan = plan_of(spark, sf_dir, "llm_importance_sample")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_time_range_window_single_shuffle_on_user(spark, sf_dir):
+    # the RANGE frame evaluates in one sorted pass per user partition: the
+    # only KEY exchange is the window's hashpartitioning on user_id
+    plan = plan_of(spark, sf_dir, "window_time_range_sum")
+    assert plan.count("hashpartitioning") == 1  # detail Arguments line only
+    assert "user_id" in plan.split("hashpartitioning", 1)[1][:60]
+
+
+def test_semdedup_broadcasts_centroids(spark, sf_dir):
+    # the centroid set is tiny (n/37): assignment must be a broadcast
+    # nested-loop/hash join, never a shuffled cross product of the corpus
+    plan = plan_of(spark, sf_dir, "llm_semdedup")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_seq_len_buckets_partial_aggregates(spark, sf_dir):
+    # the histogram must partial-aggregate map-side: the shuffle carries
+    # O(buckets) rows, not O(docs)
+    plan = plan_of(spark, sf_dir, "llm_seq_len_buckets")
+    assert plan.count("HashAggregate") >= 2

@@ -390,3 +390,152 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         threshold=0.5, centroid_mod=37,
     )
+
+
+@register(
+    "window_first_last",
+    f"""WITH {EVENTS_NORM}
+       SELECT DISTINCT user_id,
+              first_value(event_type) OVER w AS first_type,
+              last_value(event_type) OVER w AS last_type,
+              nth_value(event_type, 2) OVER w AS second_type
+       FROM events_norm
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)""",
+    doc="first_value / last_value / nth_value over each user's full "
+        "ordered history (unbounded frame, deterministic ts+event_id "
+        "order) — entry/exit/second-touch attribution in one window "
+        "pass. DISTINCT collapses the per-event frame results to one row "
+        "per user; both the window and the distinct hash on user_id, so "
+        "AQE reuses a single exchange.",
+    tags=("window", "temporal"),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    ).distinct()
+
+
+@register(
+    "llm_oov_rate",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents),
+       vocab AS (SELECT t FROM (
+           SELECT t, count(*) AS c, row_number() OVER
+                  (ORDER BY count(*) DESC, t ASC) AS rn
+           FROM tok GROUP BY t) WHERE rn <= 100),
+       flags AS (SELECT tok.doc_id,
+                        CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END AS oov
+                 FROM tok LEFT JOIN vocab ON tok.t = vocab.t)
+       SELECT doc_id, count(*) AS n_tokens,
+              sum(oov)::BIGINT AS n_oov,
+              round(sum(oov)::DOUBLE / count(*), 6) AS oov_rate
+       FROM flags GROUP BY 1""",
+    doc="Out-of-vocabulary rate per document against the corpus's own "
+        "top-100 token vocabulary — the train-then-apply shape every "
+        "corpus-derived filter uses: pass 1 aggregates the vocabulary "
+        "(partial-agg shuffle on token), pass 2 scores docs with the "
+        "vocabulary BROADCAST to a map-side left join (no second "
+        "corpus-wide shuffle on token). At 100 TB the vocab stays tiny "
+        "by construction (top-k), so the broadcast never grows with "
+        "the data.",
+    tags=("llm", "text", "quality"),
+)
+def llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    wv = Window.orderBy(F.desc("c"), F.asc("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("t", F.row_number().over(wv).alias("rn"))
+        .filter(F.col("rn") <= 100)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    flags = tok.join(F.broadcast(vocab), "t", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        flags.select("doc_id", oov.alias("oov"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("oov").cast("long").alias("n_oov"),
+            F.round(F.sum("oov") / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+    )
+
+
+@register(
+    "llm_ngram_lm_score",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       uni AS (SELECT unnest(a) AS w FROM tok),
+       ucnt AS (SELECT w, count(*) AS cu FROM uni GROUP BY 1),
+       nu AS (SELECT count(*) AS n FROM uni),
+       bg AS (SELECT doc_id,
+                     unnest(CASE WHEN len(a) >= 2
+                            THEN list_transform(generate_series(1, len(a) - 1),
+                                                i -> a[i] || ' ' || a[i + 1])
+                            ELSE []::VARCHAR[] END) AS b
+              FROM tok),
+       bcnt AS (SELECT b, count(*) AS cb FROM bg GROUP BY 1),
+       scored AS (SELECT bg.doc_id,
+                         ln((bcnt.cb + 1.0)
+                            / (ucnt.cu + (SELECT count(*) FROM ucnt)))
+                           AS lp
+                  FROM bg
+                  JOIN bcnt ON bg.b = bcnt.b
+                  JOIN ucnt ON string_split(bg.b, ' ')[1] = ucnt.w)
+       SELECT doc_id, count(*) AS n_bigrams,
+              round(avg(lp), 6) AS mean_logprob
+       FROM scored GROUP BY 1""",
+    doc="Bigram language-model quality score (CCNet/KenLM-style filter): "
+        "train add-one-smoothed bigram probabilities on the corpus "
+        "itself, then score each document's mean log P(w_i | w_{i-1}). "
+        "Train = two partial-agg shuffles (unigram, bigram counts); "
+        "apply = explode bigrams and join counts on the bigram key "
+        "(Zipf-skewed -> AQE skew split), one avg per doc. The smoothing "
+        "denominator uses the unigram-context count + |V|, all integer "
+        "inputs so the only float is the final ln, rounded 6 dp.",
+    tags=("llm", "text", "quality"),
+)
+def llm_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.split("text", " ").alias("a"))
+    uni = tok.select(F.explode("a").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    vocab_size = ucnt.count()  # tiny scalar (|V|), like the corpus-size
+    # scalars in llm_tfidf_topk; computed once driver-side
+    bigram = F.zip_with(
+        F.slice(F.col("a"), 1, F.greatest(F.size("a") - 1, F.lit(0))),
+        F.slice(F.col("a"), 2, F.greatest(F.size("a") - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    bg = tok.select(
+        "doc_id", F.explode(bigram).alias("b")
+    ).withColumn("w1", F.split("b", " ")[0])
+    bcnt = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bg.join(bcnt, "b")
+        .join(ucnt, bg["w1"] == ucnt["w"])
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("cb") + F.lit(1.0))
+                / (F.col("cu") + F.lit(float(vocab_size)))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )

@@ -539,3 +539,44 @@ def llm_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("mean_logprob"),
     )
+
+
+@register(
+    "llm_paragraph_dedup",
+    """WITH s AS (SELECT doc_id, unnest(string_split(text, '. ')) AS sent
+                  FROM documents),
+       f AS (SELECT doc_id, md5(sent) AS h FROM s WHERE strlen(sent) > 0),
+       d AS (SELECT h, count(DISTINCT doc_id) AS nd FROM f GROUP BY 1)
+       SELECT f.doc_id, count(*) AS n_sents,
+              sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+              round(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END)::DOUBLE
+                    / count(*), 6) AS dup_ratio
+       FROM f JOIN d USING (h) GROUP BY 1""",
+    doc="Cross-document paragraph/sentence dedup signal (Dolma-style): "
+        "fraction of each document's sentences that also appear verbatim "
+        "in at least one OTHER document — the sub-document complement of "
+        "llm_repetition_score (intra-doc) and llm_dedup_exact (whole-doc). "
+        "Sentences travel as md5 hashes, so the shuffle key is 16 bytes "
+        "regardless of sentence length; the distinct-doc count "
+        "partial-aggregates map-side. At 100 TB add a frequency cap on "
+        "ubiquitous boilerplate hashes (same dial as "
+        "ngram_jaccard_pairs.max_shingle_freq).",
+    tags=("llm", "dedup", "text"),
+)
+def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sents = d.select(
+        "doc_id", F.explode(F.split("text", "\\. ")).alias("sent")
+    ).filter(F.length("sent") > 0)
+    f = sents.select("doc_id", F.md5("sent").alias("h"))
+    nd = f.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return (
+        f.join(nd, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sents"),
+            F.sum(dup).cast("long").alias("n_dup"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_ratio"),
+        )
+    )

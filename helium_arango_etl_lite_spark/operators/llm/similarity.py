@@ -111,6 +111,7 @@ def ivf_topk(
     emb: DataFrame, query_id: int, k: int = 5, centroid_mod: int = 37,
     nprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
     round_dp: int = 4, assign_dp: int = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: one-pass centroid assignment, probe the
     ``nprobe`` nearest cells, exact cosine within the probed cells.
@@ -127,11 +128,18 @@ def ivf_topk(
 
     Similarities are rounded (``assign_dp``) with cell-id tiebreak before
     the argmax so the assignment is engine-order independent.
+
+    **Scale note (10x soak finding, SCALE_SOAK.md):** the ``id % mod``
+    default grows the centroid set WITH the corpus, making assignment
+    O(n^2/mod) — fine for the oracle-checked fixture, wrong at 100 TB.
+    Pass ``centroids`` (a ``(cid, cv)`` frame, e.g. k-means-learned,
+    fixed K) and assignment stays O(n*K) at any corpus size; the rest of
+    the dataflow is identical.
     """
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    cents = e.filter((F.col(id_col) % centroid_mod) == 1).select(
-        F.col(id_col).alias("cid"), F.col("v").alias("cv")
-    )
+    cents = centroids if centroids is not None else e.filter(
+        (F.col(id_col) % centroid_mod) == 1
+    ).select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
     scored = e.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col("cid"),
@@ -348,6 +356,7 @@ def semdedup(
     emb: DataFrame, threshold: float = 0.5, centroid_mod: int = 37,
     id_col: str = "vec_id", vec_col: str = "embedding",
     round_dp: int = 4, assign_dp: int = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster the corpus (here the IVF
     deterministic-centroid assignment from :func:`ivf_topk`), then mark as
@@ -359,11 +368,14 @@ def semdedup(
     (cell, id) and the cross product never materialises corpus-wide. A
     production pass k-means-refines the centroids; the per-iteration
     dataflow is identical.
+
+    Like :func:`ivf_topk`, pass ``centroids`` (fixed K) at scale — the
+    ``id % mod`` default grows with the corpus (SCALE_SOAK.md).
     """
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    cents = e.filter((F.col(id_col) % centroid_mod) == 1).select(
-        F.col(id_col).alias("cid"), F.col("v").alias("cv")
-    )
+    cents = centroids if centroids is not None else e.filter(
+        (F.col(id_col) % centroid_mod) == 1
+    ).select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
     scored = e.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col("cid"),

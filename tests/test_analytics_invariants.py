@@ -174,3 +174,28 @@ def test_knn_join_engines_agree(spark, sf_dir):
     a = sorted(tuple(r) for r in knn_join(emb, k=3, engine="arrow").collect())
     b = sorted(tuple(r) for r in knn_join(emb, k=3, engine="expr").collect())
     assert a == b
+
+
+def test_ivf_injected_centroids_fixed_k(spark, sf_dir):
+    """The scale path (SCALE_SOAK.md): with an injected fixed-K centroid
+    frame, ivf_topk/semdedup run the identical dataflow against K cells
+    regardless of corpus size — semdedup still covers the corpus 1:1 and
+    ivf_topk still returns k neighbours."""
+    from helium_arango_etl_lite_spark.operators.llm import similarity
+    from helium_arango_etl_lite_spark.plans.queries import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") % 11 == 3)
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
+    n = emb.count()
+    sd = similarity.semdedup(emb, threshold=0.5, centroids=cents)
+    assert sd.count() == n
+    assert sd.select("cell").distinct().count() <= 8
+    topk = similarity.ivf_topk(emb, query_id=0, k=5, centroids=cents)
+    assert topk.count() == 5

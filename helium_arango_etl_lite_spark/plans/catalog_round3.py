@@ -580,3 +580,139 @@ def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_ratio"),
         )
     )
+
+
+_KMEANS_SQL = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 37 = 1),
+asg AS (SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS6.format(a='e.v', b='c.cv')} DESC, c.cid DESC) AS rn
+    FROM e, c) WHERE rn = 1),
+cells AS (SELECT e.vec_id, e.v, asg.cell FROM e JOIN asg USING (vec_id))
+SELECT cell, j.j AS dim, round(avg(v[j.j]), 6) AS mean_val
+FROM cells, generate_series(1, 64) j(j)
+GROUP BY 1, 2"""
+
+
+@register(
+    "llm_kmeans_iter",
+    _KMEANS_SQL,
+    doc="One k-means M-step: recompute each centroid as the per-dimension "
+        "mean of its assigned vectors (E-step = the same broadcast argmax "
+        "assignment as llm_ann_ivf / llm_centroid_assign). The vector "
+        "mean is a posexplode to (cell, dim, component) + one partial-agg "
+        "shuffle keyed on (cell, dim) — O(K*d) output rows at any corpus "
+        "size, so iterating to convergence is a fixed number of linear "
+        "passes. Completes the IVF/semdedup story: this is how the "
+        "injected fixed-K centroid set (SCALE_SOAK.md) gets learned.",
+    tags=("llm", "similarity", "iterative"),
+)
+def llm_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.similarity import _as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    cents = e.filter(F.col("vec_id") % 37 == 1).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("asim"),
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max(F.struct("asim", "cid"))["cid"].alias("cell")
+    )
+    cells = e.join(assigned, "vec_id")
+    comp = cells.select(
+        "cell", F.posexplode("v").alias("pos", "x")
+    ).select("cell", (F.col("pos") + 1).cast("long").alias("dim"), "x")
+    return comp.groupBy("cell", "dim").agg(
+        F.round(F.avg("x"), 6).alias("mean_val")
+    )
+
+
+@register(
+    "window_sliding_time",
+    f"""WITH {EVENTS_NORM},
+       slid AS (SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                                      - i.i * 900000000) AS win_start,
+                       value
+                FROM events_norm, generate_series(0, 3) i(i))
+       SELECT win_start, count(*) AS n_events,
+              round(sum(value), 6) AS sum_value
+       FROM slid GROUP BY 1""",
+    doc="Sliding time window (1 h window, 15 min slide): every event "
+        "contributes to exactly 4 overlapping windows — Spark's "
+        "F.window(ts, '1 hour', '15 minutes') compiles the fan-out into "
+        "an Expand (no self-join), then one partial-agg shuffle on the "
+        "window start. The streaming twin (streaming/windows.py "
+        "windowed_activity) runs the same expression incrementally with "
+        "a watermark; the oracle reproduces the window set as "
+        "floor-to-slide minus 0..3 slide steps.",
+    tags=("window", "agg", "temporal"),
+)
+def window_sliding_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "llm_mix_rebalance",
+    f"""WITH per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       tgt AS (SELECT min(n_docs) AS target FROM per),
+       rated AS (SELECT per.source, per.n_docs,
+                        tgt.target::DOUBLE / per.n_docs AS rate
+                 FROM per, tgt),
+       kept AS (SELECT d.source, count(*) AS n_kept
+                FROM documents d JOIN rated r ON d.source = r.source
+                WHERE ({hash32_oracle_sql("d.doc_id::VARCHAR || ':mix'")}
+                       % 1000000) / 1000000.0 < r.rate
+                GROUP BY 1)
+       SELECT rated.source, rated.n_docs, round(rated.rate, 6) AS rate,
+              coalesce(kept.n_kept, 0)::BIGINT AS n_kept
+       FROM rated LEFT JOIN kept ON rated.source = kept.source""",
+    doc="Corpus-mixture rebalancing: downsample every source to the "
+        "smallest source's size with a deterministic hash draw per doc "
+        "(the mixture-reweighting pass of a training-data pipeline, e.g. "
+        "equalizing domains before packing). Per-source rates derive "
+        "from one tiny aggregate that broadcasts back onto the scan — "
+        "the corpus itself is filtered map-side, no shuffle. Hash draw "
+        "is salt ':mix', reproducible anywhere (functions/hashing.py).",
+    tags=("llm", "sampling"),
+)
+def llm_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tgt = per.agg(F.min("n_docs").alias("target"))
+    rated = per.crossJoin(F.broadcast(tgt)).select(
+        "source",
+        "n_docs",
+        (F.col("target").cast("double") / F.col("n_docs")).alias("rate"),
+    )
+    u = (
+        hash32(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))) % 1_000_000
+    ) / F.lit(1_000_000.0)
+    kept = (
+        d.join(F.broadcast(rated), "source")
+        .filter(u < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rated.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -293,8 +293,12 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.explode(word_shingles(F.col(text), shingle_n)).alias("s")
     )
     if max_shingle_freq is not None:
+        # drop ubiquitous shingles via a broadcast ANTI join against the
+        # small hot set — broadcasting the keep-set would ship nearly the
+        # whole shingle vocabulary to every executor at scale
         freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
-        sh = sh.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq).select("s")), "s")
+        hot = freq.filter(F.col("f") > max_shingle_freq).select("s")
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     # three consumers (per-doc sizes + both self-join sides) would each
     # re-run the shingle explode; checkpoint so it is evaluated once
     sh = sh.localCheckpoint(eager=False)

@@ -370,7 +370,12 @@ def semdedup(
     dataflow is identical.
 
     Like :func:`ivf_topk`, pass ``centroids`` (fixed K) at scale — the
-    ``id % mod`` default grows with the corpus (SCALE_SOAK.md).
+    ``id % mod`` default grows with the corpus (SCALE_SOAK.md). Sizing:
+    assignment costs O(n*K), intra-cell pairing O(n^2 / K) *if cells are
+    balanced* — K ~ sqrt(n) balances the two, but balance matters more
+    than K: the pair stage is quadratic in the LARGEST cell (measured
+    10x swings between same-K random subsets), so use k-means-learned
+    centroids and cap/salt-split oversized cells in a production pass.
     """
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
     cents = centroids if centroids is not None else e.filter(

@@ -55,6 +55,8 @@ HEADLINE = [
     "llm_char_entropy",         # char-explode entropy aggregate
     "window_time_range_sum",    # time-RANGE window frame
     "agg_grouping_sets",        # multi-grouping Expand + single agg
+    "llm_dedup_ngram_jaccard_capped",  # hot-shingle-capped scale form
+    "llm_kmeans_iter",          # k-means M-step (centroid learning)
 ]
 
 SMALL_OUTPUT = {

@@ -762,3 +762,119 @@ def llm_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFram
         load_table(spark, sf_dir, "documents"),
         threshold=0.8, max_shingle_freq=25,
     )
+
+
+@register(
+    "join_salted_skew",
+    """SELECT o.o_orderpriority AS priority,
+              count(*) AS n,
+              round(sum(l.l_extendedprice), 2) AS revenue
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       GROUP BY 1""",
+    doc="Skew-salted join with verified-identical output: the fact side "
+        "gets a salt column pmod(hash64(key), 8), the dimension side is "
+        "replicated across the 8 salts with one explode, and the join "
+        "key becomes (key, salt) — a hot orderkey's rows now spread over "
+        "8 reducers instead of one straggler. The oracle is the PLAIN "
+        "join: salting must be a pure physical rewrite, so hash-matching "
+        "against the unsalted SQL proves output equivalence, the same "
+        "verification style as agg_payment_volume_salted. (With AQE's "
+        "skewJoin this is often unnecessary; the manual form covers "
+        "aggregation-free pipelines and engines without runtime "
+        "re-planning.)",
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(n_salt)).cast("int")
+    )
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    j = li.join(
+        o,
+        (li["l_orderkey"] == o["o_orderkey"]) & (li["_salt"] == o["_salt"]),
+    )
+    return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+def _label_prop_oracle() -> str:
+    """Two unrolled label-propagation iterations (min-label tie-break) on
+    the undirected nation money-flow graph — DuckDB twin of the Spark
+    loop in graph_label_propagation."""
+    return """WITH edges0 AS (
+         SELECT DISTINCT c.c_nationkey::INTEGER AS src,
+                         s.s_nationkey::INTEGER AS dst
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         WHERE c.c_nationkey <> s.s_nationkey),
+       edges AS (SELECT src, dst FROM edges0
+                 UNION SELECT dst, src FROM edges0),
+       nodes AS (SELECT n_nationkey::INTEGER AS id FROM nation),
+       l0 AS (SELECT id, id AS lbl FROM nodes),
+       n1 AS (SELECT e.src AS id, min(l0.lbl) AS new_lbl
+              FROM edges e JOIN l0 ON e.dst = l0.id GROUP BY 1),
+       l1 AS (SELECT nodes.id, coalesce(n1.new_lbl, l0.lbl) AS lbl
+              FROM nodes JOIN l0 USING (id)
+              LEFT JOIN n1 ON nodes.id = n1.id),
+       n2 AS (SELECT e.src AS id, min(l1.lbl) AS new_lbl
+              FROM edges e JOIN l1 ON e.dst = l1.id GROUP BY 1),
+       l2 AS (SELECT nodes.id, coalesce(n2.new_lbl, l1.lbl) AS lbl
+              FROM nodes JOIN l1 USING (id)
+              LEFT JOIN n2 ON nodes.id = n2.id)
+       SELECT id AS nation_id, lbl AS community FROM l2"""
+
+
+@register(
+    "graph_label_propagation",
+    _label_prop_oracle(),
+    doc="Community detection by label propagation (2 synchronous "
+        "iterations, min-label rule — deterministic, unlike the "
+        "frequency rule whose ties are engine-order dependent) over the "
+        "undirected nation money-flow graph. Same iterative shape as "
+        "graph_pagerank: the edge extraction scales with the fact data "
+        "and is materialized once; each iteration joins the broadcast "
+        "label vector to the edge list and takes a min per node — "
+        "shuffle keys are node ids, O(V) rows.",
+    tags=("graph", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_analytics import _money_flow_edges
+
+    nodes = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").cast("int").alias("id"))
+    )
+    e0 = _money_flow_edges(spark, sf_dir)
+    edges = (
+        e0.select("src", "dst")
+        .union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select("id", F.col("id").alias("lbl"))
+    for _ in range(2):
+        nbr = (
+            edges.join(
+                F.broadcast(labels.select(F.col("id").alias("nid"), "lbl")),
+                edges["dst"] == F.col("nid"),
+            )
+            .groupBy("src")
+            .agg(F.min("lbl").alias("new_lbl"))
+        )
+        labels = (
+            nodes.join(labels, "id")
+            .join(F.broadcast(nbr), nodes["id"] == nbr["src"], "left")
+            .select(
+                "id", F.coalesce("new_lbl", F.col("lbl")).alias("lbl")
+            )
+        )
+    return labels.select(
+        F.col("id").alias("nation_id"), F.col("lbl").alias("community")
+    )

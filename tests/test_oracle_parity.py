@@ -70,3 +70,19 @@ def test_every_query_runs_at_all(spark, sf_dir):
     for name, spec in QUERIES.items():
         df = spec.spark_fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_outputs_are_scalar_only(spark, sf_dir):
+    """The driver's pandas canonicalisation crashes on array/map/struct
+    output columns (unhashable in sort_values) and the crash aborts every
+    query registered after the offender — the round-2 failure class. Pin
+    the whole catalog to scalar output columns."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, spec in QUERIES.items():
+        df = spec.spark_fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, f"non-scalar output columns: {offenders}"

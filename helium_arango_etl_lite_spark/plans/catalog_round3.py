@@ -878,3 +878,125 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("id").alias("nation_id"), F.col("lbl").alias("community")
     )
+
+
+@register(
+    "llm_ccnet_buckets",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       uni AS (SELECT unnest(a) AS w FROM tok),
+       ucnt AS (SELECT w, count(*) AS cu FROM uni GROUP BY 1),
+       bg AS (SELECT doc_id,
+                     unnest(CASE WHEN len(a) >= 2
+                            THEN list_transform(generate_series(1, len(a) - 1),
+                                                i -> a[i] || ' ' || a[i + 1])
+                            ELSE []::VARCHAR[] END) AS b
+              FROM tok),
+       bcnt AS (SELECT b, count(*) AS cb FROM bg GROUP BY 1),
+       scored AS (SELECT bg.doc_id,
+                         ln((bcnt.cb + 1.0)
+                            / (ucnt.cu + (SELECT count(*) FROM ucnt))) AS lp
+                  FROM bg
+                  JOIN bcnt ON bg.b = bcnt.b
+                  JOIN ucnt ON string_split(bg.b, ' ')[1] = ucnt.w),
+       per_doc AS (SELECT doc_id, round(avg(lp), 6) AS mean_logprob
+                   FROM scored GROUP BY 1),
+       cuts AS (SELECT round(quantile_cont(mean_logprob, 1.0/3.0), 6) AS t1,
+                       round(quantile_cont(mean_logprob, 2.0/3.0), 6) AS t2
+                FROM per_doc)
+       SELECT CASE WHEN mean_logprob >= t2 THEN 'head'
+                   WHEN mean_logprob >= t1 THEN 'middle'
+                   ELSE 'tail' END AS bucket,
+              count(*) AS n_docs
+       FROM per_doc, cuts GROUP BY 1""",
+    doc="CCNet-style corpus partitioning: score every document with the "
+        "bigram-LM mean log-prob (llm_ngram_lm_score) and split the "
+        "corpus into head/middle/tail terciles. The tercile cut-points "
+        "are TWO scalars from one percentile aggregate, broadcast back "
+        "onto a map-side CASE — no global sort, no single-task ntile "
+        "window, so the bucketing step is shuffle-free at any corpus "
+        "size (the same design as window_ntile_decile_scalable, cheaper "
+        "because only the cuts are needed, not per-row ranks). Cuts and "
+        "scores round to 6 dp on both engines before comparison.",
+    tags=("llm", "text", "quality", "sampling"),
+)
+def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = llm_ngram_lm_score(spark, sf_dir).select("doc_id", "mean_logprob")
+    cuts = per_doc.agg(
+        F.round(F.percentile("mean_logprob", 1.0 / 3.0), 6).alias("t1"),
+        F.round(F.percentile("mean_logprob", 2.0 / 3.0), 6).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("mean_logprob") >= F.col("t2"), F.lit("head"))
+        .when(F.col("mean_logprob") >= F.col("t1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "graph_common_neighbors",
+    """WITH edges0 AS (
+         SELECT DISTINCT c.c_nationkey::INTEGER AS src,
+                         s.s_nationkey::INTEGER AS dst
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         WHERE c.c_nationkey <> s.s_nationkey),
+       nbr AS (SELECT src AS id, dst AS n FROM edges0
+               UNION SELECT dst AS id, src AS n FROM edges0),
+       deg AS (SELECT id, count(*) AS d FROM nbr GROUP BY 1),
+       common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+                  FROM nbr a JOIN nbr b ON a.n = b.n AND a.id < b.id
+                  GROUP BY 1, 2)
+       SELECT id_a, id_b, n_common,
+              round(n_common::DOUBLE
+                    / (da.d + db.d - n_common), 6) AS jaccard
+       FROM common
+       JOIN deg da ON da.id = id_a
+       JOIN deg db ON db.id = id_b
+       WHERE n_common >= 20""",
+    doc="Structural node similarity: common-neighbor count and neighbor "
+        "Jaccard for nation pairs in the undirected money-flow graph — "
+        "link prediction / entity-resolution shape on the reference's "
+        "payment graph (README.md:2 adjacency analytics). Same "
+        "exploded-adjacency self-join pattern as the shingle Jaccard "
+        "(dedup.ngram_jaccard_pairs), so the same hot-key cap applies "
+        "when a hub vertex appears: the n_common >= 20 filter here is "
+        "that dial's output-side twin.",
+    tags=("graph", "similarity"),
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_analytics import _money_flow_edges
+
+    e0 = _money_flow_edges(spark, sf_dir)
+    nbr = (
+        e0.select(F.col("src").alias("id"), F.col("dst").alias("n"))
+        .union(e0.select(F.col("dst").alias("id"), F.col("src").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = nbr.groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+    a, b = nbr.alias("a"), nbr.alias("b")
+    common = (
+        a.join(b, (F.col("a.n") == F.col("b.n")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 20)
+    )
+    da = deg.select(F.col("id").alias("id_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("id").alias("id_b"), F.col("d").alias("db"))
+    jacc = F.col("n_common").cast("double") / (
+        F.col("da") + F.col("db") - F.col("n_common")
+    )
+    return (
+        common.join(F.broadcast(da), "id_a")
+        .join(F.broadcast(db), "id_b")
+        .select("id_a", "id_b", "n_common", F.round(jacc, 6).alias("jaccard"))
+    )

@@ -1000,3 +1000,69 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(db), "id_b")
         .select("id_a", "id_b", "n_common", F.round(jacc, 6).alias("jaccard"))
     )
+
+
+@register(
+    "window_gap_islands",
+    f"""WITH {EVENTS_NORM},
+       flagged AS (
+         SELECT user_id, ts, event_id, value,
+                CASE WHEN ts - lag(ts) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_island
+         FROM events_norm),
+       islands AS (
+         SELECT user_id, ts, value,
+                sum(new_island) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS island_id
+         FROM flagged)
+       SELECT user_id, island_id::BIGINT AS island_id,
+              count(*) AS n_events,
+              min(ts) AS island_start, max(ts) AS island_end,
+              round(sum(value), 6) AS sum_value
+       FROM islands GROUP BY 1, 2""",
+    doc="Gaps-and-islands sessionization: lag() flags a row starting a "
+        "new island when the gap to the previous event exceeds 30 min, "
+        "a running sum of flags numbers the islands, then one aggregate "
+        "per (user, island). Window-function twin of agg_session_window "
+        "(native session_window) — same session boundaries by "
+        "construction, but expressible on any engine with windows and "
+        "composable mid-query. Both windows and the final aggregate "
+        "hash on user_id: ONE exchange total, reused across all three "
+        "stages. Ties inside the lag order break on event_id; the "
+        "running sum's ROWS frame is peer-safe because (ts, event_id) "
+        "is unique per user.",
+    tags=("window", "temporal", "session"),
+)
+def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wo))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("new_island"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("new_island").over(wr).cast("long").alias("island_id"),
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("island_start"),
+        F.max("ts").alias("island_end"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )

@@ -1066,3 +1066,41 @@ def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("island_end"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    f"""WITH {EVENTS_NORM},
+       stats AS (SELECT user_id, avg(value) AS mu,
+                        stddev_samp(value) AS sd, count(*) AS n
+                 FROM events_norm GROUP BY 1)
+       SELECT e.event_id, e.user_id,
+              round((e.value - s.mu) / s.sd, 6) AS zscore
+       FROM events_norm e JOIN stats s ON e.user_id = s.user_id
+       WHERE s.n >= 30 AND s.sd > 0
+         AND abs((e.value - s.mu) / s.sd) >= 3.0""",
+    doc="Per-user z-score anomaly flags: one moment-aggregate pass "
+        "(avg/stddev partial-aggregate map-side), joined back onto the "
+        "event stream on the same user_id key — the two windows share "
+        "one exchange partitioning, and at 100 TB the stats side is "
+        "millions of rows (one per user), not billions, so the join-back "
+        "broadcasts or co-partitions cheaply. Degenerate users (n < 30 "
+        "or zero variance) are excluded before the division on both "
+        "engines. The outlier threshold (|z| >= 3) cuts output to the "
+        "anomalies themselves — a monitoring/data-quality pass over the "
+        "reference's timestamped payment stream (follower.py:154).",
+    tags=("agg", "stats", "quality"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(stats, "user_id")
+        .filter((F.col("n") >= 30) & (F.col("sd") > 0) & (F.abs(z) >= 3.0))
+        .select("event_id", "user_id", F.round(z, 6).alias("zscore"))
+    )

@@ -159,16 +159,22 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         errors["follow_pipeline_20k_blocks"] = f"{type(e).__name__}: {e}"[:300]
 
+    # A total over fewer queries than expected is not comparable across
+    # rounds — when anything errored, report the partial sum separately
+    # and null the headline value so it can't be mistaken for a speedup.
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
-        "value": total,
+        "value": None if errors else total,
         "unit": "sec",
         "queries": timings,
+        "n_ok": len(timings),
+        "n_errors": len(errors),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         out["errors"] = errors
+        out["partial_total"] = total
     print(json.dumps(out))
 
 

@@ -246,7 +246,7 @@ def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_char_entropy",
     """WITH ch AS (
          SELECT doc_id,
-                unnest(list_transform(generate_series(1, strlen(text)),
+                unnest(list_transform(generate_series(1, length(text)),
                                       i -> substr(text, i, 1))) AS ch
          FROM documents),
        cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
@@ -589,9 +589,12 @@ asg AS (SELECT vec_id, cell FROM (
            row_number() OVER (PARTITION BY e.vec_id
                ORDER BY {_COS6.format(a='e.v', b='c.cv')} DESC, c.cid DESC) AS rn
     FROM e, c) WHERE rn = 1),
-cells AS (SELECT e.vec_id, e.v, asg.cell FROM e JOIN asg USING (vec_id))
-SELECT cell, j.j AS dim, round(avg(v[j.j]), 6) AS mean_val
-FROM cells, generate_series(1, 64) j(j)
+cells AS (SELECT e.vec_id, e.v, asg.cell FROM e JOIN asg USING (vec_id)),
+comp AS (SELECT cell, unnest(v) AS x,
+                unnest(generate_series(1, len(v))) AS dim
+         FROM cells)
+SELECT cell, dim, round(avg(x), 6) AS mean_val
+FROM comp
 GROUP BY 1, 2"""
 
 

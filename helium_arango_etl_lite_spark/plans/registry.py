@@ -60,10 +60,18 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = dict(ev.dtypes)["ts"]
     if t in ("bigint", "long"):  # unix-nanos as int64
         return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if t != "timestamp":  # timestamp_ntz: wall clock is already correct;
-        # cast via session tz (UTC) so downstream window/session_window/lag
-        # see the TimestampType the rest of the catalog was verified with
+    if t == "timestamp_ntz":  # wall clock is already correct; cast via
+        # session tz (UTC) so downstream window/session_window/lag see the
+        # TimestampType the rest of the catalog was verified with
         return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    if t != "timestamp":
+        # An encoding we have not seen before (DATE? string nanos?) must
+        # fail loudly, not silently cast to NULLs/garbage.
+        raise ValueError(
+            f"events.ts has unsupported dtype {t!r}; expected bigint "
+            "(unix-nanos), timestamp_ntz, or timestamp — extend "
+            "load_events() for the new encoding"
+        )
     return ev
 
 

@@ -59,6 +59,47 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return acc
 
 
+def fixed_centroids(
+    e: DataFrame, k: int = 32, id_col: str = "vec_id", vec_col: str = "v"
+) -> DataFrame:
+    """Deterministic K-row centroid subset whose size does NOT grow with
+    the corpus — the scale-correct default for :func:`ivf_topk` /
+    :func:`semdedup` (the ``id % mod`` form keeps O(n/mod) centroids and
+    makes assignment O(n^2/mod); SCALE_SOAK.md measured it super-linear
+    at 10x).
+
+    Selection is "order by md5(id), take K": a seeded uniform shuffle
+    both engines reproduce exactly (oracle mirror: ``ORDER BY
+    md5(id::VARCHAR), id LIMIT K``). ``orderBy().limit(K)`` compiles to
+    TakeOrderedAndProject — per-partition top-K then a K-row merge, one
+    linear pass, no global sort shuffle. A production index k-means-
+    refines this seed set (:data:`llm_kmeans_iter` is the M-step); the
+    assignment dataflow is identical either way.
+    """
+    return (
+        e.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    )
+
+
+def _centroid_set(
+    e: DataFrame,
+    centroids: DataFrame | None,
+    centroid_mod: int | None,
+    num_centroids: int,
+    id_col: str,
+) -> DataFrame:
+    """Resolve the centroid frame: explicit > mod fixture > fixed-K."""
+    if centroids is not None:
+        return centroids
+    if centroid_mod is not None:
+        return e.filter((F.col(id_col) % centroid_mod) == 1).select(
+            F.col(id_col).alias("cid"), F.col("v").alias("cv")
+        )
+    return fixed_centroids(e, num_centroids, id_col=id_col, vec_col="v")
+
+
 def cosine_topk(
     emb: DataFrame, query_id: int, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding", round_dp: int = 4,
@@ -108,38 +149,35 @@ def lsh_bucket_topk(
 
 
 def ivf_topk(
-    emb: DataFrame, query_id: int, k: int = 5, centroid_mod: int = 37,
+    emb: DataFrame, query_id: int, k: int = 5, centroid_mod: int | None = None,
     nprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
     round_dp: int = 4, assign_dp: int = 6,
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | None = None, num_centroids: int = 32,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: one-pass centroid assignment, probe the
     ``nprobe`` nearest cells, exact cosine within the probed cells.
 
-    Centroids are the deterministic subset ``id % centroid_mod == 1`` (a
-    seeded sample; a production index would k-means-refine them — the
-    dataflow below is identical per iteration). Assignment is a broadcast
-    cross join against the tiny centroid set followed by a max(struct)
-    argmax — the shuffle carries only ``(id, cell_sim, cell_id)`` triples,
-    never the vectors. At 100 TB the cell id becomes a partition column, so
-    a query scans ~nprobe/K of the corpus; this is the standard IVF trade
-    that LSH bucketing (``lsh_bucket_topk``) makes with hashes instead of
-    learned cells.
+    Centroids default to :func:`fixed_centroids` — a deterministic
+    ``num_centroids``-row subset whose size is independent of the corpus,
+    so assignment stays O(n*K) at any scale (pass ``centroids`` to use a
+    k-means-refined set instead; the dataflow is identical). Assignment
+    is a broadcast cross join against the tiny centroid set followed by a
+    max(struct) argmax — the shuffle carries only ``(id, cell_sim,
+    cell_id)`` triples, never the vectors. At 100 TB the cell id becomes
+    a partition column, so a query scans ~nprobe/K of the corpus; this is
+    the standard IVF trade that LSH bucketing (``lsh_bucket_topk``) makes
+    with hashes instead of learned cells.
 
     Similarities are rounded (``assign_dp``) with cell-id tiebreak before
     the argmax so the assignment is engine-order independent.
 
-    **Scale note (10x soak finding, SCALE_SOAK.md):** the ``id % mod``
-    default grows the centroid set WITH the corpus, making assignment
-    O(n^2/mod) — fine for the oracle-checked fixture, wrong at 100 TB.
-    Pass ``centroids`` (a ``(cid, cv)`` frame, e.g. k-means-learned,
-    fixed K) and assignment stays O(n*K) at any corpus size; the rest of
-    the dataflow is identical.
+    ``centroid_mod`` keeps the legacy ``id % mod == 1`` subset as a TEST
+    FIXTURE only: it grows the centroid set WITH the corpus, making
+    assignment O(n^2/mod) — measured super-linear at 10x
+    (SCALE_SOAK.md). Never use it at scale.
     """
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    cents = centroids if centroids is not None else e.filter(
-        (F.col(id_col) % centroid_mod) == 1
-    ).select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+    cents = _centroid_set(e, centroids, centroid_mod, num_centroids, id_col)
     scored = e.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col("cid"),
@@ -229,7 +267,9 @@ def embedding_near_dup_lsh(
 def knn_join(
     emb: DataFrame, k: int = 3,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    round_dp: int = 4, engine: str = "arrow",
+    round_dp: int = 4, engine: str = "auto",
+    max_broadcast_rows: int = 10_000_000,
+    num_planes: int = 3, seed: int = 7, dim: int = 64,
 ) -> DataFrame:
     """All-pairs k-NN self-join: for EVERY vector, its ``k`` nearest
     neighbours by cosine — the per-document neighbourhood pass curation
@@ -238,14 +278,24 @@ def knn_join(
     cells) are the candidate-pruned scale path for corpora whose matrix
     can't be broadcast.
 
-    ``engine="arrow"`` (default): the corpus collects into ONE normalised
-    numpy matrix broadcast to executors (rows x dim floats — fine up to
-    ~10M rows; beyond that use the ANN path), and each Arrow batch of
-    queries scores against it with a single GEMM, then vectorised
-    top-k (argpartition + lexsort). Python runs matrix-at-a-time.
+    ``engine="auto"`` (default): count the corpus once; at or below
+    ``max_broadcast_rows`` run the exact arrow GEMM, above it route to
+    :func:`knn_join_bucketed` — the LSH-candidate approximate form whose
+    joins are all bucket equi-joins (no driver collect, no cross join).
+    The exact form CANNOT scale past a broadcastable matrix by
+    construction, so the engine degrades to documented-approximate
+    instead of collecting 100 TB to the driver.
+
+    ``engine="arrow"``: the corpus collects into ONE normalised numpy
+    matrix broadcast to executors (rows x dim floats — fine up to ~10M
+    rows), and each Arrow batch of queries scores against it with a
+    single GEMM, then vectorised top-k (argpartition + lexsort). Python
+    runs matrix-at-a-time.
 
     ``engine="expr"``: crossJoin + fold-based cosine + partitioned
     row_number window — all JVM, quadratic expression work.
+
+    ``engine="bucketed"``: :func:`knn_join_bucketed` explicitly.
 
     Determinism: similarity rounds half-away-from-zero to ``round_dp``
     before ranking, ties break on ascending neighbour id.
@@ -253,6 +303,15 @@ def knn_join(
     from pyspark.sql import Window
 
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    if engine == "auto":
+        engine = (
+            "arrow" if e.count() <= max_broadcast_rows else "bucketed"
+        )
+    if engine == "bucketed":
+        return knn_join_bucketed(
+            emb, k=k, id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+            num_planes=num_planes, seed=seed, dim=dim,
+        )
     if engine == "expr":
         a = e.select(F.col(id_col).alias("qid"), F.col("v").alias("qv"))
         b = e.select(F.col(id_col).alias("nid"), F.col("v").alias("nv"))
@@ -318,6 +377,51 @@ def knn_join(
     return e.mapInPandas(batches, out_schema)
 
 
+def knn_join_bucketed(
+    emb: DataFrame, k: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    round_dp: int = 4, num_planes: int = 3, seed: int = 7, dim: int = 64,
+) -> DataFrame:
+    """Approximate all-pairs k-NN via LSH-candidate generation — the
+    100 TB shape of :func:`knn_join`. Same output contract (qid, nid,
+    cos_sim, rank), approximate recall: each query ranks only candidates
+    sharing its sign-bit bucket, so a query's neighbour list can be
+    shorter than ``k`` and a true neighbour split across buckets is
+    missed (raise recall with fewer planes or multiple plane tables).
+
+    Everything is a bucket equi-join: one map pass stamps the bucket id,
+    the candidate join shuffles on (bucket, id) — never a cross join,
+    never a driver collect — and the per-query top-k is a row_number
+    window partitioned by qid. At rest the bucket id is a partition
+    column, so the candidate join is partition-local.
+    """
+    from pyspark.sql import Window
+
+    planes = hyperplanes(num_planes, dim, seed)
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
+        "bucket", lsh_bucket(F.col("v"), planes)
+    )
+    a = e.select(
+        F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("bucket")
+    )
+    b = e.select(
+        F.col(id_col).alias("nid"), F.col("v").alias("nv"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    scored = (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("qid") != F.col("nid")))
+        .select(
+            "qid", "nid",
+            F.round(cosine(F.col("qv"), F.col("nv")), round_dp).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def quantize_int8(
     df: DataFrame, vec: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
@@ -353,10 +457,10 @@ def quantize_int8(
 
 
 def semdedup(
-    emb: DataFrame, threshold: float = 0.5, centroid_mod: int = 37,
+    emb: DataFrame, threshold: float = 0.5, centroid_mod: int | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding",
     round_dp: int = 4, assign_dp: int = 6,
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | None = None, num_centroids: int = 32,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster the corpus (here the IVF
     deterministic-centroid assignment from :func:`ivf_topk`), then mark as
@@ -369,18 +473,18 @@ def semdedup(
     production pass k-means-refines the centroids; the per-iteration
     dataflow is identical.
 
-    Like :func:`ivf_topk`, pass ``centroids`` (fixed K) at scale — the
-    ``id % mod`` default grows with the corpus (SCALE_SOAK.md). Sizing:
-    assignment costs O(n*K), intra-cell pairing O(n^2 / K) *if cells are
-    balanced* — K ~ sqrt(n) balances the two, but balance matters more
-    than K: the pair stage is quadratic in the LARGEST cell (measured
-    10x swings between same-K random subsets), so use k-means-learned
-    centroids and cap/salt-split oversized cells in a production pass.
+    Like :func:`ivf_topk`, centroids default to the fixed-K
+    :func:`fixed_centroids` subset (``centroid_mod`` keeps the corpus-
+    growing ``id % mod`` form as a test fixture only — SCALE_SOAK.md
+    measured it super-linear at 10x). Sizing: assignment costs O(n*K),
+    intra-cell pairing O(n^2 / K) *if cells are balanced* — K ~ sqrt(n)
+    balances the two, but balance matters more than K: the pair stage is
+    quadratic in the LARGEST cell (measured 10x swings between same-K
+    random subsets), so use k-means-learned centroids and cap/salt-split
+    oversized cells in a production pass.
     """
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    cents = centroids if centroids is not None else e.filter(
-        (F.col(id_col) % centroid_mod) == 1
-    ).select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+    cents = _centroid_set(e, centroids, centroid_mod, num_centroids, id_col)
     scored = e.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col("cid"),

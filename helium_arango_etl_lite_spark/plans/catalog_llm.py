@@ -358,8 +358,13 @@ _COS6 = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
 
+# Fixed-K centroid seed set — size independent of the corpus (the old
+# `vec_id % 37` form grew with n; see similarity.fixed_centroids).
+IVF_K = 32
+
 _IVF_SQL = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 37 = 1),
+c AS (SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {IVF_K}),
 asg AS (SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cid AS cell,
            row_number() OVER (PARTITION BY e.vec_id
@@ -379,17 +384,19 @@ ORDER BY cos_sim DESC, e.vec_id LIMIT 5"""
 @register(
     "llm_ann_ivf",
     _IVF_SQL,
-    doc="ANN via IVF: deterministic centroid subset (id % 37 == 1), "
-        "broadcast argmax assignment, probe the 2 nearest cells, exact "
-        "cosine within. At scale the cell id is a partition column -> a "
-        "query scans ~nprobe/K of the corpus (operators/llm/similarity.py "
-        "ivf_topk).",
+    doc="ANN via IVF: FIXED-K deterministic centroid subset (order by "
+        "md5(id), take 32 — size independent of the corpus, so "
+        "assignment is O(n*K) at any scale; the corpus-growing id%37 "
+        "form is a test fixture only), broadcast argmax assignment, "
+        "probe the 2 nearest cells, exact cosine within. At scale the "
+        "cell id is a partition column -> a query scans ~nprobe/K of "
+        "the corpus (operators/llm/similarity.py ivf_topk).",
     tags=("llm", "similarity", "ann"),
 )
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         load_table(spark, sf_dir, "embeddings"),
-        query_id=0, k=5, centroid_mod=37, nprobe=2,
+        query_id=0, k=5, nprobe=2, num_centroids=IVF_K,
     )
 
 
@@ -754,15 +761,57 @@ def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
        SELECT qid, nid, cos_sim, rank FROM r WHERE rank <= 3""",
     doc="All-pairs k-NN self-join (k=3): every vector's nearest "
         "neighbours by cosine — the neighbourhood pass behind near-dup "
-        "clustering and diversity sampling. Arrow engine: the normalised "
-        "corpus matrix broadcasts once, each query batch scores via one "
-        "GEMM + vectorised top-k (operators/llm/similarity.py:knn_join); "
-        "the LSH/IVF ANN entries are the path when the matrix outgrows a "
-        "broadcast.",
+        "clustering and diversity sampling. engine='auto' (the default) "
+        "runs the exact arrow GEMM while the corpus matrix is "
+        "broadcastable and routes to the LSH-candidate bucketed form "
+        "(llm_knn_join_bucketed) past 10M rows, so the operator never "
+        "collects an unbounded corpus to the driver "
+        "(operators/llm/similarity.py:knn_join).",
     tags=("llm", "similarity", "topk"),
 )
 def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_join(load_table(spark, sf_dir, "embeddings"), k=3)
+
+
+def _knn_bucketed_sql() -> str:
+    planes = similarity.hyperplanes(NEAR_DUP_PLANES, EMB_DIM, LSH_SEED)
+    plane_lits = ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(plane_lits)
+    )
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket})::BIGINT AS bucket FROM e),
+p AS (SELECT a.vec_id AS qid, c.vec_id AS nid,
+             round(list_dot_product(a.v, c.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+r AS (SELECT qid, nid, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, nid) AS rank
+      FROM p)
+SELECT qid, nid, cos_sim, rank FROM r WHERE rank <= 3"""
+
+
+@register(
+    "llm_knn_join_bucketed",
+    _knn_bucketed_sql(),
+    doc="The 100 TB shape of llm_knn_join: LSH-candidate approximate "
+        "k-NN. Candidates = same sign-bit bucket (3 planes / 8 buckets), "
+        "so the only joins are bucket equi-joins shuffled on (bucket, "
+        "id) — no cross join, no driver collect — and the per-query "
+        "top-k is a qid-partitioned row_number. Approximate recall by "
+        "construction (neighbour lists may be shorter than k); exact "
+        "precision (every emitted pair is cosine-verified) "
+        "(operators/llm/similarity.py:knn_join_bucketed).",
+    tags=("llm", "similarity", "topk", "sketch"),
+)
+def llm_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_join_bucketed(
+        load_table(spark, sf_dir, "embeddings"),
+        k=3, num_planes=NEAR_DUP_PLANES, seed=LSH_SEED, dim=EMB_DIM,
+    )
 
 
 _BM25_TERMS = ("vector", "stream", "merge")

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash32, hash32_oracle_sql
 from ..operators.llm import similarity
+from .catalog_llm import IVF_K
 from .registry import EVENTS_NORM, load_events, load_table, register
 
 _COS4 = (
@@ -357,7 +358,8 @@ def llm_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_SQL = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 37 = 1),
+c AS (SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {IVF_K}),
 asg AS (SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cid AS cell,
            row_number() OVER (PARTITION BY e.vec_id
@@ -376,19 +378,20 @@ FROM cells LEFT JOIN dup ON cells.vec_id = dup.vec_id"""
 @register(
     "llm_semdedup",
     _SEMDEDUP_SQL,
-    doc="SemDeDup-style semantic dedup: IVF-cell clustering (same "
-        "deterministic centroid assignment as llm_ann_ivf), then within "
-        "each cell drop every vector with a lower-id cell-mate at cosine "
-        ">= 0.5 (operators/llm/similarity.py:semdedup). The pair search "
-        "is cell-local, so the cross product is n/K-sized per cell and "
-        "the shuffle keys are (cell, id) — the published SemDeDup recipe "
+    doc="SemDeDup-style semantic dedup: IVF-cell clustering (same FIXED-K "
+        "deterministic centroid assignment as llm_ann_ivf — the centroid "
+        "count does not grow with the corpus), then within each cell drop "
+        "every vector with a lower-id cell-mate at cosine >= 0.5 "
+        "(operators/llm/similarity.py:semdedup). The pair search is "
+        "cell-local, so the cross product is n/K-sized per cell and the "
+        "shuffle keys are (cell, id) — the published SemDeDup recipe "
         "expressed as two joins and an argmax.",
     tags=("llm", "dedup", "similarity"),
 )
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(
         load_table(spark, sf_dir, "embeddings"),
-        threshold=0.5, centroid_mod=37,
+        threshold=0.5, num_centroids=IVF_K,
     )
 
 
@@ -583,7 +586,8 @@ def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KMEANS_SQL = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 37 = 1),
+c AS (SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {IVF_K}),
 asg AS (SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cid AS cell,
            row_number() OVER (PARTITION BY e.vec_id
@@ -616,9 +620,7 @@ def llm_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", _as_double("embedding").alias("v"))
-    cents = e.filter(F.col("vec_id") % 37 == 1).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
+    cents = similarity.fixed_centroids(e, IVF_K)
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cid",

@@ -265,9 +265,10 @@ def _pagerank_oracle() -> str:
         "graph — the centrality analytic the reference's payment graph "
         "exists to feed (reference README.md:2). The expensive stage is "
         "the distinct-edge extraction over the fact tables (scales with "
-        "data); the iteration itself joins the tiny broadcast rank "
-        "vector against the edge list, so at 100 TB each step is one "
-        "shuffle-free broadcast join + a groupBy on dst. Contribution "
+        "data); the iteration joins the rank vector against the edge "
+        "list with no broadcast hint — AQE broadcasts it while V is "
+        "tiny, shuffle-joins on the node id at a 100x-vertex graph "
+        "(the scale-safe shape). Contribution "
         "sums round to 12 dp per iteration (the one order-dependent "
         "float reduction), final rank to 8 dp.",
     tags=("graph", "iterative"),
@@ -287,14 +288,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fact data
     ed = edges.join(deg, "src").localCheckpoint(eager=False)
     ranks = nodes.select("id", (F.lit(1.0) / F.lit(float(n))).alias("r"))
+    # no broadcast hint on the rank vector: at nation granularity AQE
+    # broadcasts it anyway, while at a 100x-vertex graph the scale-safe
+    # shape is a shuffle join on the node id — forcing an O(V) broadcast
+    # per iteration would make the driver the bottleneck
     for _ in range(3):
         contrib = (
-            ed.join(F.broadcast(ranks), ed["src"] == ranks["id"])
+            ed.join(ranks, ed["src"] == ranks["id"])
             .groupBy("dst")
             .agg(F.round(F.sum(F.col("r") / F.col("outd")), 12).alias("contrib"))
         )
         ranks = (
-            nodes.join(F.broadcast(contrib), nodes["id"] == contrib["dst"], "left")
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
             .select(
                 "id",
                 F.round(

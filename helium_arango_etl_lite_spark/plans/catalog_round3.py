@@ -844,9 +844,10 @@ def _label_prop_oracle() -> str:
         "frequency rule whose ties are engine-order dependent) over the "
         "undirected nation money-flow graph. Same iterative shape as "
         "graph_pagerank: the edge extraction scales with the fact data "
-        "and is materialized once; each iteration joins the broadcast "
-        "label vector to the edge list and takes a min per node — "
-        "shuffle keys are node ids, O(V) rows.",
+        "and is materialized once; each iteration joins the label "
+        "vector to the edge list (no broadcast hint — AQE picks "
+        "broadcast at nation scale, node-id shuffle join at 100x) and "
+        "takes a min per node — shuffle keys are node ids, O(V) rows.",
     tags=("graph", "iterative"),
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -864,10 +865,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     labels = nodes.select("id", F.col("id").alias("lbl"))
+    # like graph_pagerank: no broadcast hint on the per-vertex label
+    # vector — AQE broadcasts it while V is tiny, shuffle-joins on the
+    # node id when it isn't (the O(V)-per-iteration broadcast would be
+    # the bottleneck at a 100x-vertex graph)
     for _ in range(2):
         nbr = (
             edges.join(
-                F.broadcast(labels.select(F.col("id").alias("nid"), "lbl")),
+                labels.select(F.col("id").alias("nid"), "lbl"),
                 edges["dst"] == F.col("nid"),
             )
             .groupBy("src")
@@ -875,7 +880,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = (
             nodes.join(labels, "id")
-            .join(F.broadcast(nbr), nodes["id"] == nbr["src"], "left")
+            .join(nbr, nodes["id"] == nbr["src"], "left")
             .select(
                 "id", F.coalesce("new_lbl", F.col("lbl")).alias("lbl")
             )

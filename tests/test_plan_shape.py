@@ -124,8 +124,9 @@ def test_semi_join_stays_semi_with_pushed_filter(spark, sf_dir):
 
 
 def test_pagerank_iterations_broadcast_rank_vector(spark, sf_dir):
-    """Each PageRank step joins the tiny rank vector against the edge
-    list — that must be a broadcast join (shuffle-free per iteration),
+    """The rank-vector joins carry no broadcast hint (at a 100x-vertex
+    graph the scale-safe shape is a node-id shuffle join) — but at this
+    scale the optimizer must still pick broadcast from size stats, and
     never a nested-loop."""
     plan = plan_of(spark, sf_dir, "graph_pagerank")
     assert "BroadcastHashJoin" in plan

@@ -461,6 +461,7 @@ def semdedup(
     id_col: str = "vec_id", vec_col: str = "embedding",
     round_dp: int = 4, assign_dp: int = 6,
     centroids: DataFrame | None = None, num_centroids: int = 32,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster the corpus (here the IVF
     deterministic-centroid assignment from :func:`ivf_topk`), then mark as
@@ -482,6 +483,15 @@ def semdedup(
     quadratic in the LARGEST cell (measured 10x swings between same-K
     random subsets), so use k-means-learned centroids and cap/salt-split
     oversized cells in a production pass.
+
+    ``max_cell_size`` is that production cap: cells larger than it are
+    salt-split into ~ceil(size/cap) sub-cells by a hash of the id, and
+    pairing runs within a sub-cell only. Bounds the pair stage at
+    O(n * cap) TOTAL regardless of cell skew — one mega-cell can no
+    longer go quadratic — at the price of missed cross-salt pairs
+    (recall, not precision: every emitted duplicate is still
+    cosine-verified). The reported ``cell`` stays the original cell id,
+    so downstream grouping is unaffected.
     """
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
     cents = _centroid_set(e, centroids, centroid_mod, num_centroids, id_col)
@@ -494,16 +504,43 @@ def semdedup(
         F.max(F.struct("asim", "cid"))["cid"].alias("cell")
     )
     cells = e.join(assigned, id_col)
+    if max_cell_size is not None:
+        # salt-split oversized cells: the pairing key becomes (cell,
+        # salt) where salt = hash(id) % ceil(cell_size / cap). The size
+        # frame is O(K') rows — broadcast-joined back onto the corpus.
+        sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("_cn"))
+        cells = (
+            cells.join(F.broadcast(sizes), "cell")
+            .withColumn(
+                "_nsplit",
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.ceil(F.col("_cn") / F.lit(max_cell_size)).cast("long"),
+                ),
+            )
+            .withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nsplit"))
+            )
+            .drop("_cn", "_nsplit")
+        )
+    else:
+        cells = cells.withColumn("_salt", F.lit(0).cast("long"))
     a = cells.select(
-        F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("cell")
+        F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("cell"),
+        F.col("_salt"),
     )
     b = cells.select(
         F.col(id_col).alias("vec_b"), F.col("v").alias("vb"),
-        F.col("cell").alias("cell_b"),
+        F.col("cell").alias("cell_b"), F.col("_salt").alias("_salt_b"),
     )
-    # within-cell pairs only; a < b so the earliest id in a dup group is kept
+    # within-(cell, salt) pairs only; a < b keeps the earliest id in a group
     dup_b = (
-        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("_salt") == F.col("_salt_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
         .filter(F.round(cosine(F.col("va"), F.col("vb")), round_dp) >= threshold)
         .select(F.col("vec_b").alias(id_col))
         .distinct()

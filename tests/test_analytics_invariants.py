@@ -199,3 +199,34 @@ def test_ivf_injected_centroids_fixed_k(spark, sf_dir):
     assert sd.select("cell").distinct().count() <= 8
     topk = similarity.ivf_topk(emb, query_id=0, k=5, centroids=cents)
     assert topk.count() == 5
+
+
+def test_semdedup_cell_cap_bounds_pairing(spark, sf_dir):
+    """max_cell_size salt-splits oversized cells before pairing. Recall
+    can only DROP (fewer pairs compared -> keep flags are a superset of
+    the uncapped keep set); a cap larger than every cell is the identity;
+    coverage stays 1:1 either way."""
+    from helium_arango_etl_lite_spark.operators.llm import similarity
+    from helium_arango_etl_lite_spark.plans.queries import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    base = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in similarity.semdedup(emb, threshold=0.5).collect()
+    }
+    capped = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in similarity.semdedup(emb, threshold=0.5, max_cell_size=20).collect()
+    }
+    assert len(base) == len(capped) == n
+    for vid, (cell, keep) in base.items():
+        ccell, ckeep = capped[vid]
+        assert ccell == cell  # the reported cell id is unchanged
+        if keep == 1:
+            assert ckeep == 1  # capping can only un-detect duplicates
+    huge = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in similarity.semdedup(emb, threshold=0.5, max_cell_size=10**9).collect()
+    }
+    assert huge == base

@@ -776,3 +776,71 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_shipdate").alias("max_ship"),
         F.countDistinct("l_returnflag").alias("n_flags"),
     )
+
+
+# --------------------------------------------------------------------------
+# 2.6 streaming follow pipeline, driver-exposed (batch-mode replay)
+# --------------------------------------------------------------------------
+
+_FOLLOW_N = 120
+
+_FOLLOW_SQL = f"""WITH h AS (SELECT i.i AS h FROM generate_series(1, {_FOLLOW_N}) i(i)),
+e AS (SELECT
+        'accounts/acct' || (h % 97)::VARCHAR AS _from,
+        'accounts/acct' || ((h * 7) % 89)::VARCHAR AS _to,
+        'tx' || lpad(h::VARCHAR, 12, '0') AS hash,
+        ((h * 37) % 100000 + 1)::BIGINT AS amount,
+        h::BIGINT AS block,
+        (1600000000 + h * 60)::BIGINT AS ts_s,
+        (h // 7200)::BIGINT AS block_bucket
+      FROM h)
+SELECT _from, _to, hash, amount, block, ts_s AS "timestamp",
+       md5(_from || '|' || _to || '|' || hash || '|' || amount::VARCHAR
+           || '|' || block::VARCHAR || '|' || ts_s::VARCHAR) AS _key,
+       block_bucket
+FROM e"""
+
+
+@register(
+    "follow_replay",
+    _FOLLOW_SQL,
+    doc="End-to-end follow pipeline under the driver's value hash: ingest "
+        f"blocks 1..{_FOLLOW_N} from the deterministic mock chain through "
+        "the distributed Python DataSource, run the micro-batch dataflow "
+        "(type dispatch -> explode -> project -> canonical MD5 key) TWICE "
+        "into the bucketed idempotent sink — the replay must append "
+        "nothing (Structured Streaming's at-least-once delivery composing "
+        "to exactly-once table contents, follower.py:205-207) — then "
+        "return the materialized payments table. The mock chain derives "
+        "every field from the height (sources/datasource.py:62), so the "
+        "oracle reproduces the whole pipeline, keys included, from "
+        "generate_series.",
+    tags=("streaming", "pipeline", "sink"),
+)
+def follow_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.datasource import HeliumChainDataSource
+    from ..streaming.follow import PAYMENTS, process_batch
+
+    spark.dataSource.register(HeliumChainDataSource)
+    out = tempfile.mkdtemp(prefix="follow_replay_")
+
+    def read(what: str) -> DataFrame:
+        return (
+            spark.read.format("helium_chain")
+            .option("endpoint", "mock://replay")
+            .option("start", 1).option("end", _FOLLOW_N)
+            .option("what", what)
+            .option("heights_per_partition", 16)
+            .load()
+        )
+
+    process_batch(spark, read("blocks"), read("txns"), out)
+    # replay the identical batch: the anti-join sink must add zero rows
+    process_batch(spark, read("blocks"), read("txns"), out)
+    pay = spark.read.parquet(f"{out}/{PAYMENTS}")
+    return pay.select(
+        "_from", "_to", "hash", "amount", "block", "timestamp", "_key",
+        F.col("block_bucket").cast("long").alias("block_bucket"),
+    )

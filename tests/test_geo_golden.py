@@ -1,0 +1,68 @@
+"""Golden-value pin for the H3 geo-index UDF (reference loaders.py:10-16).
+
+`h3` is not installable in this environment, so `functions/geo.py` runs a
+deterministic arithmetic fallback. These tests pin the PLUMBING contract
+(GeoJSON struct shape, [lng, lat] ordering, null/invalid -> [0, 0]) on
+whichever converter is active, and — when a future environment has real
+`h3` — validate the output against golden values from the H3 spec, so a
+swap-in cannot silently break the pipeline.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from helium_arango_etl_lite_spark.functions.geo import (
+    HAS_H3, _hex_to_latlng, geo_index_udf,
+)
+
+# Golden cell from the H3 docs (res-9 cell over San Francisco):
+# h3.cell_to_latlng("8928308280fffff") == (37.77670234943567, -122.41845932318311)
+GOLDEN_HEX = "8928308280fffff"
+GOLDEN_LAT = 37.77670234943567
+GOLDEN_LNG = -122.41845932318311
+
+
+def test_geojson_contract(spark):
+    """Struct shape, GeoJSON [lng, lat] order, and the reference's
+    null/invalid -> [0, 0] TypeError fallback (loaders.py:13-15)."""
+    df = spark.createDataFrame(
+        [(GOLDEN_HEX,), (None,), ("not-a-hex-zz",)], ["h3_index"]
+    ).withColumn("geo", geo_index_udf()(F.col("h3_index")))
+    rows = {r["h3_index"]: r["geo"] for r in df.collect()}
+
+    for geo in rows.values():
+        assert geo["type"] == "Point"
+        assert len(geo["coordinates"]) == 2
+
+    assert rows[None]["coordinates"] == [0.0, 0.0]
+    assert rows["not-a-hex-zz"]["coordinates"] == [0.0, 0.0]
+
+    lng, lat = rows[GOLDEN_HEX]["coordinates"]
+    exp_lat, exp_lng = _hex_to_latlng(GOLDEN_HEX)
+    # GeoJSON order: coordinates = [lng, lat] (loaders.py:16)
+    assert lat == pytest.approx(exp_lat)
+    assert lng == pytest.approx(exp_lng)
+    assert -90.0 <= lat <= 90.0 and -180.0 <= lng <= 180.0
+
+
+def test_fallback_is_deterministic_and_in_range():
+    lat1, lng1 = _hex_to_latlng(GOLDEN_HEX)
+    lat2, lng2 = _hex_to_latlng(GOLDEN_HEX)
+    assert (lat1, lng1) == (lat2, lng2)
+    assert -90.0 <= lat1 <= 90.0 and -180.0 <= lng1 <= 180.0
+    assert math.isfinite(lat1) and math.isfinite(lng1)
+    # distinct hexes should not collapse to one point
+    assert _hex_to_latlng("8f2830828052d25") != (lat1, lng1)
+
+
+@pytest.mark.skipif(not HAS_H3, reason="real h3 not installed in sandbox")
+def test_real_h3_matches_spec_golden_values():
+    """Runs only when a real `h3` is present: the converter must agree
+    with the published spec values for the golden cell."""
+    lat, lng = _hex_to_latlng(GOLDEN_HEX)
+    assert lat == pytest.approx(GOLDEN_LAT, abs=1e-9)
+    assert lng == pytest.approx(GOLDEN_LNG, abs=1e-9)

@@ -844,3 +844,116 @@ def follow_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_from", "_to", "hash", "amount", "block", "timestamp", "_key",
         F.col("block_bucket").cast("long").alias("block_bucket"),
     )
+
+
+_RECEIPTS_SQL = f"""WITH hh AS (SELECT i.i AS h FROM generate_series(3, {_FOLLOW_N}, 3) i(i)),
+w AS (SELECT h, j.j AS w FROM hh, generate_series(0, 1) j(j)),
+e AS (SELECT
+        'hotspots/hs' || (h % 11)::VARCHAR AS _from,
+        'hotspots/hs' || ((h * 5 + w) % 17)::VARCHAR AS _to,
+        904.3::DOUBLE AS frequency,
+        'SF9BW125' AS datarate,
+        ((h + w) % 4 <> 0) AS is_valid,
+        (-(70 + (h + w) % 30))::BIGINT AS signal,
+        ([2.0, 5.5, 9.0][(h + w) % 3 + 1])::DOUBLE AS snr,
+        (h * 1000000000 + (w + 1) * 500000000)::BIGINT AS ts,
+        'pr' || lpad(h::VARCHAR, 12, '0') AS hash,
+        h::BIGINT AS block,
+        CASE WHEN h % 2 = 0 THEN 27::BIGINT END AS tx_power,
+        CASE WHEN h % 2 = 0 THEN ((w + 1) * 500000000) / 1e9 END
+          AS processing_time_s,
+        (h // 7200)::BIGINT AS block_bucket
+      FROM w)
+SELECT _from, _to, frequency, datarate, is_valid, signal, snr,
+       ts AS "timestamp", hash, block, tx_power, processing_time_s,
+       md5(concat_ws('|',
+           _from, _to, frequency::VARCHAR, datarate,
+           is_valid::VARCHAR, signal::VARCHAR, snr::VARCHAR, ts::VARCHAR,
+           hash, block::VARCHAR,
+           coalesce(tx_power::VARCHAR, chr(0)),
+           coalesce(processing_time_s::VARCHAR, chr(0)))) AS _key,
+       block_bucket
+FROM e"""
+
+
+@register(
+    "follow_replay_receipts",
+    _RECEIPTS_SQL,
+    doc="The witness-receipt half of the follow pipeline under the "
+        "driver's value hash: the mixed mock chain carries one "
+        "poc_receipts_v1 every third height (sources/datasource.py: "
+        "_mock_receipt_txn), so the most complex reference transform — "
+        "schema dispatch, path[0] read, witness explode, nullable "
+        "receipt struct (tx_power/processing_time_s NULL when absent, "
+        "follower.py:194-198), ns->s arithmetic, canonical MD5 key — "
+        "runs end-to-end through the idempotent sink (written twice, "
+        "replay adds nothing) and is reproduced field-for-field by the "
+        "oracle from generate_series.",
+    tags=("streaming", "pipeline", "sink"),
+)
+def follow_replay_receipts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.datasource import HeliumChainDataSource
+    from ..streaming.follow import RECEIPTS, process_batch
+
+    spark.dataSource.register(HeliumChainDataSource)
+    out = tempfile.mkdtemp(prefix="follow_replay_rx_")
+
+    def read(what: str) -> DataFrame:
+        return (
+            spark.read.format("helium_chain")
+            .option("endpoint", "mock://mixed")
+            .option("start", 1).option("end", _FOLLOW_N)
+            .option("what", what)
+            .option("heights_per_partition", 16)
+            .load()
+        )
+
+    process_batch(spark, read("blocks"), read("txns"), out)
+    process_batch(spark, read("blocks"), read("txns"), out)
+    rec = spark.read.parquet(f"{out}/{RECEIPTS}")
+    return rec.select(
+        "_from", "_to", "frequency", "datarate", "is_valid", "signal",
+        "snr", "timestamp", "hash", "block", "tx_power",
+        "processing_time_s", "_key",
+        F.col("block_bucket").cast("long").alias("block_bucket"),
+    )
+
+
+@register(
+    "follow_replay_accounts",
+    f"""WITH h AS (SELECT i.i AS h FROM generate_series(1, {_FOLLOW_N}) i(i)),
+       k AS (SELECT 'acct' || (h % 97)::VARCHAR AS _key FROM h
+             UNION
+             SELECT 'acct' || ((h * 7) % 89)::VARCHAR FROM h)
+       SELECT DISTINCT _key FROM k""",
+    doc="The vertex half of the follow pipeline: distinct account keys "
+        "(payer union payee, follower.py:147,156) materialized through "
+        "the idempotent sink after a double replay — the engine's "
+        "union_distinct_vertices end-to-end, oracle-reproduced from the "
+        "mock chain's payer/payee congruences.",
+    tags=("streaming", "pipeline", "vertices"),
+)
+def follow_replay_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.datasource import HeliumChainDataSource
+    from ..streaming.follow import ACCOUNTS, process_batch
+
+    spark.dataSource.register(HeliumChainDataSource)
+    out = tempfile.mkdtemp(prefix="follow_replay_ac_")
+
+    def read(what: str) -> DataFrame:
+        return (
+            spark.read.format("helium_chain")
+            .option("endpoint", "mock://replay")
+            .option("start", 1).option("end", _FOLLOW_N)
+            .option("what", what)
+            .option("heights_per_partition", 16)
+            .load()
+        )
+
+    process_batch(spark, read("blocks"), read("txns"), out)
+    process_batch(spark, read("blocks"), read("txns"), out)
+    return spark.read.parquet(f"{out}/{ACCOUNTS}").select("_key")

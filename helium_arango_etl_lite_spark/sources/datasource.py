@@ -59,10 +59,64 @@ class HeightRange(InputPartition):
         self.hi = hi
 
 
+_NS = 1_000_000_000
+
+
+def _mock_receipt_txn(h: int) -> dict:
+    """Deterministic poc_receipts_v1 for height ``h`` (mixed chain only).
+
+    Field values are chosen so every derived column renders identically
+    as a string in Spark and DuckDB (halves for floats, exact 0.5 s
+    witness/receipt timestamp deltas) — the witness-edge canonical MD5
+    key is therefore oracle-reproducible end-to-end.
+    """
+    challengee = f"hs{h % 11}"
+    r_ts = h * _NS
+    receipt = None
+    if h % 2 == 0:  # the reference's nullable-receipt path (follower.py:194-198)
+        receipt = {
+            "channel": 3,
+            "data": "d",
+            "datarate": "SF9BW125",
+            "frequency": 904.3,
+            "gateway": challengee,
+            "origin": "p2p",
+            "signal": -60,
+            "snr": 9.0,
+            "timestamp": r_ts,
+            "tx_power": 27,
+        }
+    witnesses = [
+        {
+            "channel": 3,
+            "datarate": "SF9BW125",
+            "frequency": 904.3,
+            "gateway": f"hs{(h * 5 + w) % 17}",
+            "is_valid": (h + w) % 4 != 0,
+            "packet_hash": f"ph{h:012d}",
+            "signal": -(70 + (h + w) % 30),
+            "snr": [2.0, 5.5, 9.0][(h + w) % 3],
+            "timestamp": r_ts + (w + 1) * 500_000_000,
+        }
+        for w in (0, 1)
+    ]
+    return {
+        "hash": f"pr{h:012d}",
+        "challenger": f"hs{h % 13}",
+        "fee": 0,
+        "path": [
+            {"challengee": challengee, "receipt": receipt, "witnesses": witnesses}
+        ],
+    }
+
+
 def mock_transport(endpoint: str, payload: dict) -> dict:
     """Deterministic synthetic chain for mock:// endpoints: every height
     has one payment_v1 whose fields derive from the height, so any range
-    read is reproducible on any executor."""
+    read is reproducible on any executor. Endpoints containing ``mixed``
+    additionally carry one poc_receipts_v1 every third height (same
+    determinism), exercising the witness-edge path end-to-end."""
+    mixed = "mixed" in endpoint
     method, params = payload["method"], payload.get("params", {})
     if method == "block_height":
         return {"result": 10_000_000}
@@ -70,17 +124,22 @@ def mock_transport(endpoint: str, payload: dict) -> dict:
         h = params.get("height")
         if h is None or h < 1:
             return {"error": {"code": -100, "message": "no such block"}}
+        stubs = [{"hash": f"tx{h:012d}", "type": "payment_v1"}]
+        if mixed and h % 3 == 0:
+            stubs.append({"hash": f"pr{h:012d}", "type": "poc_receipts_v1"})
         return {
             "result": {
                 "hash": f"bh{h:012d}",
                 "height": h,
                 "prev_hash": f"bh{h - 1:012d}",
                 "time": 1_600_000_000 + h * 60,
-                "transactions": [{"hash": f"tx{h:012d}", "type": "payment_v1"}],
+                "transactions": stubs,
             }
         }
     if method == "transaction_get":
         th = params.get("hash", "")
+        if mixed and th.startswith("pr"):
+            return {"result": _mock_receipt_txn(int(th[2:]))}
         if not th.startswith("tx"):
             return {"error": {"code": -100, "message": "no such txn"}}
         h = int(th[2:])

@@ -396,10 +396,50 @@ def test_time_range_window_single_shuffle_on_user(spark, sf_dir):
 
 
 def test_semdedup_broadcasts_centroids(spark, sf_dir):
-    # the centroid set is tiny (n/37): assignment must be a broadcast
+    # the centroid set is fixed-K: assignment must be a broadcast
     # nested-loop/hash join, never a shuffled cross product of the corpus
     plan = plan_of(spark, sf_dir, "llm_semdedup")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_knn_bucketed_is_equi_join_only(spark, sf_dir):
+    """The 100 TB k-NN form: candidate generation must be a bucket
+    EQUI-join (hashable keys on both sides) — a cartesian/nested-loop
+    candidate stage would re-create the all-pairs blow-up the operator
+    exists to avoid — and the per-query top-k must be a qid-partitioned
+    window, not a global sort."""
+    plan = plan_of(spark, sf_dir, "llm_knn_join_bucketed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_ivf_topk_take_ordered(spark, sf_dir):
+    """IVF ANN ends in TakeOrderedAndProject (per-partition top-k, K-row
+    driver merge) — a global Sort before the limit would shuffle the
+    whole candidate set."""
+    plan = plan_of(spark, sf_dir, "llm_ann_ivf")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_fixed_centroids_take_ordered(spark, sf_dir):
+    """fixed_centroids compiles to TakeOrderedAndProject — the K-row
+    centroid seed must never trigger a full global sort of the corpus."""
+    from helium_arango_etl_lite_spark.operators.llm.similarity import (
+        _as_double, fixed_centroids,
+    )
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    df = fixed_centroids(e, 8)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_seq_len_buckets_partial_aggregates(spark, sf_dir):

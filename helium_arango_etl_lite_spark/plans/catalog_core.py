@@ -957,3 +957,122 @@ def follow_replay_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     process_batch(spark, read("blocks"), read("txns"), out)
     process_batch(spark, read("blocks"), read("txns"), out)
     return spark.read.parquet(f"{out}/{ACCOUNTS}").select("_key")
+
+
+@register(
+    "rollup_replay",
+    f"""WITH {EVENTS_NORM},
+       e AS (SELECT date_trunc('hour', ts) AS bucket, event_type,
+                    CAST(round(value * 100) AS BIGINT) AS value_c
+             FROM events_norm)
+       SELECT bucket, event_type, count(*)::BIGINT AS n_events,
+              sum(value_c)::BIGINT AS sum_value, bucket::DATE AS bucket_day
+       FROM e GROUP BY 1, 2""",
+    doc="The continuous time-bucket rollup (streaming/rollup.py — the "
+        "TimescaleDB continuous-aggregate pattern) under the driver's "
+        "value hash: the events table is replayed as three disjoint "
+        "micro-batches (event_id mod 3), each merged into the rollup "
+        "table via the partition-pruned read-merge-dynamic-overwrite "
+        "path, and the materialized table must equal a one-shot GROUP "
+        "BY. Sums are integer cents, so the batch/merge re-association "
+        "is exact — the merge path itself is what's being hashed. Cost "
+        "per batch is proportional to the batch's day span, never the "
+        "table size.",
+    tags=("streaming", "rollup", "agg"),
+)
+def rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.rollup import _partials, merge_rollup
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "value_c", F.round(F.col("value") * 100).cast("long")
+    )
+    out = tempfile.mkdtemp(prefix="rollup_replay_")
+    for i in range(3):
+        batch = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+        merge_rollup(
+            spark,
+            _partials(batch, "ts", "event_type", "value_c", "hour"),
+            out,
+            "event_type",
+        )
+    roll = spark.read.parquet(out)
+    return roll.select(
+        "bucket", "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("long").alias("sum_value"),
+        F.col("bucket_day").alias("bucket_day"),
+    )
+
+
+@register(
+    "stream_totals_replay",
+    f"""WITH {EVENTS_NORM}
+       SELECT user_id, count(*)::BIGINT AS n_events_total,
+              sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))::BIGINT
+                AS total_value_c
+       FROM events_norm GROUP BY 1""",
+    doc="The custom stateful operator (streaming/stateful.py "
+        "running_totals, applyInPandasWithState) under the driver's "
+        "value hash: events replay as three parquet micro-batches "
+        "(maxFilesPerTrigger=1, availableNow), per-user state carries "
+        "across batches, and each user's LAST update-mode emission must "
+        "equal a one-shot GROUP BY over the whole table. Values are "
+        "integer cents so state accumulation is exact; state lives in "
+        "the state store partitioned by user, so batch cost tracks the "
+        "batch's key set, not the table.",
+    tags=("streaming", "stateful", "agg"),
+)
+def stream_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.stateful import running_totals
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+        .cast("double")
+        .alias("value"),
+    )
+    src = tempfile.mkdtemp(prefix="st_src_")
+    res = tempfile.mkdtemp(prefix="st_res_")
+    ckpt = tempfile.mkdtemp(prefix="st_ckpt_")
+    for i in range(3):
+        (
+            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+            .select("user_id", "value")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        running_totals(stream)
+        .writeStream.foreachBatch(
+            lambda df, bid: df.withColumn("batch_id", F.lit(bid))
+            .write.mode("append")
+            .parquet(res)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    outs = spark.read.parquet(res)
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    return (
+        outs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events_total",
+            F.col("total_value").cast("long").alias("total_value_c"),
+        )
+    )

@@ -176,6 +176,35 @@ def test_knn_join_engines_agree(spark, sf_dir):
     assert a == b
 
 
+def test_knn_join_auto_routes_by_corpus_size(spark, sf_dir):
+    """engine='auto' must run the exact arrow GEMM while the corpus fits
+    the broadcast budget and degrade to the bucketed LSH-candidate form
+    (documented-approximate, no driver collect) above it."""
+    from helium_arango_etl_lite_spark.operators.llm.similarity import (
+        knn_join, knn_join_bucketed,
+    )
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = sorted(tuple(r) for r in knn_join(emb, k=3, engine="arrow").collect())
+    auto_small = sorted(tuple(r) for r in knn_join(emb, k=3, engine="auto").collect())
+    assert auto_small == exact  # under the threshold: identical to exact
+
+    routed = sorted(
+        tuple(r)
+        for r in knn_join(emb, k=3, engine="auto", max_broadcast_rows=1).collect()
+    )
+    bucketed = sorted(
+        tuple(r) for r in knn_join_bucketed(emb, k=3).collect()
+    )
+    assert routed == bucketed  # over the threshold: the bucketed form
+    # approximate contract: per-query neighbour lists are <= k and every
+    # emitted pair carries a verified cosine
+    from collections import Counter
+    per_q = Counter(r[0] for r in routed)
+    assert all(v <= 3 for v in per_q.values())
+
+
 def test_ivf_injected_centroids_fixed_k(spark, sf_dir):
     """The scale path (SCALE_SOAK.md): with an injected fixed-K centroid
     frame, ivf_topk/semdedup run the identical dataflow against K cells

@@ -1076,3 +1076,66 @@ def stream_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_value").cast("long").alias("total_value_c"),
         )
     )
+
+
+_RET_START, _RET_END = 7000, 14500   # spans block buckets 0 / 1 / 2
+_RET_WINDOW = 200                    # keep blocks >= 14300 -> drop bucket 0
+
+
+@register(
+    "follow_retention_replay",
+    f"""WITH h AS (SELECT i.i AS h FROM generate_series({_RET_START}, {_RET_END}) i(i)
+                   WHERE (i.i // 7200 + 1) * 7200 > {_RET_END} - {_RET_WINDOW}),
+e AS (SELECT
+        'accounts/acct' || (h % 97)::VARCHAR AS _from,
+        'accounts/acct' || ((h * 7) % 89)::VARCHAR AS _to,
+        'tx' || lpad(h::VARCHAR, 12, '0') AS hash,
+        ((h * 37) % 100000 + 1)::BIGINT AS amount,
+        h::BIGINT AS block,
+        (1600000000 + h * 60)::BIGINT AS ts_s,
+        (h // 7200)::BIGINT AS block_bucket
+      FROM h)
+SELECT _from, _to, hash, amount, block, ts_s AS "timestamp",
+       md5(_from || '|' || _to || '|' || hash || '|' || amount::VARCHAR
+           || '|' || block::VARCHAR || '|' || ts_s::VARCHAR) AS _key,
+       block_bucket
+FROM e""",
+    doc="Retention as a metadata-only partition drop under the value "
+        "hash (the reference's disabled AQL delete, follower.py:210-214, "
+        "made cheap): ingest blocks spanning three block_bucket "
+        "partitions, apply the retention window, and the surviving table "
+        "must equal the oracle's closed-form 'every bucket whose entire "
+        "range is below tip - window is gone' — no row-level rewrite "
+        "anywhere (streaming/sink.py:apply_retention).",
+    tags=("streaming", "retention", "sink"),
+)
+def follow_retention_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.datasource import HeliumChainDataSource
+    from ..streaming.follow import PAYMENTS, process_batch
+    from ..streaming.sink import apply_retention
+
+    spark.dataSource.register(HeliumChainDataSource)
+    out = tempfile.mkdtemp(prefix="follow_ret_")
+
+    def read(what: str) -> DataFrame:
+        return (
+            spark.read.format("helium_chain")
+            .option("endpoint", "mock://replay")
+            .option("start", _RET_START).option("end", _RET_END)
+            .option("what", what)
+            .option("heights_per_partition", 512)
+            .load()
+        )
+
+    process_batch(spark, read("blocks"), read("txns"), out)
+    dropped = apply_retention(
+        spark, f"{out}/{PAYMENTS}", tip_height=_RET_END, window=_RET_WINDOW
+    )
+    assert dropped == [0], dropped
+    pay = spark.read.parquet(f"{out}/{PAYMENTS}")
+    return pay.select(
+        "_from", "_to", "hash", "amount", "block", "timestamp", "_key",
+        F.col("block_bucket").cast("long").alias("block_bucket"),
+    )

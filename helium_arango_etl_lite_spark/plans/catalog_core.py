@@ -1139,3 +1139,70 @@ def follow_retention_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_from", "_to", "hash", "amount", "block", "timestamp", "_key",
         F.col("block_bucket").cast("long").alias("block_bucket"),
     )
+
+
+_Q_N = 200  # landing-zone lines; every 7th is a truncated JSON line
+
+
+@register(
+    "quarantine_replay",
+    f"""WITH h AS (SELECT i.i AS h FROM generate_series(1, {_Q_N}) i(i))
+SELECT CASE WHEN h % 7 <> 0 THEN h END::BIGINT AS block,
+       CASE WHEN h % 7 <> 0 THEN 'bh' || lpad(h::VARCHAR, 12, '0') END AS hash,
+       (CASE WHEN h % 7 <> 0 THEN 1600000000 + h * 60 END)::BIGINT AS block_time,
+       (CASE WHEN h % 7 <> 0 THEN 1 END)::BIGINT AS n_txns,
+       CASE WHEN h % 7 = 0
+            THEN '{{"height": ' || h::VARCHAR || ', "bro' END AS raw
+FROM h""",
+    doc="The ValidationError stand-in under the value hash: a JSON-lines "
+        "landing zone where every 7th line is truncated mid-object is "
+        "read schema-first in PERMISSIVE mode (sources/jsonl.py "
+        "read_blocks); split_corrupt must route exactly the broken lines "
+        "— raw bytes preserved — to quarantine and parse every other "
+        "line to typed columns (follower.py:58-69 re-expressed as "
+        "quarantine-not-retry). One output row per input line: parsed "
+        "fields for good rows, the verbatim raw line for quarantined "
+        "ones.",
+    tags=("source", "quarantine", "streaming"),
+)
+def quarantine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import tempfile
+
+    from ..sources.jsonl import read_blocks, split_corrupt
+
+    land = tempfile.mkdtemp(prefix="quarantine_land_")
+    lines = []
+    for h in range(1, _Q_N + 1):
+        if h % 7 == 0:
+            lines.append(f'{{"height": {h}, "bro')
+        else:
+            lines.append(json.dumps({
+                "hash": f"bh{h:012d}",
+                "height": h,
+                "prev_hash": f"bh{h - 1:012d}",
+                "time": 1_600_000_000 + h * 60,
+                "transactions": [
+                    {"hash": f"tx{h:012d}", "type": "payment_v1"}
+                ],
+            }, sort_keys=True))
+    with open(os.path.join(land, "blocks_0001.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    good, quarantine = split_corrupt(read_blocks(spark, land))
+    parsed = good.select(
+        F.col("height").alias("block"),
+        "hash",
+        F.col("time").alias("block_time"),
+        F.size("transactions").cast("long").alias("n_txns"),
+        F.lit(None).cast("string").alias("raw"),
+    )
+    bad = quarantine.select(
+        F.lit(None).cast("long").alias("block"),
+        F.lit(None).cast("string").alias("hash"),
+        F.lit(None).cast("long").alias("block_time"),
+        F.lit(None).cast("long").alias("n_txns"),
+        F.col("_corrupt_record").alias("raw"),
+    )
+    return parsed.unionByName(bad)

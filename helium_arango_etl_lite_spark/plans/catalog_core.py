@@ -1206,3 +1206,62 @@ def quarantine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_corrupt_record").alias("raw"),
     )
     return parsed.unionByName(bad)
+
+
+@register(
+    "inventory_refresh_replay",
+    """WITH idx AS (SELECT i.i AS i FROM generate_series(0, 149) i(i)
+                    WHERE i.i % 9 <> 0),
+       v AS (SELECT i, i * 1000 + 7 AS v FROM idx)
+       SELECT 'addr' || i::VARCHAR AS _key,
+              'own' || (i % 7)::VARCHAR AS owner,
+              'hs-' || i::VARCHAR AS name,
+              2000::BIGINT AS inventory_height,
+              'Point' AS geo_type,
+              ((v // 18000) % 36000) / 100.0 - 180.0 AS lng,
+              (v % 18000) / 100.0 - 90.0 AS lat
+       FROM v""",
+    doc="The slowly-refreshed dimension under the value hash "
+        "(follower.py:61-62,130-133 + loaders.py:19-47): two CSV drops "
+        "land (heights 1000 and 2000), refresh_inventory_if_stale picks "
+        "ONLY the newest by filename watermark, geo-enriches it (H3 hex "
+        "-> GeoJSON via the Arrow-batched UDF; rows with a null location "
+        "dropped, loaders.py:35), and bulk-replaces the hotspots "
+        "dimension. The hex payload is the hex rendering of a known "
+        "integer, so the oracle reproduces the fallback geo arithmetic "
+        "exactly (same trick as udf_geo_index); the GeoJSON struct is "
+        "flattened to scalar lng/lat for the driver compare.",
+    tags=("source", "dimension", "udf"),
+)
+def inventory_refresh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.service import refresh_inventory_if_stale
+
+    land = tempfile.mkdtemp(prefix="inv_land_")
+    out = tempfile.mkdtemp(prefix="inv_dim_")
+
+    def write_drop(height: int, n: int) -> None:
+        rows = ["address,owner,location,name"]
+        for i in range(n):
+            loc = "" if i % 9 == 0 else format(i * 1000 + 7, "x")
+            rows.append(f"addr{i},own{i % 7},{loc},hs-{i}")
+        path = os.path.join(land, f"gateway_inventory_{height}.csv")
+        with open(path, "w") as f:
+            f.write("\n".join(rows) + "\n")
+
+    write_drop(1000, 100)   # stale drop: must NOT be loaded
+    write_drop(2000, 150)   # newest drop by filename watermark
+    new_height = refresh_inventory_if_stale(
+        spark, os.path.join(land, "gateway_inventory_*.csv"), out,
+        sync_height=3000, inventory_height=None,
+    )
+    assert new_height == 2000, new_height
+    dim = spark.read.parquet(f"{out}/hotspots")
+    return dim.select(
+        "_key", "owner", "name", "inventory_height",
+        F.col("location_geo").getField("type").alias("geo_type"),
+        F.col("location_geo").getField("coordinates").getItem(0).alias("lng"),
+        F.col("location_geo").getField("coordinates").getItem(1).alias("lat"),
+    )

@@ -18,14 +18,52 @@ DuckDB oracle (which computes in double) matches to ~1e-15.
 from __future__ import annotations
 
 import random
+import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ...functions.hashing import hash32
 
 
 def _as_double(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
+
+
+def _infer_dim(e: DataFrame, vec_col: str = "v") -> int:
+    """Embedding dimension from one sampled row (single-row job).
+
+    Called only when the caller did not pass ``dim`` explicitly — a wrong
+    hardcoded dim makes zip_with pad with nulls, every bucket id NULL, and
+    the bucket join silently empty; inferring (or failing loudly on an
+    empty frame) removes that silent-wrong-answer mode.
+    """
+    row = e.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError(
+            "cannot infer embedding dim from an empty DataFrame; pass dim="
+        )
+    return int(row["d"])
+
+
+def _estimated_row_count(df: DataFrame) -> int | None:
+    """Optimizer row-count estimate for ``df`` — no job, may be None.
+
+    Reads the logical plan's statistics (exact when the source catalog
+    has ANALYZE stats or the plan has a counting shape; None for a bare
+    parquet scan, where only sizeInBytes is known). Used by
+    :func:`knn_join` auto-routing so the route is free when stats exist
+    and costs at most a bounded limit-probe when they don't.
+    """
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        opt = stats.rowCount()
+        if opt.isDefined():
+            return int(str(opt.get()))
+    except Exception:  # pragma: no cover - JVM API drift
+        return None
+    return None
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -125,15 +163,16 @@ def cosine_topk(
 def lsh_bucket_topk(
     emb: DataFrame, query_id: int, k: int = 5, num_planes: int = 6,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    seed: int = 7, dim: int = 64, round_dp: int = 4,
+    seed: int = 7, dim: int | None = None, round_dp: int = 4,
 ) -> DataFrame:
     """ANN: candidates restricted to the query's LSH bucket, exact cosine
     within. At scale the bucket column is precomputed + partitioned-by, so
     this is a partition-pruned scan, not a full pass."""
+    e0 = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    if dim is None:
+        dim = _infer_dim(e0)
     planes = hyperplanes(num_planes, dim, seed)
-    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
-        "bucket", lsh_bucket(F.col("v"), planes)
-    )
+    e = e0.withColumn("bucket", lsh_bucket(F.col("v"), planes))
     q = e.filter(F.col(id_col) == query_id).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
     )
@@ -232,7 +271,7 @@ def embedding_near_dup_pairs(
 def embedding_near_dup_lsh(
     emb: DataFrame, threshold: float = 0.45, num_planes: int = 6,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    seed: int = 7, dim: int = 64, round_dp: int = 4,
+    seed: int = 7, dim: int | None = None, round_dp: int = 4,
 ) -> DataFrame:
     """Near-dup pairs with the LSH-bucket equality join — the 100 TB shape.
 
@@ -243,10 +282,11 @@ def embedding_near_dup_lsh(
     raise recall with fewer planes or multiple plane tables); precision is
     exact because every emitted pair is cosine-verified.
     """
+    e0 = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    if dim is None:
+        dim = _infer_dim(e0)
     planes = hyperplanes(num_planes, dim, seed)
-    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
-        "bucket", lsh_bucket(F.col("v"), planes)
-    )
+    e = e0.withColumn("bucket", lsh_bucket(F.col("v"), planes))
     a = e.select(
         F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("bucket")
     )
@@ -269,7 +309,7 @@ def knn_join(
     id_col: str = "vec_id", vec_col: str = "embedding",
     round_dp: int = 4, engine: str = "auto",
     max_broadcast_rows: int = 10_000_000,
-    num_planes: int = 3, seed: int = 7, dim: int = 64,
+    num_planes: int = 3, seed: int = 7, dim: int | None = None,
 ) -> DataFrame:
     """All-pairs k-NN self-join: for EVERY vector, its ``k`` nearest
     neighbours by cosine — the per-document neighbourhood pass curation
@@ -278,13 +318,18 @@ def knn_join(
     cells) are the candidate-pruned scale path for corpora whose matrix
     can't be broadcast.
 
-    ``engine="auto"`` (default): count the corpus once; at or below
-    ``max_broadcast_rows`` run the exact arrow GEMM, above it route to
-    :func:`knn_join_bucketed` — the LSH-candidate approximate form whose
-    joins are all bucket equi-joins (no driver collect, no cross join).
-    The exact form CANNOT scale past a broadcastable matrix by
-    construction, so the engine degrades to documented-approximate
-    instead of collecting 100 TB to the driver.
+    ``engine="auto"`` (default): route WITHOUT a full corpus scan — use
+    the optimizer's row-count estimate when the catalog has one, else a
+    bounded ``limit(max_broadcast_rows + 1)`` probe on the pruned id
+    column (stops as soon as the threshold is exceeded; never pays a
+    second full pass over the vectors). At or below the threshold run
+    the exact arrow GEMM; above it route to :func:`knn_join_bucketed` —
+    the LSH-candidate approximate form whose joins are all bucket
+    equi-joins (no driver collect, no cross join). The exact form CANNOT
+    scale past a broadcastable matrix by construction, so the engine
+    degrades to documented-approximate instead of collecting 100 TB to
+    the driver; the degradation is surfaced with a ``UserWarning``
+    (neighbour lists may be shorter than ``k`` in the approximate form).
 
     ``engine="arrow"``: the corpus collects into ONE normalised numpy
     matrix broadcast to executors (rows x dim floats — fine up to ~10M
@@ -304,9 +349,23 @@ def knn_join(
 
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
     if engine == "auto":
-        engine = (
-            "arrow" if e.count() <= max_broadcast_rows else "bucketed"
-        )
+        est = _estimated_row_count(e)
+        if est is None:
+            # bounded probe: pruned id column, stops at threshold + 1
+            est = (
+                e.select(id_col).limit(max_broadcast_rows + 1).count()
+            )
+        if est > max_broadcast_rows:
+            warnings.warn(
+                f"knn_join: corpus exceeds max_broadcast_rows="
+                f"{max_broadcast_rows}; routing exact->approximate "
+                "(LSH-bucketed): neighbour lists may be shorter than k",
+                UserWarning,
+                stacklevel=2,
+            )
+            engine = "bucketed"
+        else:
+            engine = "arrow"
     if engine == "bucketed":
         return knn_join_bucketed(
             emb, k=k, id_col=id_col, vec_col=vec_col, round_dp=round_dp,
@@ -380,7 +439,8 @@ def knn_join(
 def knn_join_bucketed(
     emb: DataFrame, k: int = 3,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    round_dp: int = 4, num_planes: int = 3, seed: int = 7, dim: int = 64,
+    round_dp: int = 4, num_planes: int = 3, seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs k-NN via LSH-candidate generation — the
     100 TB shape of :func:`knn_join`. Same output contract (qid, nid,
@@ -397,10 +457,11 @@ def knn_join_bucketed(
     """
     from pyspark.sql import Window
 
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    if dim is None:
+        dim = _infer_dim(e)
     planes = hyperplanes(num_planes, dim, seed)
-    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
-        "bucket", lsh_bucket(F.col("v"), planes)
-    )
+    e = e.withColumn("bucket", lsh_bucket(F.col("v"), planes))
     a = e.select(
         F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("bucket")
     )
@@ -519,7 +580,15 @@ def semdedup(
                 ),
             )
             .withColumn(
-                "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nsplit"))
+                # salt = md5-derived 32-bit hash of the id (":sd" domain
+                # tag) mod nsplit — oracle-expressible (hash32_oracle_sql)
+                # so a DuckDB mirror reproduces the split exactly; both
+                # operands are non-negative, so pmod == %
+                "_salt",
+                F.pmod(
+                    hash32(F.concat(F.col(id_col).cast("string"), F.lit(":sd"))),
+                    F.col("_nsplit"),
+                ),
             )
             .drop("_cn", "_nsplit")
         )

@@ -782,6 +782,26 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2.6 streaming follow pipeline, driver-exposed (batch-mode replay)
 # --------------------------------------------------------------------------
 
+
+def _replay_dir(name: str) -> str:
+    """Deterministic per-query scratch dir, wiped on entry.
+
+    The replay queries materialize sink tables; one well-known path per
+    query (instead of ``mkdtemp`` per call) keeps repeated runs from
+    leaking a directory per invocation (ADVICE r4), and the wipe
+    guarantees each run starts from an empty table so the value hash is
+    independent of run order.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_replay", name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 _FOLLOW_N = 120
 
 _FOLLOW_SQL = f"""WITH h AS (SELECT i.i AS h FROM generate_series(1, {_FOLLOW_N}) i(i)),
@@ -818,13 +838,11 @@ FROM e"""
     tags=("streaming", "pipeline", "sink"),
 )
 def follow_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..sources.datasource import HeliumChainDataSource
     from ..streaming.follow import PAYMENTS, process_batch
 
     spark.dataSource.register(HeliumChainDataSource)
-    out = tempfile.mkdtemp(prefix="follow_replay_")
+    out = _replay_dir("follow_replay")
 
     def read(what: str) -> DataFrame:
         return (
@@ -892,13 +910,12 @@ FROM e"""
     tags=("streaming", "pipeline", "sink"),
 )
 def follow_replay_receipts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..sources.datasource import HeliumChainDataSource
     from ..streaming.follow import RECEIPTS, process_batch
 
     spark.dataSource.register(HeliumChainDataSource)
-    out = tempfile.mkdtemp(prefix="follow_replay_rx_")
+    out = _replay_dir("follow_replay_rx")
 
     def read(what: str) -> DataFrame:
         return (
@@ -936,13 +953,12 @@ def follow_replay_receipts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "pipeline", "vertices"),
 )
 def follow_replay_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..sources.datasource import HeliumChainDataSource
     from ..streaming.follow import ACCOUNTS, process_batch
 
     spark.dataSource.register(HeliumChainDataSource)
-    out = tempfile.mkdtemp(prefix="follow_replay_ac_")
+    out = _replay_dir("follow_replay_ac")
 
     def read(what: str) -> DataFrame:
         return (
@@ -981,14 +997,13 @@ def follow_replay_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "rollup", "agg"),
 )
 def rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..streaming.rollup import _partials, merge_rollup
 
     ev = load_events(spark, sf_dir).withColumn(
         "value_c", F.round(F.col("value") * 100).cast("long")
     )
-    out = tempfile.mkdtemp(prefix="rollup_replay_")
+    out = _replay_dir("rollup_replay")
     for i in range(3):
         batch = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
         merge_rollup(
@@ -1025,7 +1040,6 @@ def rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "stateful", "agg"),
 )
 def stream_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..streaming.stateful import running_totals
 
@@ -1036,9 +1050,9 @@ def stream_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value"),
     )
-    src = tempfile.mkdtemp(prefix="st_src_")
-    res = tempfile.mkdtemp(prefix="st_res_")
-    ckpt = tempfile.mkdtemp(prefix="st_ckpt_")
+    src = _replay_dir("stream_totals/src")
+    res = _replay_dir("stream_totals/res")
+    ckpt = _replay_dir("stream_totals/ckpt")
     for i in range(3):
         (
             ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
@@ -1110,14 +1124,13 @@ FROM e""",
     tags=("streaming", "retention", "sink"),
 )
 def follow_retention_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..sources.datasource import HeliumChainDataSource
     from ..streaming.follow import PAYMENTS, process_batch
     from ..streaming.sink import apply_retention
 
     spark.dataSource.register(HeliumChainDataSource)
-    out = tempfile.mkdtemp(prefix="follow_ret_")
+    out = _replay_dir("follow_retention")
 
     def read(what: str) -> DataFrame:
         return (
@@ -1133,7 +1146,13 @@ def follow_retention_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = apply_retention(
         spark, f"{out}/{PAYMENTS}", tip_height=_RET_END, window=_RET_WINDOW
     )
-    assert dropped == [0], dropped
+    if dropped != [0]:
+        # explicit raise, not assert: the invariant must survive python -O
+        # (ADVICE r4) — a wrong partition drop would otherwise return a
+        # wrong-but-hashable table
+        raise RuntimeError(
+            f"retention must drop exactly bucket [0], dropped {dropped!r}"
+        )
     pay = spark.read.parquet(f"{out}/{PAYMENTS}")
     return pay.select(
         "_from", "_to", "hash", "amount", "block", "timestamp", "_key",
@@ -1168,11 +1187,10 @@ FROM h""",
 def quarantine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
     import os
-    import tempfile
 
     from ..sources.jsonl import read_blocks, split_corrupt
 
-    land = tempfile.mkdtemp(prefix="quarantine_land_")
+    land = _replay_dir("quarantine_land")
     lines = []
     for h in range(1, _Q_N + 1):
         if h % 7 == 0:
@@ -1235,12 +1253,11 @@ def quarantine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def inventory_refresh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from ..streaming.service import refresh_inventory_if_stale
 
-    land = tempfile.mkdtemp(prefix="inv_land_")
-    out = tempfile.mkdtemp(prefix="inv_dim_")
+    land = _replay_dir("inventory/land")
+    out = _replay_dir("inventory/dim")
 
     def write_drop(height: int, n: int) -> None:
         rows = ["address,owner,location,name"]
@@ -1257,7 +1274,11 @@ def inventory_refresh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(land, "gateway_inventory_*.csv"), out,
         sync_height=3000, inventory_height=None,
     )
-    assert new_height == 2000, new_height
+    if new_height != 2000:
+        # explicit raise, not assert: survives python -O (ADVICE r4)
+        raise RuntimeError(
+            f"refresh must pick the newest drop (2000), got {new_height!r}"
+        )
     dim = spark.read.parquet(f"{out}/hotspots")
     return dim.select(
         "_key", "owner", "name", "inventory_height",

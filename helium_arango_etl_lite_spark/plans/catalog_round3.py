@@ -395,6 +395,66 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_CAP = 16  # binds at sf0.01 (500 rows / 32 cells), so the driver
+# value-hashes the salt-split path itself; at scale it bounds the pair
+# stage at O(n * cap) regardless of cell skew
+
+
+def _semdedup_capped_sql(cap: int, threshold: float = 0.35) -> str:
+    """DuckDB mirror of ``semdedup(..., max_cell_size=cap)``: same
+    fixed-K assignment as ``_SEMDEDUP_SQL`` plus the salt-split CTEs —
+    salt = hash32(vec_id || ':sd') % ceil(cell_size / cap), exactly the
+    Spark operator's arithmetic (similarity.py:semdedup). Threshold
+    0.35 (vs the uncapped entry's 0.5) so dup pairs EXIST at sf0.01 —
+    the capped result (39 dups) differs from uncapped (52), making the
+    salt split value-visible to the driver hash, not just plan-visible."""
+    salt = hash32_oracle_sql("vec_id::VARCHAR || ':sd'")
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {IVF_K}),
+asg AS (SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS6.format(a='e.v', b='c.cv')} DESC, c.cid DESC) AS rn
+    FROM e, c) WHERE rn = 1),
+cells0 AS (SELECT e.vec_id, e.v, asg.cell FROM e JOIN asg USING (vec_id)),
+sz AS (SELECT cell, count(*) AS cn FROM cells0 GROUP BY cell),
+cells AS (SELECT cells0.vec_id, cells0.v, cells0.cell,
+                 {salt} % greatest(1, ceil(sz.cn / {cap}.0)::BIGINT) AS salt
+          FROM cells0 JOIN sz USING (cell)),
+dup AS (SELECT DISTINCT b.vec_id
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.salt = b.salt AND a.vec_id < b.vec_id
+        WHERE {_COS4.format(a='a.v', b='b.v')} >= {threshold})
+SELECT cells.vec_id, cells.cell,
+       CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM cells LEFT JOIN dup ON cells.vec_id = dup.vec_id"""
+
+
+@register(
+    "llm_semdedup_capped",
+    _semdedup_capped_sql(SEMDEDUP_CAP),
+    doc="llm_semdedup with the production cell-size cap: cells larger "
+        f"than {SEMDEDUP_CAP} are salt-split into ceil(size/cap) "
+        "sub-cells by an md5-derived hash of the id (oracle-expressible "
+        "— the DuckDB mirror reproduces the split exactly), and pairing "
+        "runs within a sub-cell only. Bounds the quadratic pair stage at "
+        "O(n * cap) TOTAL regardless of cell skew — one mega-cell can no "
+        "longer go quadratic (SCALE_SOAK.md: uncapped killed >580 s at "
+        "100x, capped ~linear). Recall-only approximation: cross-salt "
+        "pairs are missed, every emitted duplicate is still cosine-"
+        "verified. The cap binds at sf0.01 (500 rows / 32 cells), so "
+        "the driver hash covers the salt arithmetic itself "
+        "(operators/llm/similarity.py:semdedup, max_cell_size).",
+    tags=("llm", "dedup", "similarity", "scale"),
+)
+def llm_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semdedup(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.35, num_centroids=IVF_K, max_cell_size=SEMDEDUP_CAP,
+    )
+
+
 @register(
     "window_first_last",
     f"""WITH {EVENTS_NORM}
@@ -457,12 +517,14 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    wv = Window.orderBy(F.desc("c"), F.asc("t"))
+    # top-100 via orderBy().limit() -> TakeOrderedAndProject: per-partition
+    # top-k then a 100-row merge — NOT a global row_number window, which
+    # would sort every distinct token of the corpus through ONE task
     vocab = (
         tok.groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
-        .select("t", F.row_number().over(wv).alias("rn"))
-        .filter(F.col("rn") <= 100)
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(100)
         .select("t", F.lit(1).alias("in_vocab"))
     )
     flags = tok.join(F.broadcast(vocab), "t", "left")

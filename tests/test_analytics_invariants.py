@@ -259,3 +259,61 @@ def test_semdedup_cell_cap_bounds_pairing(spark, sf_dir):
         for r in similarity.semdedup(emb, threshold=0.5, max_cell_size=10**9).collect()
     }
     assert huge == base
+
+
+def test_knn_join_auto_degradation_warns(spark, sf_dir):
+    """Crossing max_broadcast_rows flips the contract exact->approximate;
+    the routing must surface that (ADVICE r4) instead of silently
+    returning possibly-short neighbour lists."""
+    import warnings
+
+    from helium_arango_etl_lite_spark.operators.llm.similarity import knn_join
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        knn_join(emb, k=3, engine="auto", max_broadcast_rows=1)
+    assert any("exact->approximate" in str(w.message) for w in rec)
+
+    # below the threshold: no degradation warning
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        knn_join(emb, k=3, engine="auto")
+    assert not any("exact->approximate" in str(w.message) for w in rec)
+
+
+def test_bucketed_dim_inference(spark, sf_dir):
+    """dim defaults to inference from the data (ADVICE r4: a hardcoded
+    wrong dim made every bucket id NULL and the join silently empty);
+    inferred and explicit dim must agree, and an empty frame must raise
+    instead of returning an empty result."""
+    import pytest as _pytest
+
+    from helium_arango_etl_lite_spark.operators.llm.similarity import (
+        knn_join_bucketed,
+    )
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    inferred = sorted(tuple(r) for r in knn_join_bucketed(emb, k=3).collect())
+    explicit = sorted(
+        tuple(r) for r in knn_join_bucketed(emb, k=3, dim=64).collect()
+    )
+    assert inferred == explicit
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="empty"):
+        knn_join_bucketed(empty, k=3)
+
+
+def test_driver_batch_static_order():
+    """The driver checks the first 50 queries(): the committed
+    DRIVER_BATCH must be exactly those 50, duplicate-free, all known —
+    and the ordering must not depend on any filesystem state (it is a
+    static list; this test just pins the invariants)."""
+    from helium_arango_etl_lite_spark.plans.queries import DRIVER_BATCH, QUERIES
+
+    assert len(DRIVER_BATCH) == 50
+    assert len(set(DRIVER_BATCH)) == 50
+    assert list(QUERIES)[:50] == DRIVER_BATCH

@@ -447,3 +447,25 @@ def test_seq_len_buckets_partial_aggregates(spark, sf_dir):
     # O(buckets) rows, not O(docs)
     plan = plan_of(spark, sf_dir, "llm_seq_len_buckets")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_oov_vocab_avoids_global_window(spark, sf_dir):
+    """llm_oov_rate's top-100 vocabulary must compile to
+    TakeOrderedAndProject (per-partition top-k + 100-row merge), never a
+    global row_number window that drags every distinct token of the
+    corpus through ONE task (the round-4 `weak` finding)."""
+    plan = plan_of(spark, sf_dir, "llm_oov_rate")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_semdedup_capped_keeps_broadcast_shapes(spark, sf_dir):
+    """The capped entry must keep the uncapped entry's scale shapes:
+    centroid assignment broadcast (never a shuffled cross product) and
+    the O(K)-row cell-size frame broadcast back onto the corpus."""
+    plan = plan_of(spark, sf_dir, "llm_semdedup_capped")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # pairing is an equi-join on (cell, salt): no cartesian product may
+    # survive for the pair stage (the only nested-loop join allowed is
+    # the K-row centroid broadcast)
+    assert plan.count("CartesianProduct") == 0

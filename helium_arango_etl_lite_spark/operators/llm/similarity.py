@@ -138,6 +138,63 @@ def _centroid_set(
     return fixed_centroids(e, num_centroids, id_col=id_col, vec_col="v")
 
 
+def kmeans_centroids(
+    emb: DataFrame, k: int = 32, iterations: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    assign_dp: int = 6,
+) -> DataFrame:
+    """Spherical-k-means-refined centroid frame for the IVF family.
+
+    Seeds with :func:`fixed_centroids`, then alternates the E-step
+    (broadcast-argmax assignment — identical dataflow to
+    :func:`ivf_topk`) and the M-step (per-cell per-dimension mean — the
+    posexplode + (cell, dim) partial-agg shuffle of ``llm_kmeans_iter``)
+    for ``iterations`` rounds. Returns ``(cid, cv)`` ready to inject as
+    ``centroids=`` into :func:`ivf_topk` / :func:`semdedup`.
+
+    Scale shape: every iteration is O(n·K) assignment + one shuffle of
+    O(n·d) components partial-aggregated to O(K·d) rows; ONLY the K·d
+    means are collected to the driver (k=32, d=64 → 2048 rows) to
+    rebuild the centroid arrays, so the driver never sees the corpus.
+    Empty cells keep their previous centroid (a cell that captures no
+    vectors must not produce a null array). The payoff measured in
+    SCALE_SOAK.md: learned centroids bound the largest cell, and the
+    semdedup pair stage is quadratic in exactly that largest cell.
+    """
+    spark = emb.sparkSession
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    cents = fixed_centroids(e, k, id_col=id_col, vec_col="v")
+    for _ in range(iterations):
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col),
+            F.col("cid"),
+            F.round(cosine(F.col("v"), F.col("cv")), assign_dp).alias("asim"),
+        )
+        assigned = scored.groupBy(id_col).agg(
+            F.max(F.struct("asim", "cid"))["cid"].alias("cell")
+        )
+        comp = (
+            e.join(assigned, id_col)
+            .select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        # O(K*d) rows -> driver; rebuild array centroids deterministically
+        means: dict[int, dict[int, float]] = {}
+        for r in comp.collect():
+            means.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        prev = {r["cid"]: list(r["cv"]) for r in cents.collect()}
+        rows = []
+        for cid, vec in sorted(prev.items()):
+            if cid in means:
+                vec = [means[cid][i] for i in range(len(vec))]
+            rows.append((cid, vec))
+        cents = spark.createDataFrame(
+            rows, "cid long, cv array<double>"
+        )
+    return cents
+
+
 def cosine_topk(
     emb: DataFrame, query_id: int, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding", round_dp: int = 4,

@@ -317,3 +317,27 @@ def test_driver_batch_static_order():
     assert len(DRIVER_BATCH) == 50
     assert len(set(DRIVER_BATCH)) == 50
     assert list(QUERIES)[:50] == DRIVER_BATCH
+
+
+def test_kmeans_centroids_injection(spark, sf_dir):
+    """kmeans_centroids returns a K-row (cid, cv) frame that injects
+    directly into the IVF family (r4 verdict task 5: 'learn the
+    centroids, same dataflow'). K and dim must be preserved, empty
+    cells must keep a non-null centroid, and semdedup/ivf_topk must
+    accept the learned frame unchanged."""
+    from helium_arango_etl_lite_spark.operators.llm.similarity import (
+        ivf_topk, kmeans_centroids, semdedup,
+    )
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=8, iterations=2)
+    rows = cents.collect()
+    assert len(rows) == 8
+    assert all(r["cv"] is not None and len(r["cv"]) == 64 for r in rows)
+
+    out = ivf_topk(emb, query_id=0, k=5, centroids=cents)
+    assert out.count() == 5
+
+    sd = semdedup(emb, threshold=0.35, centroids=cents, max_cell_size=16)
+    assert sd.count() == emb.count()

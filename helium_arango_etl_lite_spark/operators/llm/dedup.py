@@ -129,7 +129,10 @@ def minhash_candidate_pairs(
     The self-join shuffles only (band_key, doc_id) — the full text never
     moves. Output: distinct (doc_a, doc_b) with doc_a < doc_b.
     """
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by bands={bands}"
+        )
     r = num_hashes // bands
     sig = minhash_signature_df(df, text, id_col, num_hashes, seed, shingle_n)
     band_cols = [
@@ -316,4 +319,113 @@ def ngram_jaccard_pairs(
         inter.join(sa, "doc_a").join(sb, "doc_b")
         .select("doc_a", "doc_b", jacc.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_verified_pairs(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.8, num_hashes: int = 6, bands: int = 3,
+    seed: int = 42, shingle_n: int = 3,
+) -> DataFrame:
+    """Two-stage dedup: MinHash-LSH candidate generation (recall stage)
+    followed by EXACT n-gram Jaccard computed only on the candidate pairs
+    (precision stage) — the canonical production shape for corpus dedup.
+
+    Scale design: the quadratic exact-Jaccard self-join never runs on the
+    corpus — only on LSH candidates (linear-ish in true duplicates). The
+    shingle arrays are materialised solely for docs that appear in a
+    candidate pair (left-semi prune before the array columns shuffle), so
+    the verify stage's join input is |candidate docs|, not |corpus|.
+
+    Output: (doc_a, doc_b, jaccard, verified) for every candidate pair —
+    false-positive candidates survive with ``verified = false``, making
+    the precision of the sketch stage directly observable.
+    """
+    cands = minhash_candidate_pairs(
+        df, text, id_col, num_hashes, bands, seed, shingle_n
+    )
+    # both join sides consume cands; checkpoint so the LSH band join and
+    # the signature map stage run once, not three times
+    cands = cands.localCheckpoint(eager=False)
+    cand_docs = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .union(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.select(F.col(id_col), word_shingles(F.col(text), shingle_n).alias("shd"))
+        .join(cand_docs, id_col, "left_semi")
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shd").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shd").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(
+        union > 0, inter.cast("double") / union.cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(jac, 4).alias("jaccard"),
+            (jac >= threshold).alias("verified"),
+        )
+    )
+
+
+def window_dup_stats(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    window: int = 32, stride: int = 8,
+) -> DataFrame:
+    """Exact repeated-substring detection via fixed sliding character
+    windows (the scalable stand-in for suffix-array substring dedup, cf.
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): every ``window``-char slice at ``stride`` offsets is
+    md5-hashed; a window seen in >= 2 distinct docs marks cross-document
+    duplicated text.
+
+    Scale design: explode factor is bounded by len/stride (vs len shingles
+    for word n-grams); the only shuffles are a groupBy on the 16-byte
+    window hash and a per-doc count. Hot boilerplate windows behave like
+    hot shingles — frequency-cap them exactly as ngram_jaccard_pairs does
+    when a corpus has giant template families.
+
+    Output per doc: total windows, windows shared with another doc, and
+    the duplicated-window ratio.
+    """
+    t = F.col(text)
+    starts = F.when(
+        F.length(t) >= window,
+        F.sequence(F.lit(1), F.length(t) - (window - 1), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.array_distinct(
+        F.transform(starts, lambda i: F.md5(t.substr(i, F.lit(window))))
+    )
+    base = df.select(F.col(id_col), wins.alias("ws")).localCheckpoint(eager=False)
+    ex = base.select(F.col(id_col), F.explode("ws").alias("wh"))
+    dupw = (
+        ex.groupBy("wh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("wh")
+    )
+    shared = (
+        ex.join(dupw, "wh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+    return (
+        base.select(F.col(id_col), F.size("ws").alias("n_windows"))
+        .join(shared, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce("n_shared_windows", F.lit(0)).alias("n_shared_windows"),
+            F.round(
+                F.coalesce("n_shared_windows", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_windows"), F.lit(1)).cast("double"),
+                4,
+            ).alias("dup_ratio"),
+        )
     )

@@ -679,3 +679,70 @@ def semdedup(
             F.when(F.col("dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
         )
     )
+
+
+def pq_quantize(
+    emb: DataFrame, n_blocks: int = 4, n_codes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None, dist_dp: int = 6, mse_dp: int = 4,
+) -> DataFrame:
+    """Product quantization (the FAISS IVF-PQ memory-compression step):
+    the vector is split into ``n_blocks`` contiguous sub-vectors, each
+    assigned to the nearest of ``n_codes`` sub-codebook entries by L2;
+    a d-dim float vector compresses to ``n_blocks`` small codes
+    (64 x 4 bytes -> 4 bytes here — the difference between an ANN index
+    that fits in cluster RAM at 100 TB and one that does not).
+
+    Codebook: the first ``n_codes`` corpus vectors by id, sliced per
+    block — deterministic and oracle-mirrorable (``ORDER BY id LIMIT
+    n_codes``; a production index k-means-refines the codebook exactly
+    like :func:`kmeans_centroids` refines IVF centroids; the assignment
+    dataflow — the part that sees all 100 TB — is identical either way).
+
+    Scale shape: the codebook collect is O(n_codes) rows (bounded,
+    driver-side control like :func:`fixed_centroids`); assignment is
+    per-row JVM expressions over literal arrays — map-only, zero
+    shuffle. Distances round to ``dist_dp`` before the argmin so Spark
+    and the SQL oracle pick identical codes; ties break to the lowest
+    code (first-occurrence ``array_position``).
+
+    Output: ``(id, code_0..code_{B-1}, mse)`` where mse is the mean
+    squared reconstruction error implied by the chosen codes.
+    """
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    if dim is None:
+        dim = _infer_dim(e)
+    if dim % n_blocks != 0:
+        raise ValueError(f"dim={dim} not divisible by n_blocks={n_blocks}")
+    sub = dim // n_blocks
+    cb_rows = e.orderBy(F.col(id_col)).limit(n_codes).collect()
+    if len(cb_rows) < n_codes:
+        raise ValueError(
+            f"corpus has {len(cb_rows)} rows < n_codes={n_codes}"
+        )
+    cb = [list(r["v"]) for r in sorted(cb_rows, key=lambda r: r[id_col])]
+    cols: list[Column] = [F.col(id_col)]
+    min_dists: list[Column] = []
+    for bi in range(n_blocks):
+        sl = F.slice(F.col("v"), bi * sub + 1, sub)
+        dists = []
+        for c in range(n_codes):
+            cvec = F.array(
+                *[F.lit(float(x)) for x in cb[c][bi * sub : (bi + 1) * sub]]
+            )
+            d2 = F.aggregate(
+                F.zip_with(sl, cvec, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            dists.append(F.round(d2, dist_dp))
+        darr = F.array(*dists)
+        cols.append(
+            F.array_position(darr, F.array_min(darr)).alias(f"code_{bi}")
+        )
+        min_dists.append(F.array_min(darr))
+    total = min_dists[0]
+    for m in min_dists[1:]:
+        total = total + m
+    cols.append(F.round(total / F.lit(float(dim)), mse_dp).alias("mse"))
+    return e.select(*cols)

@@ -1,0 +1,256 @@
+"""Round-5 catalog additions (SURVEY.md section 2.8 north star):
+
+* ``llm_minhash_verify`` — the two-stage production dedup shape:
+  MinHash-LSH candidate generation followed by exact Jaccard verification
+  computed ONLY on candidate pairs (recall stage then precision stage).
+* ``llm_window_dedup`` — exact repeated-substring detection via sliding
+  character-window hashes (scalable stand-in for suffix-array substring
+  dedup, cf. Lee et al. 2022).
+* ``llm_quantize_pq`` — product quantization codes + reconstruction MSE
+  (the IVF-PQ memory-compression step: 64 floats -> 4 byte-codes).
+* ``llm_pipeline_funnel`` — staged quality-filter funnel with per-stage
+  row accounting (the report every corpus-curation run ships with).
+
+All four reuse the cross-engine hash/shingle fragments from
+``catalog_llm`` so the sketch math is value-hash verified, not
+rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.llm import dedup, similarity
+from .catalog_llm import (
+    BANDS,
+    NUM_HASHES,
+    SEED,
+    _BAND_EXPRS,
+    _BASE_HASH_CTE,
+    _sig_exprs,
+)
+from .registry import load_table, register
+
+# ---------------------------------------------------------------------------
+# two-stage MinHash-LSH -> exact-Jaccard verification
+# ---------------------------------------------------------------------------
+
+VERIFY_THRESHOLD = 0.8
+
+_VERIFY_SQL = (
+    "WITH " + _BASE_HASH_CTE
+    + ", sig AS (SELECT doc_id, " + ", ".join(_sig_exprs()) + " FROM hs)"
+    + ", bands AS (SELECT doc_id, unnest([" + ", ".join(_BAND_EXPRS) + "]) AS band_key FROM sig)"
+    + """, cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM bands a JOIN bands b
+                      ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b,
+              round(CASE WHEN un > 0 THEN inter::DOUBLE / un::DOUBLE
+                         ELSE 0.0 END, 4) AS jaccard,
+              (CASE WHEN un > 0 THEN inter::DOUBLE / un::DOUBLE
+                    ELSE 0.0 END) >= """ + repr(VERIFY_THRESHOLD) + """ AS verified
+       FROM (SELECT c.doc_a, c.doc_b,
+                    len(list_intersect(sa.shd, sb.shd)) AS inter,
+                    len(sa.shd) + len(sb.shd)
+                        - len(list_intersect(sa.shd, sb.shd)) AS un
+             FROM cand c
+             JOIN sh sa ON sa.doc_id = c.doc_a
+             JOIN sh sb ON sb.doc_id = c.doc_b)"""
+)
+
+
+@register(
+    "llm_minhash_verify",
+    _VERIFY_SQL,
+    doc="Two-stage dedup: LSH band candidates, then EXACT word-3-gram "
+        "Jaccard on candidates only. The quadratic verify join never sees "
+        "the corpus — only LSH candidates; shingle arrays materialise "
+        "solely for candidate docs (left-semi prune). False-positive "
+        "candidates survive with verified=false, so the sketch stage's "
+        "precision is directly observable.",
+    tags=("llm", "dedup", "sketch"),
+)
+def llm_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_verified_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=VERIFY_THRESHOLD,
+        num_hashes=NUM_HASHES, bands=BANDS, seed=SEED,
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding character-window substring dedup
+# ---------------------------------------------------------------------------
+
+_WIN = 32
+_STRIDE = 8
+
+_WINDOW_SQL = f"""
+WITH w AS (SELECT doc_id,
+                  CASE WHEN length(text) >= {_WIN}
+                       THEN list_distinct(list_transform(
+                                generate_series(1, length(text) - {_WIN - 1}, {_STRIDE}),
+                                i -> md5(substr(text, i, {_WIN}))))
+                       ELSE []::VARCHAR[] END AS ws
+           FROM documents),
+ex AS (SELECT DISTINCT doc_id, wh
+       FROM (SELECT doc_id, unnest(ws) AS wh FROM w)),
+dupw AS (SELECT wh FROM ex GROUP BY wh HAVING count(DISTINCT doc_id) > 1),
+shared AS (SELECT doc_id, count(*) AS n_shared
+           FROM ex JOIN dupw USING (wh) GROUP BY doc_id)
+SELECT w.doc_id,
+       len(w.ws) AS n_windows,
+       coalesce(s.n_shared, 0) AS n_shared_windows,
+       round(coalesce(s.n_shared, 0)::DOUBLE
+             / greatest(len(w.ws), 1)::DOUBLE, 4) AS dup_ratio
+FROM w LEFT JOIN shared s ON s.doc_id = w.doc_id
+"""
+
+
+@register(
+    "llm_window_dedup",
+    _WINDOW_SQL,
+    doc=f"Exact repeated-substring detection: every {_WIN}-char window at "
+        f"stride {_STRIDE} is md5-hashed; windows seen in >= 2 distinct docs "
+        "mark cross-document duplicated text (suffix-array substring dedup "
+        "made shuffle-shaped: explode factor bounded by len/stride, one "
+        "groupBy on the 16-byte window hash). Hot boilerplate windows "
+        "frequency-cap exactly like hot shingles at 100 TB.",
+    tags=("llm", "dedup"),
+)
+def llm_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.window_dup_stats(
+        load_table(spark, sf_dir, "documents"), window=_WIN, stride=_STRIDE
+    )
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+_PQ_BLOCKS = 4
+_PQ_CODES = 8
+_PQ_SUB = 16  # 64-dim embeddings / 4 blocks
+
+
+def _pq_block_sql(bi: int) -> str:
+    off = bi * _PQ_SUB
+    return (
+        f"list_transform(generate_series(1, {_PQ_CODES}), c -> "
+        f"round(list_sum(list_transform(generate_series(1, {_PQ_SUB}), "
+        f"i -> (v[{off} + i] - cbs[c][{off} + i]) * (v[{off} + i] - cbs[c][{off} + i]))), 6))"
+    )
+
+
+_PQ_SQL = (
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT list(v ORDER BY vec_id) AS cbs
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT """ + str(_PQ_CODES) + """)),
+d AS (SELECT vec_id, """
+    + ", ".join(f"{_pq_block_sql(bi)} AS db_{bi}" for bi in range(_PQ_BLOCKS))
+    + """ FROM e, cb)
+SELECT vec_id, """
+    + ", ".join(
+        f"list_position(db_{bi}, list_min(db_{bi}))::BIGINT AS code_{bi}"
+        for bi in range(_PQ_BLOCKS)
+    )
+    + ", round(("
+    + " + ".join(f"list_min(db_{bi})" for bi in range(_PQ_BLOCKS))
+    + ") / 64.0, 4) AS mse FROM d"
+)
+
+
+@register(
+    "llm_quantize_pq",
+    _PQ_SQL,
+    doc="Product quantization (IVF-PQ compression step): 64-dim vector -> "
+        "4 sub-blocks, each snapped to the nearest of 8 codebook slices by "
+        "L2; 256 bytes/vector becomes 4. Codebook = first-8-by-id (the "
+        "deterministic seed a production index k-means-refines); assignment "
+        "is map-only JVM expressions over literal arrays — zero shuffle.",
+    tags=("llm", "similarity"),
+)
+def llm_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_quantize(
+        load_table(spark, sf_dir, "embeddings"),
+        n_blocks=_PQ_BLOCKS, n_codes=_PQ_CODES,
+    )
+
+
+# ---------------------------------------------------------------------------
+# staged quality-filter funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH f AS (SELECT (lang = 'en') AS c1,
+                  length(text) BETWEEN 100 AND 20000 AS c2,
+                  (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / greatest(len(string_split(text, ' ')), 1)::DOUBLE) >= 0.3 AS c3,
+                  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+           FROM documents),
+a AS (SELECT count(*)::BIGINT AS n0,
+             sum((c1)::INT)::BIGINT AS n1,
+             sum((c1 AND c2)::INT)::BIGINT AS n2,
+             sum((c1 AND c2 AND c3)::INT)::BIGINT AS n3,
+             sum((c1 AND c2 AND c3 AND keep)::INT)::BIGINT AS n4
+      FROM f)
+SELECT stage_idx, stage, rows_in, rows_out, rows_in - rows_out AS dropped
+FROM (
+  SELECT 0 AS stage_idx, 'raw' AS stage, n0 AS rows_in, n0 AS rows_out FROM a
+  UNION ALL SELECT 1, 'lang_en', n0, n1 FROM a
+  UNION ALL SELECT 2, 'length_100_20000', n1, n2 FROM a
+  UNION ALL SELECT 3, 'distinct_token_ratio', n2, n3 FROM a
+  UNION ALL SELECT 4, 'exact_dedup_keeper', n3, n4 FROM a
+)
+"""
+
+
+@register(
+    "llm_pipeline_funnel",
+    _FUNNEL_SQL,
+    doc="Staged corpus-curation funnel (lang -> length -> lexical "
+        "diversity -> exact-dedup keeper) with per-stage rows_in/rows_out/"
+        "dropped accounting — one pass over the corpus: all stage "
+        "predicates evaluate in a single projection, the only shuffle is "
+        "the dedup-keeper window on md5(text), and the output is 5 rows.",
+    tags=("llm", "text", "pipeline"),
+)
+def llm_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    c1 = F.col("lang") == "en"
+    c2 = F.length("text").between(100, 20000)
+    c3 = (
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    ) >= 0.3
+    keep = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy(F.md5(F.col("text")))
+    )
+    flagged = d.select(
+        c1.alias("c1"),
+        (c1 & c2).alias("c12"),
+        (c1 & c2 & c3).alias("c123"),
+        (c1 & c2 & c3 & keep).alias("c1234"),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("c1").cast("int")).alias("n1"),
+        F.sum(F.col("c12").cast("int")).alias("n2"),
+        F.sum(F.col("c123").cast("int")).alias("n3"),
+        F.sum(F.col("c1234").cast("int")).alias("n4"),
+    )
+    stages = agg.selectExpr(
+        "stack(5, "
+        "0, 'raw', n0, n0, "
+        "1, 'lang_en', n0, n1, "
+        "2, 'length_100_20000', n1, n2, "
+        "3, 'distinct_token_ratio', n2, n3, "
+        "4, 'exact_dedup_keeper', n3, n4"
+        ") AS (stage_idx, stage, rows_in, rows_out)"
+    )
+    return stages.select(
+        "stage_idx", "stage", "rows_in", "rows_out",
+        (F.col("rows_in") - F.col("rows_out")).alias("dropped"),
+    )

@@ -37,6 +37,7 @@ from . import catalog_llm  # noqa: F401  (registers LLM queries)
 from . import catalog_analytics  # noqa: F401  (registers analytics queries)
 from . import catalog_tpch  # noqa: F401  (registers extended TPC-H shapes)
 from . import catalog_round3  # noqa: F401  (set ops, range windows, LLM passes)
+from . import catalog_round5  # noqa: F401  (two-stage verify, window dedup, PQ, funnel)
 
 DRIVER_BATCH: list[str] = [
     # -- never driver-verified after rounds 1-4 (47) ------------------

@@ -746,3 +746,69 @@ def pq_quantize(
         total = total + m
     cols.append(F.round(total / F.lit(float(dim)), mse_dp).alias("mse"))
     return e.select(*cols)
+
+
+def pq_adc_topk(
+    emb: DataFrame, k: int = 10, query_id: int | None = None,
+    n_blocks: int = 4, n_codes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None, dist_dp: int = 6,
+) -> DataFrame:
+    """ANN search over product-quantized codes via Asymmetric Distance
+    Computation (the FAISS IVF-PQ query path): the query vector stays
+    full-precision; per block a ``n_codes``-entry lookup table of
+    L2 distances from the query sub-vector to every codebook entry is
+    precomputed once, and each corpus vector's approximate distance is
+    just ``n_blocks`` table lookups summed — the scan never touches the
+    original floats.
+
+    Scale shape: the LUT build is O(n_codes * dim) driver-side work on
+    the already-bounded codebook (plus one 1-row collect for the query
+    vector); the scan is map-only lookups over the 4-byte codes, and
+    top-k compiles to TakeOrderedAndProject (per-partition heaps, K-row
+    merge — no global sort). At 100 TB this is the difference between
+    scanning 4 B/vector and 256 B/vector.
+
+    Output: ``(id, adc_dist)`` for the k nearest by approximate
+    distance, ties broken on ascending id.
+    """
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    if dim is None:
+        dim = _infer_dim(e)
+    sub = dim // n_blocks
+    cb_rows = e.orderBy(F.col(id_col)).limit(n_codes).collect()
+    cb = [list(r["v"]) for r in sorted(cb_rows, key=lambda r: r[id_col])]
+    if query_id is None:
+        query_id = min(r[id_col] for r in cb_rows)
+    q_rows = e.filter(F.col(id_col) == query_id).limit(1).collect()
+    if not q_rows:
+        raise ValueError(f"query_id={query_id} not found")
+    q = list(q_rows[0]["v"])
+    codes = pq_quantize(
+        emb, n_blocks=n_blocks, n_codes=n_codes, id_col=id_col,
+        vec_col=vec_col, dim=dim, dist_dp=dist_dp,
+    )
+    dist = F.lit(0.0)
+    for bi in range(n_blocks):
+        lut = [
+            # (d*d, not d**2: libm pow is not guaranteed bit-identical to
+            # multiplication, and the oracle multiplies)
+            round(
+                sum(
+                    (q[bi * sub + i] - cb[c][bi * sub + i])
+                    * (q[bi * sub + i] - cb[c][bi * sub + i])
+                    for i in range(sub)
+                ),
+                dist_dp,
+            )
+            for c in range(n_codes)
+        ]
+        dist = dist + F.element_at(
+            F.array(*[F.lit(x) for x in lut]), F.col(f"code_{bi}").cast("int")
+        )
+    return (
+        codes.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.round(dist, dist_dp).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

@@ -254,3 +254,59 @@ def llm_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage_idx", "stage", "rows_in", "rows_out",
         (F.col("rows_in") - F.col("rows_out")).alias("dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ + ADC search (the IVF-PQ query path)
+# ---------------------------------------------------------------------------
+
+def _adc_lut_sql(bi: int) -> str:
+    off = bi * _PQ_SUB
+    return (
+        f"list_transform(generate_series(1, {_PQ_CODES}), c -> "
+        f"round(list_sum(list_transform(generate_series(1, {_PQ_SUB}), "
+        f"i -> (qv[{off} + i] - cbs[c][{off} + i]) * (qv[{off} + i] - cbs[c][{off} + i]))), 6))"
+    )
+
+
+_ADC_SQL = (
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT list(v ORDER BY vec_id) AS cbs
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT """ + str(_PQ_CODES) + """)),
+q AS (SELECT v AS qv FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)),
+luts AS (SELECT """
+    + ", ".join(f"{_adc_lut_sql(bi)} AS lut_{bi}" for bi in range(_PQ_BLOCKS))
+    + """ FROM cb, q),
+d AS (SELECT vec_id, """
+    + ", ".join(f"{_pq_block_sql(bi)} AS db_{bi}" for bi in range(_PQ_BLOCKS))
+    + """ FROM e, cb),
+codes AS (SELECT vec_id, """
+    + ", ".join(
+        f"list_position(db_{bi}, list_min(db_{bi})) AS code_{bi}"
+        for bi in range(_PQ_BLOCKS)
+    )
+    + """ FROM d)
+SELECT vec_id, round("""
+    + " + ".join(f"lut_{bi}[code_{bi}]" for bi in range(_PQ_BLOCKS))
+    + """, 6) AS adc_dist
+FROM codes, luts
+WHERE vec_id <> (SELECT min(vec_id) FROM e)
+ORDER BY adc_dist ASC, vec_id ASC LIMIT 10"""
+)
+
+
+@register(
+    "llm_ann_ivf_pq",
+    _ADC_SQL,
+    doc="Asymmetric Distance Computation over PQ codes (the FAISS IVF-PQ "
+        "query path): per block an 8-entry LUT of query-to-codebook L2 "
+        "distances is built once driver-side; the corpus scan is 4 table "
+        "lookups per vector over the 4-byte codes — never the floats — "
+        "and top-k compiles to TakeOrderedAndProject (no global sort).",
+    tags=("llm", "similarity"),
+)
+def llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        k=10, n_blocks=_PQ_BLOCKS, n_codes=_PQ_CODES,
+    )

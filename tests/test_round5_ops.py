@@ -130,3 +130,27 @@ def test_funnel_single_pass_no_joins(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "llm_pipeline_funnel")
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert node not in plan
+
+
+def test_adc_topk_invariants(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = similarity.pq_adc_topk(emb, k=10).collect()
+    assert len(rows) == 10
+    dists = [r.adc_dist for r in rows]
+    assert dists == sorted(dists)  # ascending approximate distance
+    assert all(d >= 0.0 for d in dists)
+    # vectors snapping to the query's own codes have ADC distance 0 —
+    # the query vector itself is excluded
+    qid = min(r.vec_id for r in emb.select("vec_id").collect())
+    assert all(r.vec_id != qid for r in rows)
+
+
+def test_adc_scan_is_lookup_plus_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_ann_ivf_pq")
+    # per-partition heaps + K-row merge, never a global sort; the scan is
+    # map-only code lookups (no key shuffle, no join, no aggregation)
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan

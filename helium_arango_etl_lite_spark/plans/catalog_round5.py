@@ -310,3 +310,28 @@ def llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         k=10, n_blocks=_PQ_BLOCKS, n_codes=_PQ_CODES,
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface (SURVEY.md section 2.7), driver-value-hashed
+# ---------------------------------------------------------------------------
+
+@register(
+    "udtf_sentence_split",
+    """WITH s AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents)
+       SELECT doc_id,
+              (unnest(generate_series(1, len(parts))) - 1)::INT AS sent_idx,
+              unnest(parts) AS sentence
+       FROM s""",
+    doc="Python UDTF (PySpark >= 3.5) applied via lateral join: one "
+        "(doc_id, sent_idx, sentence) row per segment — the imperative "
+        "one-row-to-N expansion surface. The built-in posexplode form is "
+        "the fast path (pinned equivalent by test); this registers the "
+        "UDTF itself under the driver's value hash so section 2.7 is "
+        "oracle-checked, not pytest-only.",
+    tags=("udtf", "text"),
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm import text as text_ops
+
+    return text_ops.sentence_split(load_table(spark, sf_dir, "documents"))

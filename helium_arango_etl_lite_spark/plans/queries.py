@@ -27,6 +27,14 @@ Round-5 batch: the 47 entries with no driver row after rounds 1-4, the
 round-5 addition ``llm_semdedup_capped``, and two re-check slots
 (``agg_payment_volume`` — core aggregate family, last checked r3;
 ``follow_replay`` — the end-to-end streaming pipeline, last checked r4).
+
+Round-6 revision plan (apply AFTER the round-5 driver run records
+CORRECTNESS_r05): front-load the five round-5 additions that registered
+too late for this batch (``llm_minhash_verify``, ``llm_window_dedup``,
+``llm_quantize_pq``, ``llm_ann_ivf_pq``, ``llm_pipeline_funnel``), then
+fill the remaining ~45 slots with re-checks round-robin by
+least-recently-verified (continue the rotation started with the two
+round-5 tail slots).
 """
 
 from __future__ import annotations

@@ -335,3 +335,68 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.llm import text as text_ops
 
     return text_ops.sentence_split(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end dedup pipeline: sketch -> verify -> cluster -> keeper
+# ---------------------------------------------------------------------------
+
+_PIPELINE_SQL = (
+    "WITH RECURSIVE " + _BASE_HASH_CTE
+    + ", sig AS (SELECT doc_id, " + ", ".join(_sig_exprs()) + " FROM hs)"
+    + ", bands AS (SELECT doc_id, unnest([" + ", ".join(_BAND_EXPRS) + "]) AS band_key FROM sig)"
+    + """, cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM bands a JOIN bands b
+                      ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+vp AS (SELECT doc_a, doc_b
+       FROM (SELECT c.doc_a, c.doc_b,
+                    len(list_intersect(sa.shd, sb.shd)) AS inter,
+                    len(sa.shd) + len(sb.shd)
+                        - len(list_intersect(sa.shd, sb.shd)) AS un
+             FROM cand c
+             JOIN sh sa ON sa.doc_id = c.doc_a
+             JOIN sh sb ON sb.doc_id = c.doc_b)
+       WHERE un > 0 AND inter::DOUBLE / un::DOUBLE >= """ + repr(VERIFY_THRESHOLD) + """),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+          UNION SELECT doc_b, doc_a FROM vp),
+reach(src, dst) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       (coalesce(l.cluster_id, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id"""
+)
+
+
+@register(
+    "llm_dedup_pipeline",
+    _PIPELINE_SQL,
+    doc="The full production dedup pipeline as one query: MinHash-LSH "
+        "candidates -> exact-Jaccard verification on candidates only -> "
+        "connected components over VERIFIED edges (false-positive "
+        "candidates cannot merge clusters) -> per-document keeper "
+        "decision (keep = min-id representative; docs in no verified "
+        "pair keep themselves). This is the composition a 100 TB corpus "
+        "run actually executes; every stage reuses the soak-measured "
+        "operators (minhash_verified_pairs, dup_clusters).",
+    tags=("llm", "dedup", "pipeline", "iterative"),
+)
+def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vp = dedup.minhash_verified_pairs(
+        docs, threshold=VERIFY_THRESHOLD,
+        num_hashes=NUM_HASHES, bands=BANDS, seed=SEED,
+    ).filter(F.col("verified"))
+    labels = dedup.dup_clusters(vp)
+    return (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("cluster_id", "_cl"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_cl"), F.col("doc_id")).alias("cluster_id"),
+            (F.coalesce(F.col("_cl"), F.col("doc_id")) == F.col("doc_id")).alias("keep"),
+        )
+    )

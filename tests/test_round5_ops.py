@@ -154,3 +154,17 @@ def test_adc_scan_is_lookup_plus_topk(spark, sf_dir):
     assert "HashAggregate" not in plan
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert node not in plan
+
+
+def test_dedup_pipeline_keeper_invariants(spark, sf_dir):
+    out = QUERIES["llm_dedup_pipeline"].spark_fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(out) == docs.count()  # every document gets a verdict
+    by_cluster = {}
+    for r in out:
+        assert r.cluster_id <= r.doc_id  # label = min reachable id
+        assert r.keep == (r.cluster_id == r.doc_id)
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [r for r in members if r.keep]
+        assert len(keepers) == 1 and keepers[0].doc_id == cid

@@ -58,12 +58,18 @@ HEADLINE = [
     "agg_grouping_sets",        # multi-grouping Expand + single agg
     "llm_dedup_ngram_jaccard_capped",  # hot-shingle-capped scale form
     "llm_kmeans_iter",          # k-means M-step (centroid learning)
+    # round-5 additions
+    "llm_minhash_verify",       # two-stage LSH -> exact-Jaccard verify
+    "llm_window_dedup",         # strided-window substring dedup
+    "llm_quantize_pq",          # product-quantization codes (map-only)
+    "llm_ann_ivf_pq",           # ADC search over PQ codes
+    "llm_dedup_pipeline",       # sketch->verify->CC->keeper end-to-end
 ]
 
 SMALL_OUTPUT = {
     "topk_accounts", "llm_topk_cosine", "llm_ann_lsh", "llm_ann_ivf",
     "graph_pagerank", "agg_event_funnel", "llm_bigram_topk",
-    "llm_bm25_search",
+    "llm_bm25_search", "llm_ann_ivf_pq",
 }
 
 

@@ -544,3 +544,60 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= k)
         .select(id_col, "term", "tf", "df", "tfidf")
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame, text: str = "text", depth: int = 3, width: int = 1024,
+    k: int = 20,
+) -> DataFrame:
+    """Heavy-hitter tokens via a Count-Min Sketch (Cormode & Muthukrishnan):
+    ``depth`` hash rows x ``width`` buckets; every token increments one
+    cell per row, and a token's estimate is the MIN of its cells —
+    always >= the true count, with overestimate bounded by the collision
+    mass in its lightest bucket.
+
+    Why a sketch at 100 TB: the exact token groupBy shuffles the whole
+    vocabulary (billions of keys, Zipf-skewed); the CMS build reduces to
+    depth*width cells (3072 rows here) regardless of corpus size — a
+    bounded, MERGEABLE partial aggregate (per-executor sketches sum
+    cell-wise), which is also the shape a streaming heavy-hitter pass
+    needs. The candidate-estimation join broadcasts the tiny cell table.
+
+    Determinism: buckets come from the cross-engine md5-based hash32
+    (``functions/hashing.py``), so the oracle reproduces the sketch
+    exactly; ties at the top-k boundary break on ascending token.
+    """
+    from ...functions.hashing import hash32
+
+    tok = df.select(F.explode(F.split(F.col(text), " ")).alias("t"))
+    buckets = [
+        (hash32(F.concat(F.lit(f"{d}_"), F.col("t"))) % width).alias(f"b{d}")
+        for d in range(depth)
+    ]
+    tb = tok.select(F.col("t"), *buckets).localCheckpoint(eager=False)
+    # sketch build: one explode to (row, bucket), one partial-agg'd
+    # shuffle whose output is <= depth*width rows — corpus-size-free
+    cells = (
+        tb.select(
+            F.posexplode(F.array(*[F.col(f"b{d}") for d in range(depth)]))
+            .alias("d", "b")
+        )
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    cand = tb.distinct()
+    est = cand
+    for d in range(depth):
+        cells_d = cells.filter(F.col("d") == d).select(
+            F.col("b").alias(f"b{d}"), F.col("c").alias(f"c{d}")
+        )
+        est = est.join(F.broadcast(cells_d), f"b{d}")
+    return (
+        est.select(
+            F.col("t").alias("token"),
+            F.least(*[F.col(f"c{d}") for d in range(depth)]).alias("est_count"),
+        )
+        .orderBy(F.desc("est_count"), F.asc("token"))
+        .limit(k)
+    )

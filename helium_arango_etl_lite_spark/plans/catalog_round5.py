@@ -400,3 +400,60 @@ def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("_cl"), F.col("doc_id")) == F.col("doc_id")).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_D = 3
+_CMS_W = 1024
+_CMS_K = 20
+
+from ..functions.hashing import hash32_oracle_sql  # noqa: E402
+
+_CMS_SQL = (
+    "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),\n"
+    + "tb AS (SELECT t, "
+    + ", ".join(
+        f"{hash32_oracle_sql(repr(str(d) + '_') + ' || t')} % {_CMS_W} AS b{d}"
+        for d in range(_CMS_D)
+    )
+    + " FROM tok),\n"
+    + "cells AS (SELECT d, b, count(*)::BIGINT AS c FROM ("
+    + " UNION ALL ".join(
+        f"SELECT {d} AS d, b{d} AS b FROM tb" for d in range(_CMS_D)
+    )
+    + ") GROUP BY d, b),\n"
+    + "cand AS (SELECT DISTINCT t, "
+    + ", ".join(f"b{d}" for d in range(_CMS_D))
+    + " FROM tb)\n"
+    + "SELECT t AS token, least("
+    + ", ".join(f"c{d}.c" for d in range(_CMS_D))
+    + ") AS est_count FROM cand "
+    + " ".join(
+        f"JOIN cells c{d} ON c{d}.d = {d} AND c{d}.b = cand.b{d}"
+        for d in range(_CMS_D)
+    )
+    + f" ORDER BY est_count DESC, token ASC LIMIT {_CMS_K}"
+)
+
+
+@register(
+    "llm_heavy_hitters_cms",
+    _CMS_SQL,
+    doc=f"Count-Min Sketch heavy hitters ({_CMS_D} rows x {_CMS_W} buckets): "
+        "the sketch build is one partial-agg'd shuffle whose output is "
+        "depth*width cells REGARDLESS of corpus size (vs the full-vocabulary "
+        "shuffle of an exact groupBy), mergeable cell-wise across executors/"
+        "micro-batches; estimation broadcasts the tiny cell table. "
+        "Estimates are >= true counts by construction (pinned by test).",
+    tags=("llm", "text", "sketch"),
+)
+def llm_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm import text as text_ops
+
+    return text_ops.cms_heavy_hitters(
+        load_table(spark, sf_dir, "documents"),
+        depth=_CMS_D, width=_CMS_W, k=_CMS_K,
+    )

@@ -168,3 +168,31 @@ def test_dedup_pipeline_keeper_invariants(spark, sf_dir):
     for cid, members in by_cluster.items():
         keepers = [r for r in members if r.keep]
         assert len(keepers) == 1 and keepers[0].doc_id == cid
+
+
+def test_cms_estimates_dominate_true_counts(spark, sf_dir):
+    from helium_arango_etl_lite_spark.operators.llm import text as text_ops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    est = {
+        r.token: r.est_count
+        for r in text_ops.cms_heavy_hitters(docs, k=20).collect()
+    }
+    true = {
+        r.t: r.n
+        for r in docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert est, "sketch returned nothing"
+    for tok, e in est.items():
+        assert e >= true[tok]  # CMS never underestimates
+    # the true heaviest token cannot be missed by the sketch's top-k
+    heaviest = max(true, key=lambda t: (true[t], t))
+    assert heaviest in est
+
+
+def test_cms_topk_is_broadcast_plus_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_heavy_hitters_cms")
+    assert "TakeOrderedAndProject" in plan  # no global sort for the top-k
+    assert "BroadcastHashJoin" in plan      # cell table broadcasts
+    assert "SortMergeJoin" not in plan

@@ -234,3 +234,78 @@ def distributed_prefix_sum(
     return summed.withColumn(
         out_col, F.col("_lsum") + F.coalesce(off_map[F.col("_pid")], F.lit(0))
     ).drop("_pid", "_lsum")
+
+
+# HyperLogLog constants (m = 64 buckets, Flajolet et al. 2007): hash64 is
+# 60 bits -> 6 bucket bits + 54 rank bits, so rho in [1, 55].
+HLL_M = 64
+HLL_ALPHA = 0.709  # alpha_64
+# alpha * m^2 * 2^55 as ONE Python float literal so Spark and the SQL
+# oracle divide the identical constant (no cross-engine multiply chains)
+HLL_NUMERATOR = HLL_ALPHA * HLL_M * HLL_M * float(1 << 55)
+
+
+def hll_distinct(
+    df: DataFrame, group: str, value: str, est_dp: int = 4,
+) -> DataFrame:
+    """Per-group distinct-count estimate via a from-first-principles
+    HyperLogLog (m=64 registers), next to the exact count for accuracy
+    accounting — unlike ``approx_count_distinct`` (whose HLL++ internals
+    no oracle can reproduce), every step here is deterministic in both
+    engines, so the sketch itself sits under the driver's value hash.
+
+    Scale shape: the register build is one partial-agg'd shuffle whose
+    output is <= m rows PER GROUP regardless of cardinality, and the
+    registers are MERGEABLE (max cell-wise) across executors, partitions
+    or streaming micro-batches — the property that lets 1000 executors
+    estimate distincts over 100 TB without ever shuffling the values.
+    (The exact count_distinct column exists for the accuracy report; a
+    production pass drops it.)
+
+    Float discipline: Z = sum(2^-r) is computed as the INTEGER
+    ``sum(1 << (55 - r))`` (exact, order-free — float summation of
+    powers of two can round differently per order), divided into the
+    single precomputed double :data:`HLL_NUMERATOR`; the small-range
+    correction ``m * ln(m/V)`` applies when E <= 2.5m and V > 0 empty
+    registers exist (standard HLL).
+    """
+    from ..functions.hashing import hash64
+
+    h = hash64(F.col(value).cast("string"))
+    b = (h % HLL_M).alias("b")
+    w = F.floor(h / HLL_M)
+    # rho = leading zeros in the 54-bit rank + 1 = 55 - bit_length(w);
+    # integer bit-length (length(bin(w))), never float log2
+    rho = F.when(w == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.bin(w)).cast("long")
+    ).alias("rho")
+    regs = (
+        df.select(F.col(group), b, rho)
+        .groupBy(group, "b")
+        .agg(F.max("rho").alias("r"))
+    )
+    hll = regs.groupBy(group).agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - r AS INT))")).alias("zp"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    v_empty = F.lit(HLL_M) - F.col("nb")
+    z_total = (F.col("zp") + v_empty * F.lit(1 << 55)).cast("double")
+    e_raw = F.lit(HLL_NUMERATOR) / z_total
+    e = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v_empty > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_empty.cast("double")),
+    ).otherwise(e_raw)
+    exact = df.groupBy(group).agg(F.count_distinct(F.col(value)).alias("n_exact"))
+    return (
+        exact.join(hll, group)
+        .select(
+            group,
+            "n_exact",
+            F.round(e, est_dp).alias("n_hll"),
+            F.round(
+                F.abs(e - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"),
+                est_dp,
+            ).alias("rel_err"),
+        )
+    )

@@ -457,3 +457,61 @@ def llm_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         depth=_CMS_D, width=_CMS_W, k=_CMS_K,
     )
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked HyperLogLog (vs the rows-only approx_count_distinct entry)
+# ---------------------------------------------------------------------------
+
+from ..operators.aggregates import HLL_M, HLL_NUMERATOR  # noqa: E402
+
+_HLL_SQL = f"""
+WITH h AS (SELECT event_type,
+                  ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+           FROM events),
+p AS (SELECT event_type, hv % {HLL_M} AS b,
+             CASE WHEN hv // {HLL_M} = 0 THEN 55
+                  ELSE 55 - length(bin(hv // {HLL_M})) END AS rho
+      FROM h),
+regs AS (SELECT event_type, b, max(rho) AS r FROM p GROUP BY 1, 2),
+hll AS (SELECT event_type,
+               sum((1::BIGINT << (55 - r)))::BIGINT AS zp,
+               count(*)::BIGINT AS nb
+        FROM regs GROUP BY 1),
+est AS (SELECT event_type, nb,
+               CASE WHEN raw <= {2.5 * HLL_M!r} AND ({HLL_M} - nb) > 0
+                    THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - nb)::DOUBLE)
+                    ELSE raw END AS e
+        FROM (SELECT event_type, nb,
+                     {HLL_NUMERATOR!r} / ((zp + ({HLL_M} - nb) * (1::BIGINT << 55))::DOUBLE) AS raw
+              FROM hll)),
+ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+       FROM events GROUP BY 1)
+SELECT ex.event_type, ex.n_exact,
+       round(est.e, 4) AS n_hll,
+       round(abs(est.e - ex.n_exact::DOUBLE) / ex.n_exact::DOUBLE, 4) AS rel_err
+FROM ex JOIN est ON est.event_type = ex.event_type
+"""
+
+
+@register(
+    "agg_hll_distinct",
+    _HLL_SQL,
+    doc="From-first-principles HyperLogLog (m=64) per event_type, next to "
+        "the exact distinct count: unlike approx_count_distinct (HLL++ "
+        "internals no oracle can reproduce — registered rows-only as "
+        "agg_approx_distinct_scale), every step is deterministic in both "
+        "engines, so the sketch itself is value-hashed. Register build = "
+        "one partial-agg'd shuffle, <= m rows/group at ANY cardinality, "
+        "registers merge (max) across executors/micro-batches; Z is the "
+        "exact INTEGER sum(1 << (55-r)) — float summation order never "
+        "enters the estimate.",
+    tags=("agg", "sketch"),
+)
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import hll_distinct
+    from .registry import load_events
+
+    return hll_distinct(
+        load_events(spark, sf_dir), group="event_type", value="user_id"
+    )

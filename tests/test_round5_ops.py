@@ -196,3 +196,29 @@ def test_cms_topk_is_broadcast_plus_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # no global sort for the top-k
     assert "BroadcastHashJoin" in plan      # cell table broadcasts
     assert "SortMergeJoin" not in plan
+
+
+def test_hll_distinct_accuracy_and_register_bound(spark, sf_dir):
+    from helium_arango_etl_lite_spark.operators.aggregates import (
+        HLL_M, hll_distinct,
+    )
+    from helium_arango_etl_lite_spark.plans.registry import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = hll_distinct(ev, group="event_type", value="user_id").collect()
+    assert out
+    for r in out:
+        assert r.n_hll > 0
+        # m=64 gives ~13% standard error; 3 sigma with margin
+        assert r.rel_err < 0.5, (r.event_type, r.n_exact, r.n_hll)
+    # the register table the estimate reduces from is bounded by m per
+    # group no matter the cardinality — the whole point of the sketch
+    from pyspark.sql import functions as SF
+    from helium_arango_etl_lite_spark.functions.hashing import hash64
+
+    h = hash64(SF.col("user_id").cast("string"))
+    n_regs = (
+        ev.select("event_type", (h % HLL_M).alias("b")).distinct()
+        .groupBy("event_type").count().agg(SF.max("count")).collect()[0][0]
+    )
+    assert n_regs <= HLL_M

@@ -222,3 +222,46 @@ def test_hll_distinct_accuracy_and_register_bound(spark, sf_dir):
         .groupBy("event_type").count().agg(SF.max("count")).collect()[0][0]
     )
     assert n_regs <= HLL_M
+
+
+def test_hll_registers_merge_exactly(spark, sf_dir):
+    """Mergeability is THE scale property: registers built on disjoint
+    halves of the data and merged max-wise must equal registers built on
+    the whole — so 1000 executors (or streaming micro-batches) can sketch
+    independently and combine without revisiting values."""
+    from pyspark.sql import functions as SF
+
+    from helium_arango_etl_lite_spark.functions.hashing import hash64
+    from helium_arango_etl_lite_spark.operators.aggregates import HLL_M
+    from helium_arango_etl_lite_spark.plans.registry import load_events
+
+    ev = load_events(spark, sf_dir)
+    h = hash64(SF.col("user_id").cast("string"))
+    w = SF.floor(h / HLL_M)
+    rho = SF.when(w == 0, SF.lit(55)).otherwise(
+        SF.lit(55) - SF.length(SF.bin(w)).cast("long")
+    )
+    base = ev.select("event_type", (h % HLL_M).alias("b"), rho.alias("rho"))
+
+    def regs(df):
+        return {
+            (r.event_type, r.b): r.r
+            for r in df.groupBy("event_type", "b").agg(SF.max("rho").alias("r")).collect()
+        }
+
+    # split by ROWS (not by bucket) so both halves hit the same registers
+    # and the max-merge is actually exercised
+    ev_id = SF.col("event_id")
+    full = regs(base)
+    base_a = ev.filter(ev_id % 2 == 0).select(
+        "event_type", (h % HLL_M).alias("b"), rho.alias("rho")
+    )
+    base_b = ev.filter(ev_id % 2 == 1).select(
+        "event_type", (h % HLL_M).alias("b"), rho.alias("rho")
+    )
+    half_a = regs(base_a)
+    half_b = regs(base_b)
+    merged = dict(half_a)
+    for k, v in half_b.items():
+        merged[k] = max(merged.get(k, 0), v)
+    assert merged == full

@@ -515,3 +515,64 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(
         load_events(spark, sf_dir), group="event_type", value="user_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# overlapping chunking (context-window splitting; complements llm_doc_pack)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 64
+_OVERLAP = 16
+_CHUNK_STEP = _CHUNK - _OVERLAP
+
+_CHUNK_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) <= {_CHUNK} THEN [1]
+                  ELSE generate_series(1, len(toks) - {_OVERLAP}, {_CHUNK_STEP}) END AS starts
+      FROM t)
+SELECT doc_id,
+       (unnest(generate_series(1, len(starts))) - 1)::BIGINT AS chunk_idx,
+       unnest(list_transform(starts,
+              st -> least({_CHUNK}, len(toks) - st + 1)))::BIGINT AS n_tokens,
+       unnest(list_transform(starts, st -> toks[st])) AS first_token,
+       unnest(list_transform(starts,
+              st -> toks[least(st + {_CHUNK} - 1, len(toks))])) AS last_token
+FROM s
+"""
+
+
+@register(
+    "llm_chunk_overlap",
+    _CHUNK_SQL,
+    doc=f"Overlapping context-window chunking ({_CHUNK} tokens, {_OVERLAP} "
+        "overlap — the pre-training/RAG doc-splitting pass; complements "
+        "llm_doc_pack, which packs SHORT docs together while this splits "
+        "LONG docs apart). Map-only: per-row sequence + slice expressions, "
+        "fan-out bounded by len/stride, zero shuffle — at 100 TB this is "
+        "a pure scan whose output partitioning inherits the input's.",
+    tags=("llm", "packing"),
+)
+def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.when(
+        F.size(toks) <= _CHUNK, F.array(F.lit(1))
+    ).otherwise(
+        F.sequence(F.lit(1), F.size(toks) - _OVERLAP, F.lit(_CHUNK_STEP))
+    )
+    base = d.select(F.col("doc_id"), toks.alias("toks"), starts.alias("starts"))
+    ex = base.select(
+        "doc_id", "toks",
+        F.posexplode("starts").alias("chunk_idx", "st"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long"),
+        F.least(F.lit(_CHUNK), F.size("toks") - F.col("st") + 1)
+        .cast("long").alias("n_tokens"),
+        F.element_at("toks", F.col("st")).alias("first_token"),
+        F.element_at(
+            "toks", F.least(F.col("st") + F.lit(_CHUNK - 1), F.size("toks"))
+        ).alias("last_token"),
+    )

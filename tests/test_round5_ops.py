@@ -265,3 +265,40 @@ def test_hll_registers_merge_exactly(spark, sf_dir):
     for k, v in half_b.items():
         merged[k] = max(merged.get(k, 0), v)
     assert merged == full
+
+
+def test_chunk_overlap_covers_every_token_exactly(spark, sf_dir):
+    """Chunks must tile each document: consecutive chunks overlap by
+    OVERLAP tokens, the last chunk may be short, and every token index
+    is covered by >= 1 chunk."""
+    from helium_arango_etl_lite_spark.plans.catalog_round5 import (
+        _CHUNK, _CHUNK_STEP,
+    )
+
+    out = QUERIES["llm_chunk_overlap"].spark_fn(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: len(r.text.split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for did, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = docs[did]
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for i, c in enumerate(chunks):
+            start = i * _CHUNK_STEP  # 0-based
+            assert c.n_tokens == min(_CHUNK, n - start)
+        # full coverage: last chunk reaches the final token
+        last = chunks[-1]
+        assert (len(chunks) - 1) * _CHUNK_STEP + last.n_tokens == n
+
+
+def test_chunk_overlap_is_map_only(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_chunk_overlap")
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan

@@ -576,3 +576,80 @@ def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "toks", F.least(F.col("st") + F.lit(_CHUNK - 1), F.size("toks"))
         ).alias("last_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# span-corruption mask generation (T5-style denoising pretraining prep)
+# ---------------------------------------------------------------------------
+
+_SPAN_LEN = 3
+_SPAN_MOD = 20  # 1-in-20 positions start a span -> ~15% tokens masked
+
+_SPAN_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+m AS (SELECT doc_id, len(toks) AS n_tokens,
+             list_distinct(flatten(list_transform(
+                 list_filter(generate_series(1, len(toks)),
+                     i -> ('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT
+                          % {_SPAN_MOD} = 0),
+                 s -> generate_series(s, least(s + {_SPAN_LEN - 1}, len(toks)))))) AS masked,
+             len(list_filter(generate_series(1, len(toks)),
+                 i -> ('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT
+                      % {_SPAN_MOD} = 0)) AS n_spans
+      FROM t)
+SELECT doc_id, n_tokens, n_spans,
+       len(masked) AS n_masked,
+       round(len(masked)::DOUBLE / greatest(n_tokens, 1)::DOUBLE, 4) AS mask_ratio
+FROM m
+"""
+
+
+@register(
+    "llm_span_corruption_mask",
+    _SPAN_SQL,
+    doc=f"T5-style span-corruption mask generation: every token position "
+        f"whose seeded hash32(doc_id:idx) lands on 1/{_SPAN_MOD} starts a "
+        f"{_SPAN_LEN}-token span; overlapping spans merge (distinct "
+        "indices), spans clip at the document end. Fully deterministic — "
+        "the mask is a pure function of (doc_id, position), so re-runs "
+        "and the oracle reproduce it exactly; map-only array expressions, "
+        "zero shuffle, which is what a 100 TB denoising-prep pass needs.",
+    tags=("llm", "text", "packing"),
+)
+def llm_span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash32
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+
+    def is_start(i):
+        return (
+            hash32(F.concat(F.col("doc_id").cast("string"), F.lit(":"), i.cast("string")))
+            % _SPAN_MOD
+            == 0
+        )
+
+    starts = F.filter(F.sequence(F.lit(1), n), is_start)
+    masked = F.array_distinct(
+        F.flatten(
+            F.transform(
+                starts,
+                lambda s: F.sequence(s, F.least(s + F.lit(_SPAN_LEN - 1), n)),
+            )
+        )
+    )
+    base = d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(starts).cast("long").alias("n_spans"),
+        F.size(masked).cast("long").alias("n_masked"),
+    )
+    return base.select(
+        "doc_id", "n_tokens", "n_spans", "n_masked",
+        F.round(
+            F.col("n_masked").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+            4,
+        ).alias("mask_ratio"),
+    )

@@ -302,3 +302,30 @@ def test_chunk_overlap_is_map_only(spark, sf_dir):
     assert "HashAggregate" not in plan
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert node not in plan
+
+
+def test_span_mask_deterministic_and_bounded(spark, sf_dir):
+    q = QUERIES["llm_span_corruption_mask"].spark_fn
+    a = {r.doc_id: r for r in q(spark, sf_dir).collect()}
+    b = {r.doc_id: r for r in q(spark, sf_dir).collect()}
+    assert a.keys() == b.keys()
+    ratios = []
+    for did, r in a.items():
+        assert r == b[did]  # pure function of (doc_id, position)
+        assert 0 <= r.n_masked <= r.n_tokens
+        # spans are SPAN_LEN long, merged when overlapping, clipped at end
+        assert r.n_masked <= 3 * r.n_spans
+        if r.n_spans > 0:
+            assert r.n_masked >= 1
+        ratios.append(r.mask_ratio)
+    # corpus-level mask rate should sit near spans/positions * len = 15%
+    mean = sum(ratios) / len(ratios)
+    assert 0.05 < mean < 0.30, mean
+
+
+def test_span_mask_is_map_only(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_span_corruption_mask")
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan

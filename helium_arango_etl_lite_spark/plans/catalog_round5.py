@@ -653,3 +653,93 @@ def llm_span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mask_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# staged dedup pipeline: exact-collapse FIRST, then sketch on representatives
+# ---------------------------------------------------------------------------
+
+_SHINGLES_R_CTE = _BASE_HASH_CTE.replace("FROM documents", "FROM docs_r")
+
+_STAGED_SQL = (
+    "WITH RECURSIVE exmap AS (SELECT doc_id, "
+    "min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents),\n"
+    "docs_r AS (SELECT d.doc_id, d.text FROM documents d "
+    "JOIN exmap m ON m.doc_id = d.doc_id WHERE d.doc_id = m.rep),\n"
+    + _SHINGLES_R_CTE
+    + ", sig AS (SELECT doc_id, " + ", ".join(_sig_exprs()) + " FROM hs)"
+    + ", bands AS (SELECT doc_id, unnest([" + ", ".join(_BAND_EXPRS) + "]) AS band_key FROM sig)"
+    + """, cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM bands a JOIN bands b
+                      ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+vp AS (SELECT doc_a, doc_b
+       FROM (SELECT c.doc_a, c.doc_b,
+                    len(list_intersect(sa.shd, sb.shd)) AS inter,
+                    len(sa.shd) + len(sb.shd)
+                        - len(list_intersect(sa.shd, sb.shd)) AS un
+             FROM cand c
+             JOIN sh sa ON sa.doc_id = c.doc_a
+             JOIN sh sb ON sb.doc_id = c.doc_b)
+       WHERE un > 0 AND inter::DOUBLE / un::DOUBLE >= """ + repr(VERIFY_THRESHOLD) + """),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+          UNION SELECT doc_b, doc_a FROM vp),
+reach(src, dst) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT m.doc_id,
+       coalesce(l.cluster_id, m.rep) AS cluster_id,
+       (m.doc_id = coalesce(l.cluster_id, m.rep)) AS keep
+FROM exmap m LEFT JOIN lab l ON l.doc_id = m.rep"""
+)
+
+
+@register(
+    "llm_dedup_pipeline_staged",
+    _STAGED_SQL,
+    doc="The duplication-robust ordering of llm_dedup_pipeline: EXACT "
+        "dedup collapses verbatim copies first (one md5-window shuffle), "
+        "then MinHash-LSH + Jaccard verify + connected components run on "
+        "the collapsed REPRESENTATIVES only, and every doc maps to its "
+        "final cluster through its exact-group rep. Identical cluster "
+        "partition (verbatim copies always share signatures, so the flat "
+        "form merges them anyway — pinned by test), but the candidate-"
+        "pair stage sees |distinct texts| docs, not |corpus|: a corpus "
+        "with duplication factor D generates D^2/2 fewer intra-group "
+        "pairs — the difference between finishing and GC death at 100x "
+        "verbatim duplication (SCALE_SOAK round-5 pipeline rows).",
+    tags=("llm", "dedup", "pipeline", "iterative"),
+)
+def llm_dedup_pipeline_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rep = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
+    mapped = docs.select(F.col("doc_id"), rep.alias("rep")).localCheckpoint(
+        eager=False
+    )
+    reps_docs = (
+        docs.select("doc_id", "text", rep.alias("rep"))
+        .filter(F.col("doc_id") == F.col("rep"))
+        .drop("rep")
+    )
+    vp = dedup.minhash_verified_pairs(
+        reps_docs, threshold=VERIFY_THRESHOLD,
+        num_hashes=NUM_HASHES, bands=BANDS, seed=SEED,
+    ).filter(F.col("verified"))
+    labels = dedup.dup_clusters(vp)
+    return (
+        mapped.join(
+            labels.withColumnRenamed("doc_id", "rep").withColumnRenamed(
+                "cluster_id", "_cl"
+            ),
+            "rep",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_cl"), F.col("rep")).alias("cluster_id"),
+            (
+                F.col("doc_id") == F.coalesce(F.col("_cl"), F.col("rep"))
+            ).alias("keep"),
+        )
+    )

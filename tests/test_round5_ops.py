@@ -329,3 +329,13 @@ def test_span_mask_is_map_only(spark, sf_dir):
     assert "HashAggregate" not in plan
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert node not in plan
+
+
+def test_staged_pipeline_partitions_clusters_identically(spark, sf_dir):
+    """Exact-collapse-first must not change the cluster PARTITION: verbatim
+    copies share signatures, so the flat pipeline merges them anyway."""
+    flat = QUERIES["llm_dedup_pipeline"].spark_fn(spark, sf_dir).collect()
+    staged = QUERIES["llm_dedup_pipeline_staged"].spark_fn(spark, sf_dir).collect()
+    assert {(r.doc_id, r.cluster_id, r.keep) for r in flat} == {
+        (r.doc_id, r.cluster_id, r.keep) for r in staged
+    }

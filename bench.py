@@ -64,6 +64,9 @@ HEADLINE = [
     "llm_quantize_pq",          # product-quantization codes (map-only)
     "llm_ann_ivf_pq",           # ADC search over PQ codes
     "llm_dedup_pipeline",       # sketch->verify->CC->keeper end-to-end
+    "llm_dedup_pipeline_staged",  # exact-collapse-first production shape
+    "llm_heavy_hitters_cms",    # Count-Min Sketch heavy hitters
+    "agg_hll_distinct",         # from-first-principles HyperLogLog
 ]
 
 SMALL_OUTPUT = {

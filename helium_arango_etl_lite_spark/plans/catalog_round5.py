@@ -714,13 +714,17 @@ FROM exmap m LEFT JOIN lab l ON l.doc_id = m.rep"""
 def llm_dedup_pipeline_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     rep = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
-    mapped = docs.select(F.col("doc_id"), rep.alias("rep")).localCheckpoint(
+    # ONE checkpoint of the exact-collapse window: the doc->rep map and
+    # the representative set both derive from it, and
+    # minhash_verified_pairs consumes the representatives on several
+    # branches (signature path, shingle path, candidate-doc prune) —
+    # without this every branch re-pays the md5-window shuffle
+    base = docs.select("doc_id", "text", rep.alias("rep")).localCheckpoint(
         eager=False
     )
-    reps_docs = (
-        docs.select("doc_id", "text", rep.alias("rep"))
-        .filter(F.col("doc_id") == F.col("rep"))
-        .drop("rep")
+    mapped = base.select("doc_id", "rep")
+    reps_docs = base.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "text"
     )
     vp = dedup.minhash_verified_pairs(
         reps_docs, threshold=VERIFY_THRESHOLD,

@@ -228,14 +228,17 @@ def dup_clusters(
     the step that turns pairwise candidates (MinHash/LSH/Jaccard) into
     dedup groups with one keeper each.
 
-    Iterative min-label propagation: each round, every node takes the min
-    of its own label and its neighbors' labels; converges in graph-diameter
-    rounds (driver-coordinated loop — the canonical Spark shape for
-    iterative algorithms). Each round is one shuffle of (node, label)
-    pairs; ``localCheckpoint`` truncates the growing plan lineage so round
-    N doesn't replay rounds 1..N-1. Near-dup clusters are tiny diameter in
-    practice (dup groups, not social graphs), so the loop exits early on
-    convergence almost immediately.
+    Iterative min-label propagation WITH pointer jumping: each round,
+    every node takes the min of its own label, its neighbors' labels,
+    and its label's label (path compression — the Hash-to-Min idea).
+    The jump halves remaining chain lengths each round, so convergence
+    is O(log diameter) rounds, not O(diameter) — chain-shaped graphs
+    (e.g. mutual-kNN chains through embedding space) converge within
+    the iteration budget where plain propagation would silently stop
+    early and emit split clusters. Each round is two (node, label)-sized
+    shuffles; ``localCheckpoint`` truncates the growing plan lineage so
+    round N doesn't replay rounds 1..N-1; the loop exits early on
+    convergence.
     """
     edges = (
         pairs.select(F.col(doc_a).alias("src"), F.col(doc_b).alias("dst"))
@@ -256,12 +259,26 @@ def dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        propagated = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["src"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: label <- min(label, label[label]); label values
+        # are always node ids, so the self-join resolves (left: a node
+        # whose label is already a root sees no row)
+        jump = propagated.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            propagated.join(jump, propagated["label"] == jump["pnode"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)  # truncate lineage per round

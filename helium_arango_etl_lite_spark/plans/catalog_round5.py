@@ -747,3 +747,76 @@ def llm_dedup_pipeline_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic clustering: mutual-kNN graph -> connected components
+# ---------------------------------------------------------------------------
+
+_MKNN_K = 3
+
+_MKNN_SQL = f"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, nid) AS rank
+      FROM p),
+knn AS (SELECT qid, nid FROM r WHERE rank <= {_MKNN_K}),
+mutual AS (SELECT a.qid AS src, a.nid AS dst
+           FROM knn a JOIN knn b ON a.qid = b.nid AND a.nid = b.qid),
+reach(src, dst) AS (
+    SELECT src, src FROM mutual
+    UNION
+    SELECT r2.src, m.dst FROM reach r2 JOIN mutual m ON r2.dst = m.src),
+lab AS (SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT e.vec_id,
+       coalesce(l.cluster_id, e.vec_id) AS cluster_id,
+       (coalesce(l.cluster_id, e.vec_id) = e.vec_id) AS is_representative
+FROM e LEFT JOIN lab l ON l.vec_id = e.vec_id
+"""
+
+
+@register(
+    "llm_semantic_clusters",
+    _MKNN_SQL,
+    doc=f"Semantic clustering of embeddings: mutual-{_MKNN_K}-NN graph "
+        "(an edge only when BOTH endpoints rank each other top-k — the "
+        "standard guard against hub vectors chaining unrelated clusters) "
+        "-> connected components -> min-id representative. The embedding "
+        "counterpart of llm_dedup_pipeline; at scale the kNN stage is the "
+        "auto-routed knn_join (bucketed LSH past the broadcast bound) and "
+        "the mutual filter is a self-join on the (qid,nid) pair — tiny vs "
+        "the corpus.",
+    tags=("llm", "similarity", "pipeline", "iterative"),
+)
+def llm_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    kn = similarity.knn_join(emb, k=_MKNN_K).select("qid", "nid")
+    kn = kn.localCheckpoint(eager=False)  # consumed by both mutual sides
+    mutual = kn.alias("a").join(
+        kn.alias("b"),
+        (F.col("a.qid") == F.col("b.nid")) & (F.col("a.nid") == F.col("b.qid")),
+    ).select(F.col("a.qid").alias("doc_a"), F.col("a.nid").alias("doc_b"))
+    labels = dedup.dup_clusters(mutual)
+    return (
+        emb.select("vec_id")
+        .join(
+            labels.withColumnRenamed("doc_id", "vec_id").withColumnRenamed(
+                "cluster_id", "_cl"
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("_cl"), F.col("vec_id")).alias("cluster_id"),
+            (
+                F.coalesce(F.col("_cl"), F.col("vec_id")) == F.col("vec_id")
+            ).alias("is_representative"),
+        )
+    )

@@ -339,3 +339,31 @@ def test_staged_pipeline_partitions_clusters_identically(spark, sf_dir):
     assert {(r.doc_id, r.cluster_id, r.keep) for r in flat} == {
         (r.doc_id, r.cluster_id, r.keep) for r in staged
     }
+
+
+def test_semantic_clusters_mutuality_and_representatives(spark, sf_dir):
+    out = QUERIES["llm_semantic_clusters"].spark_fn(spark, sf_dir).collect()
+    emb_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(out) == emb_n
+    by_cluster = {}
+    for r in out:
+        assert r.cluster_id <= r.vec_id
+        assert r.is_representative == (r.cluster_id == r.vec_id)
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        reps = [r for r in members if r.is_representative]
+        assert len(reps) == 1 and reps[0].vec_id == cid
+
+
+def test_dup_clusters_converges_on_a_long_chain(spark):
+    """The pointer-jumping regression guard: a 200-node path graph has
+    diameter 199 — plain min-label propagation capped at 20 iterations
+    would emit split clusters; with path compression the whole chain
+    must collapse to cluster 0 within the default budget."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    labels = dedup.dup_clusters(pairs).collect()
+    assert len(labels) == n
+    assert {r.cluster_id for r in labels} == {0}

@@ -67,6 +67,7 @@ HEADLINE = [
     "llm_dedup_pipeline_staged",  # exact-collapse-first production shape
     "llm_heavy_hitters_cms",    # Count-Min Sketch heavy hitters
     "agg_hll_distinct",         # from-first-principles HyperLogLog
+    "llm_semantic_clusters",    # mutual-kNN graph -> pointer-jump CC
 ]
 
 SMALL_OUTPUT = {

@@ -131,14 +131,17 @@ def llm_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_BLOCKS = 4
 _PQ_CODES = 8
-_PQ_SUB = 16  # 64-dim embeddings / 4 blocks
+# block width derives from the data in BOTH engines (len(v)/blocks) so a
+# testdata-refresh dim change cannot desynchronize the oracle from the
+# Spark side's _infer_dim
+_PQ_SUB_SQL = f"(len(v) // {_PQ_BLOCKS})"
 
 
 def _pq_block_sql(bi: int) -> str:
-    off = bi * _PQ_SUB
+    off = f"({bi} * {_PQ_SUB_SQL})"
     return (
         f"list_transform(generate_series(1, {_PQ_CODES}), c -> "
-        f"round(list_sum(list_transform(generate_series(1, {_PQ_SUB}), "
+        f"round(list_sum(list_transform(generate_series(1, {_PQ_SUB_SQL}), "
         f"i -> (v[{off} + i] - cbs[c][{off} + i]) * (v[{off} + i] - cbs[c][{off} + i]))), 6))"
     )
 
@@ -147,7 +150,7 @@ _PQ_SQL = (
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cb AS (SELECT list(v ORDER BY vec_id) AS cbs
        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT """ + str(_PQ_CODES) + """)),
-d AS (SELECT vec_id, """
+d AS (SELECT vec_id, len(v) AS dim, """
     + ", ".join(f"{_pq_block_sql(bi)} AS db_{bi}" for bi in range(_PQ_BLOCKS))
     + """ FROM e, cb)
 SELECT vec_id, """
@@ -157,7 +160,7 @@ SELECT vec_id, """
     )
     + ", round(("
     + " + ".join(f"list_min(db_{bi})" for bi in range(_PQ_BLOCKS))
-    + ") / 64.0, 4) AS mse FROM d"
+    + ") / dim::DOUBLE, 4) AS mse FROM d"
 )
 
 
@@ -261,10 +264,13 @@ def llm_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _adc_lut_sql(bi: int) -> str:
-    off = bi * _PQ_SUB
+    # block width from len(qv): keeps the LUT aligned with _pq_block_sql
+    # under any embedding dim the testdata ships
+    sub = f"(len(qv) // {_PQ_BLOCKS})"
+    off = f"({bi} * {sub})"
     return (
         f"list_transform(generate_series(1, {_PQ_CODES}), c -> "
-        f"round(list_sum(list_transform(generate_series(1, {_PQ_SUB}), "
+        f"round(list_sum(list_transform(generate_series(1, {sub}), "
         f"i -> (qv[{off} + i] - cbs[c][{off} + i]) * (qv[{off} + i] - cbs[c][{off} + i]))), 6))"
     )
 

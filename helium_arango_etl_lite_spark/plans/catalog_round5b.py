@@ -1,0 +1,363 @@
+"""Round-5 late additions: evaluation + layout + watermark semantics.
+
+* ``llm_ann_recall`` — recall@k of the LSH-bucketed k-NN against the
+  exact brute-force top-k, per query vector. The "measure, don't guess"
+  companion to ``llm_knn_join_bucketed``: every approximate operator in
+  the catalog should ship with the query that quantifies what the
+  approximation costs.
+* ``stream_late_replay`` — event-time watermark semantics (late-row
+  drop + window eviction) under the driver's value hash: the events
+  table replays as three deterministic micro-batches through a REAL
+  ``withWatermark + window`` streaming aggregation, and the oracle
+  recomputes Spark's documented watermark rule (global watermark =
+  millisecond-floored max event time of all PRIOR batches minus the
+  delay; a row is dropped iff its window end <= current watermark) in
+  pure SQL.
+* ``zorder_layout_stats`` — Morton (Z-order) interleave of two
+  dimensions as a clustering key, contrasted with a linear time layout:
+  per-"file" min/max span fractions show Z-order bounding BOTH
+  dimensions (the Delta/Iceberg OPTIMIZE ZORDER pruning argument —
+  at 100 TB, file skipping is the first and cheapest "operator").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.llm import similarity
+from .catalog_core import _replay_dir
+from .catalog_llm import EMB_DIM, LSH_SEED, NEAR_DUP_PLANES
+from .registry import EVENTS_NORM, load_events, load_table, register
+
+# ---------------------------------------------------------------------------
+# ANN recall@k evaluation
+# ---------------------------------------------------------------------------
+
+ANN_RECALL_K = 3
+
+
+def _ann_recall_sql() -> str:
+    planes = similarity.hyperplanes(NEAR_DUP_PLANES, EMB_DIM, LSH_SEED)
+    plane_lits = ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(plane_lits)
+    )
+    k = ANN_RECALL_K
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, nid) AS rank
+      FROM p),
+ex AS (SELECT qid, nid FROM r WHERE rank <= {k}),
+bk AS (SELECT vec_id, v, ({bucket})::BIGINT AS bucket FROM e),
+pb AS (SELECT a.vec_id AS qid, c.vec_id AS nid,
+              round(list_dot_product(a.v, c.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+       FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+rb AS (SELECT qid, nid,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos_sim DESC, nid) AS rank
+       FROM pb),
+ap AS (SELECT qid, nid FROM rb WHERE rank <= {k}),
+cex AS (SELECT qid, count(*)::BIGINT AS n_exact FROM ex GROUP BY 1),
+cap AS (SELECT qid, count(*)::BIGINT AS n_approx FROM ap GROUP BY 1),
+hit AS (SELECT ex.qid, count(*)::BIGINT AS n_hit
+        FROM ex JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid
+        GROUP BY 1)
+SELECT cex.qid, cex.n_exact,
+       coalesce(cap.n_approx, 0)::BIGINT AS n_approx,
+       coalesce(hit.n_hit, 0)::BIGINT AS n_hit,
+       round(coalesce(hit.n_hit, 0)::DOUBLE / cex.n_exact, 4) AS recall_at_k
+FROM cex
+LEFT JOIN cap ON cap.qid = cex.qid
+LEFT JOIN hit ON hit.qid = cex.qid"""
+
+
+@register(
+    "llm_ann_recall",
+    _ann_recall_sql(),
+    doc="Recall@k of the LSH-bucketed approximate k-NN "
+        "(llm_knn_join_bucketed) against the exact brute-force top-k "
+        "(llm_knn_join), per query vector: n_hit / n_exact over the "
+        "(qid, nid) pair sets. This is the evaluation harness every "
+        "approximate index needs before it replaces the exact path at "
+        "scale — recall is a corpus property, not a constant. Both "
+        "sides are the already-verified catalog operators; the overlay "
+        "is three key-partitioned aggregations and two left joins on "
+        "qid — no new shuffle shapes "
+        "(operators/llm/similarity.py:knn_join,knn_join_bucketed).",
+    tags=("llm", "similarity", "evaluation"),
+)
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.knn_join(e, k=ANN_RECALL_K).select("qid", "nid")
+    approx = similarity.knn_join_bucketed(
+        e, k=ANN_RECALL_K,
+        num_planes=NEAR_DUP_PLANES, seed=LSH_SEED, dim=EMB_DIM,
+    ).select("qid", "nid")
+    n_ex = exact.groupBy("qid").agg(F.count("*").cast("long").alias("n_exact"))
+    n_ap = approx.groupBy("qid").agg(F.count("*").cast("long").alias("n_approx"))
+    hit = (
+        exact.join(approx, ["qid", "nid"])
+        .groupBy("qid")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    return (
+        n_ex.join(n_ap, "qid", "left")
+        .join(hit, "qid", "left")
+        .select(
+            "qid",
+            "n_exact",
+            F.coalesce(F.col("n_approx"), F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# watermark / late-data semantics under the driver hash
+# ---------------------------------------------------------------------------
+
+_WM_DELAY = "7 days"
+_WM_BATCHES = 3
+
+_LATE_SQL = f"""WITH {EVENTS_NORM},
+e AS (SELECT event_id, ts,
+             CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS value_c,
+             event_id % {_WM_BATCHES} AS b,
+             date_trunc('hour', ts) AS ws,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS we
+      FROM events_norm),
+m AS (SELECT date_trunc('milliseconds', max(CASE WHEN b = 0 THEN ts END))
+               - INTERVAL {_WM_DELAY} AS wm_late2
+      FROM e),
+kept AS (SELECT e.* FROM e, m
+         WHERE b <= 1
+            OR (b = 2 AND we > wm_late2))
+SELECT ws AS window_start, count(*)::BIGINT AS n_events,
+       sum(value_c)::BIGINT AS sum_value_c
+FROM kept GROUP BY 1"""
+
+
+@register(
+    "stream_late_replay",
+    _LATE_SQL,
+    doc="Event-time watermark semantics, driver-value-hashed: the events "
+        "table replays as three DETERMINISTIC micro-batches (event_id "
+        "mod 3; one parquet file per batch with controlled mtimes so the "
+        "file source's batch order is fixed) through a real "
+        "withWatermark('7 days') + 1-hour tumbling-window aggregation in "
+        "update mode. The oracle re-derives Spark's watermark contract "
+        "in SQL — including the SPARK-24634 two-watermark refinement "
+        "verified against the checkpoint offset log: LATE-EVENT "
+        "FILTERING in batch b uses the watermark as of batch b-1 "
+        "(millisecond-floored max event time over batches < b-1 minus "
+        "the delay; late rows still ADVANCE it), while state EVICTION "
+        "uses the current one, so with three batches only batch 2 drops "
+        "(window end <= msfloor(max ts of batch 0) - delay) and batch "
+        "1's late rows are accepted. Final table = last update-"
+        "mode emission per window = aggregate over accepted rows. State "
+        "is bounded by the delay horizon, so executor memory tracks the "
+        "watermark window, never the stream length — the property that "
+        "makes this run on an unbounded stream at cluster scale.",
+    tags=("streaming", "watermark", "agg"),
+)
+def stream_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "ts",
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+        .cast("long")
+        .alias("value_c"),
+    )
+    src = _replay_dir("stream_late/src")
+    res = _replay_dir("stream_late/res")
+    ckpt = _replay_dir("stream_late/ckpt")
+
+    # One parquet file per micro-batch, written with pyarrow so the file
+    # NAME and MTIME are ours: the file stream source orders batches by
+    # (mtime, path), so both orderings agree on b0 < b1 < b2 and the
+    # watermark progression is deterministic run-to-run.
+    for i in range(_WM_BATCHES):
+        pdf = (
+            ev.filter(F.pmod(F.col("event_id"), F.lit(_WM_BATCHES)) == i)
+            .select("ts", "value_c")
+            .toPandas()
+        )
+        # micros + UTC so Spark reads TimestampType (TIMESTAMP(NANOS)
+        # would come back as a bare INT64 — SPARK-40819)
+        pdf["ts"] = pdf["ts"].dt.tz_localize("UTC").astype("datetime64[us, UTC]")
+        path = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, value_c long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", _WM_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value_c").cast("long").alias("sum_value_c"),
+        )
+    )
+
+    def sink(df: DataFrame, bid: int) -> None:
+        (
+            df.select(
+                F.col("w.start").alias("window_start"),
+                "n_events",
+                "sum_value_c",
+                F.lit(bid).alias("batch_id"),
+            )
+            .write.mode("append")
+            .parquet(res)
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    outs = spark.read.parquet(res)
+    w = Window.partitionBy("window_start").orderBy(F.desc("batch_id"))
+    return (
+        outs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("window_start", "n_events", "sum_value_c")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key vs linear layout
+# ---------------------------------------------------------------------------
+
+_ZBITS = 4  # 16 buckets per dimension
+_ZB = 1 << _ZBITS
+_ZFILES_SHIFT = _ZB  # 256 zkeys / 16 files
+
+
+def _zexpr(a: str, b: str) -> str:
+    """Morton interleave of two {0..15} bucket ids: bit j of ``a`` lands
+    at position 2j+1, bit j of ``b`` at 2j. Pure integer div/mod, so the
+    expression is identical in Spark SQL and DuckDB."""
+    terms = []
+    for j in range(_ZBITS):
+        terms.append(f"((({a} div {1 << j}) % 2) * {1 << (2 * j + 1)})")
+        terms.append(f"((({b} div {1 << j}) % 2) * {1 << (2 * j)})")
+    return " + ".join(terms)
+
+
+def _zorder_sql() -> str:
+    z = _zexpr("ubk", "hbk").replace(" div ", " // ")
+    return f"""WITH {EVENTS_NORM},
+base AS (SELECT user_id,
+                CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb
+         FROM events_norm),
+st AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+              min(hb) AS hmin, max(hb) AS hmax
+       FROM base),
+bb AS (SELECT user_id, hb, umin, umax, hmin, hmax,
+              ((user_id - umin) * {_ZB}) // (umax - umin + 1) AS ubk,
+              ((hb - hmin) * {_ZB}) // (hmax - hmin + 1) AS hbk
+       FROM base, st),
+bz AS (SELECT *, ({z}) AS zkey FROM bb),
+zf AS (SELECT 'zorder' AS layout, (zkey // {_ZFILES_SHIFT})::BIGINT AS file_id,
+              count(*)::BIGINT AS n_rows,
+              round((max(user_id) - min(user_id) + 1)::DOUBLE
+                    / (any_value(umax) - any_value(umin) + 1), 4) AS u_span_frac,
+              round((max(hb) - min(hb) + 1)::DOUBLE
+                    / (any_value(hmax) - any_value(hmin) + 1), 4) AS t_span_frac
+       FROM bz GROUP BY 1, 2),
+lf AS (SELECT 'time' AS layout, hbk::BIGINT AS file_id,
+              count(*)::BIGINT AS n_rows,
+              round((max(user_id) - min(user_id) + 1)::DOUBLE
+                    / (any_value(umax) - any_value(umin) + 1), 4) AS u_span_frac,
+              round((max(hb) - min(hb) + 1)::DOUBLE
+                    / (any_value(hmax) - any_value(hmin) + 1), 4) AS t_span_frac
+       FROM bz GROUP BY 1, 2)
+SELECT * FROM zf UNION ALL SELECT * FROM lf"""
+
+
+@register(
+    "zorder_layout_stats",
+    _zorder_sql(),
+    doc="Z-order (Morton) clustering key over (user_id, event-hour) vs a "
+        "linear time layout, evaluated by the statistic that matters for "
+        "pruning: per-'file' min/max SPAN FRACTION of each dimension. "
+        "Rows are range-assigned to 16 files by Z-key (2 high bits per "
+        "dim) or by time bucket; Z-order files bound BOTH dims at ~1/4 "
+        "span while time files bound only time — i.e. a predicate on "
+        "EITHER column skips ~3/4 of Z-ordered files, which at 100 TB is "
+        "the cheapest operator there is (Delta/Iceberg OPTIMIZE ZORDER "
+        "rationale). Plan: one scalar min/max aggregate broadcast back, "
+        "then pure integer bit arithmetic (div/mod — identical in "
+        "DuckDB) and two key-partitioned aggregations. No window, no "
+        "sort, no driver collect.",
+    tags=("layout", "zorder", "agg"),
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hb"),
+    )
+    st = base.agg(
+        F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+        F.min("hb").alias("hmin"), F.max("hb").alias("hmax"),
+    )
+    b = (
+        base.crossJoin(F.broadcast(st))
+        .withColumn("ubk", F.expr(f"((user_id - umin) * {_ZB}) div (umax - umin + 1)"))
+        .withColumn("hbk", F.expr(f"((hb - hmin) * {_ZB}) div (hmax - hmin + 1)"))
+        .withColumn("zkey", F.expr(_zexpr("ubk", "hbk")))
+    )
+
+    def spans(df: DataFrame, layout: str, file_col) -> DataFrame:
+        return (
+            df.groupBy(file_col.cast("long").alias("file_id"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.round(
+                    (F.max("user_id") - F.min("user_id") + 1)
+                    / (F.first("umax") - F.first("umin") + 1),
+                    4,
+                ).alias("u_span_frac"),
+                F.round(
+                    (F.max("hb") - F.min("hb") + 1)
+                    / (F.first("hmax") - F.first("hmin") + 1),
+                    4,
+                ).alias("t_span_frac"),
+            )
+            .select(
+                F.lit(layout).alias("layout"),
+                "file_id", "n_rows", "u_span_frac", "t_span_frac",
+            )
+        )
+
+    return spans(b, "zorder", F.expr(f"zkey div {_ZFILES_SHIFT}")).unionAll(
+        spans(b, "time", F.col("hbk"))
+    )

@@ -31,7 +31,11 @@ round-5 addition ``llm_semdedup_capped``, and two re-check slots
 Round-6 revision plan (apply AFTER the round-5 driver run records
 CORRECTNESS_r05): front-load the five round-5 additions that registered
 too late for this batch (``llm_minhash_verify``, ``llm_window_dedup``,
-``llm_quantize_pq``, ``llm_ann_ivf_pq``, ``llm_pipeline_funnel``), then
+``llm_quantize_pq``, ``llm_ann_ivf_pq``, ``llm_pipeline_funnel``,
+``llm_dedup_pipeline[_staged]``, ``llm_heavy_hitters_cms``,
+``agg_hll_distinct``, ``llm_chunk_overlap``, ``llm_span_corruption_mask``,
+``llm_semantic_clusters``, ``udtf_sentence_split``, ``llm_ann_recall``,
+``stream_late_replay``, ``zorder_layout_stats``), then
 fill the remaining ~45 slots with re-checks round-robin by
 least-recently-verified (continue the rotation started with the two
 round-5 tail slots).
@@ -46,6 +50,7 @@ from . import catalog_analytics  # noqa: F401  (registers analytics queries)
 from . import catalog_tpch  # noqa: F401  (registers extended TPC-H shapes)
 from . import catalog_round3  # noqa: F401  (set ops, range windows, LLM passes)
 from . import catalog_round5  # noqa: F401  (two-stage verify, window dedup, PQ, funnel)
+from . import catalog_round5b  # noqa: F401  (ANN recall, watermark replay, Z-order layout)
 
 DRIVER_BATCH: list[str] = [
     # -- never driver-verified after rounds 1-4 (47) ------------------

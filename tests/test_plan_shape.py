@@ -469,3 +469,25 @@ def test_semdedup_capped_keeps_broadcast_shapes(spark, sf_dir):
     # survive for the pair stage (the only nested-loop join allowed is
     # the K-row centroid broadcast)
     assert plan.count("CartesianProduct") == 0
+
+
+def test_zorder_layout_no_window_no_sort(spark, sf_dir):
+    """zorder_layout_stats must be scalar-agg broadcast + integer bit
+    arithmetic + two key-partitioned aggregations: the only nested-loop
+    join allowed is the 1-row min/max stats broadcast, and nothing may
+    compile to a Window or a global Sort — file clustering keys have to
+    be assignable map-side at 100 TB."""
+    plan = plan_of(spark, sf_dir, "zorder_layout_stats")
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats frame
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final per layout
+
+
+def test_ann_recall_no_cartesian(spark, sf_dir):
+    """llm_ann_recall overlays count-aggregations and qid equi-joins on
+    the two verified k-NN operators; the approximate side must stay a
+    bucket equi-join and no stage may fall back to a cartesian
+    product."""
+    plan = plan_of(spark, sf_dir, "llm_ann_recall")
+    assert "CartesianProduct" not in plan

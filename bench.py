@@ -68,6 +68,9 @@ HEADLINE = [
     "llm_heavy_hitters_cms",    # Count-Min Sketch heavy hitters
     "agg_hll_distinct",         # from-first-principles HyperLogLog
     "llm_semantic_clusters",    # mutual-kNN graph -> pointer-jump CC
+    "llm_ann_recall",           # recall@k eval: exact vs LSH-bucketed kNN
+    "zorder_layout_stats",      # Morton clustering key + per-file spans
+    "stream_late_replay",       # watermarked streaming agg, 3 micro-batches
 ]
 
 SMALL_OUTPUT = {

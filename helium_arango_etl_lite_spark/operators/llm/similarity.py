@@ -812,3 +812,90 @@ def pq_adc_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def knn_join_sampled(
+    emb: DataFrame, k: int = 3, sample_mod: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    round_dp: int = 4, max_sample_rows: int = 1_000_000,
+) -> DataFrame:
+    """EXACT k-NN for a deterministic hash-sample of query vectors against
+    the FULL corpus — the evaluation shape that stays linear at 100 TB.
+
+    :func:`knn_join`'s arrow engine broadcasts the CORPUS matrix, so it is
+    bounded by corpus size. Recall evaluation doesn't need every query:
+    it needs an unbiased sample scored exactly. This operator inverts the
+    broadcast — the (small) query sample (``id % sample_mod == 0``)
+    collects and broadcasts, each corpus partition scores its rows
+    against the sample with one GEMM and keeps a per-partition top-k PER
+    QUERY, and a final qid-keyed aggregation merges the bounded
+    candidate set (|sample| * k * n_partitions rows, never the corpus).
+    Top-k is distributive, so the result is exactly
+    ``knn_join(...)`` restricted to sampled qids — pinned by test.
+
+    Same determinism contract as knn_join: similarity rounded
+    half-away-from-zero at ``round_dp`` before ranking, ties break on
+    ascending neighbour id. Raises if the sample exceeds
+    ``max_sample_rows`` instead of silently collecting too much.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    sample = e.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
+    qrows = sample.limit(max_sample_rows + 1).collect()
+    if len(qrows) > max_sample_rows:
+        raise ValueError(
+            f"knn_join_sampled: query sample exceeds max_sample_rows="
+            f"{max_sample_rows}; raise sample_mod (or the cap) so the "
+            "broadcast side stays bounded"
+        )
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = e.sparkSession.sparkContext.broadcast((qids, qmat))
+
+    cand_schema = StructType(
+        [
+            StructField("qid", LongType(), False),
+            StructField("nid", LongType(), False),
+            StructField("cos_sim", DoubleType(), False),
+        ]
+    )
+    scale = 10.0 ** round_dp
+
+    def batches(it):
+        sq, sm = bc.value
+        nq = len(sq)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            c = np.stack(pdf["v"].to_numpy())
+            c = c / np.linalg.norm(c, axis=1, keepdims=True)
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            sims = sm @ c.T  # |sample| x |partition rows|
+            sims = np.floor(np.abs(sims) * scale + 0.5) / scale * np.sign(sims)
+            sims[sq[:, None] == cids[None, :]] = -np.inf  # self-match
+            kk = min(k, sims.shape[1])
+            order = np.lexsort((cids[None, :].repeat(nq, 0), -sims), axis=1)
+            top = order[:, :kk]
+            tops = np.take_along_axis(sims, top, axis=1)
+            keep = np.isfinite(tops).ravel()
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(sq, kk)[keep],
+                    "nid": cids[top].ravel()[keep],
+                    "cos_sim": tops.ravel()[keep],
+                }
+            )
+
+    cand = e.mapInPandas(batches, cand_schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

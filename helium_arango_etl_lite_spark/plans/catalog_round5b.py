@@ -37,7 +37,7 @@ from .registry import EVENTS_NORM, load_events, load_table, register
 ANN_RECALL_K = 3
 
 
-def _ann_recall_sql() -> str:
+def _ann_recall_sql(sample_mod: int | None = None) -> str:
     planes = similarity.hyperplanes(NEAR_DUP_PLANES, EMB_DIM, LSH_SEED)
     plane_lits = ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
     bucket = " + ".join(
@@ -45,12 +45,13 @@ def _ann_recall_sql() -> str:
         for j, p in enumerate(plane_lits)
     )
     k = ANN_RECALL_K
+    qfilter = "" if sample_mod is None else f" AND a.vec_id % {sample_mod} = 0"
     return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
              round(list_dot_product(a.v, b.v)
                    / (sqrt(list_dot_product(a.v, a.v))
                       * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
-      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id{qfilter}),
 r AS (SELECT qid, nid,
              row_number() OVER (PARTITION BY qid
                                 ORDER BY cos_sim DESC, nid) AS rank
@@ -61,7 +62,7 @@ pb AS (SELECT a.vec_id AS qid, c.vec_id AS nid,
               round(list_dot_product(a.v, c.v)
                     / (sqrt(list_dot_product(a.v, a.v))
                        * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
-       FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+       FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id{qfilter}),
 rb AS (SELECT qid, nid,
               row_number() OVER (PARTITION BY qid
                                  ORDER BY cos_sim DESC, nid) AS rank
@@ -103,6 +104,45 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, k=ANN_RECALL_K,
         num_planes=NEAR_DUP_PLANES, seed=LSH_SEED, dim=EMB_DIM,
     ).select("qid", "nid")
+    return _recall_overlay(exact, approx)
+
+
+ANN_SAMPLE_MOD = 4
+
+
+@register(
+    "llm_ann_recall_sampled",
+    _ann_recall_sql(sample_mod=ANN_SAMPLE_MOD),
+    doc="The 100 TB shape of llm_ann_recall: recall@k measured on a "
+        "deterministic hash-sample of queries (vec_id % 4 == 0) scored "
+        "EXACTLY against the FULL corpus. The exact side is "
+        "knn_join_sampled, which inverts knn_join's broadcast — the "
+        "small query-sample matrix broadcasts, each corpus partition "
+        "GEMMs its rows against it and keeps a per-partition top-k per "
+        "query, and a bounded candidate merge (|sample|*k*partitions "
+        "rows) finishes exactly. Cost is LINEAR in corpus size and "
+        "never collects the corpus, so the evaluation harness itself "
+        "survives the scale it is meant to certify "
+        "(operators/llm/similarity.py:knn_join_sampled).",
+    tags=("llm", "similarity", "evaluation"),
+)
+def llm_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.knn_join_sampled(
+        e, k=ANN_RECALL_K, sample_mod=ANN_SAMPLE_MOD
+    ).select("qid", "nid")
+    approx = (
+        similarity.knn_join_bucketed(
+            e, k=ANN_RECALL_K,
+            num_planes=NEAR_DUP_PLANES, seed=LSH_SEED, dim=EMB_DIM,
+        )
+        .filter(F.pmod(F.col("qid"), F.lit(ANN_SAMPLE_MOD)) == 0)
+        .select("qid", "nid")
+    )
+    return _recall_overlay(exact, approx)
+
+
+def _recall_overlay(exact: DataFrame, approx: DataFrame) -> DataFrame:
     n_ex = exact.groupBy("qid").agg(F.count("*").cast("long").alias("n_exact"))
     n_ap = approx.groupBy("qid").agg(F.count("*").cast("long").alias("n_approx"))
     hit = (

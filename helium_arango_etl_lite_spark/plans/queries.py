@@ -35,7 +35,8 @@ too late for this batch (``llm_minhash_verify``, ``llm_window_dedup``,
 ``llm_dedup_pipeline[_staged]``, ``llm_heavy_hitters_cms``,
 ``agg_hll_distinct``, ``llm_chunk_overlap``, ``llm_span_corruption_mask``,
 ``llm_semantic_clusters``, ``udtf_sentence_split``, ``llm_ann_recall``,
-``stream_late_replay``, ``zorder_layout_stats``), then
+``llm_ann_recall_sampled``, ``stream_late_replay``,
+``zorder_layout_stats``), then
 fill the remaining ~45 slots with re-checks round-robin by
 least-recently-verified (continue the rotation started with the two
 round-5 tail slots).

@@ -367,3 +367,37 @@ def test_dup_clusters_converges_on_a_long_chain(spark):
     labels = dedup.dup_clusters(pairs).collect()
     assert len(labels) == n
     assert {r.cluster_id for r in labels} == {0}
+
+
+def test_knn_join_sampled_matches_full_exact(spark, sf_dir):
+    """knn_join_sampled must equal knn_join restricted to sampled qids:
+    per-partition top-k + bounded merge is exactly distributive, and the
+    rounding/tie-break contract is shared. This is the invariant that
+    lets the recall harness swap the corpus-broadcast GEMM for the
+    query-broadcast linear scan at scale."""
+    from helium_arango_etl_lite_spark.operators.llm import similarity
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    full = (
+        similarity.knn_join(e, k=3, engine="arrow")
+        .filter(F.pmod(F.col("qid"), F.lit(4)) == 0)
+    )
+    sampled = similarity.knn_join_sampled(e, k=3, sample_mod=4)
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(tuple, sampled.collect()))
+    assert a == b
+
+
+def test_knn_join_sampled_caps_broadcast_side(spark, sf_dir):
+    """The query sample collect must be bounded: exceeding
+    max_sample_rows raises instead of silently collecting the corpus."""
+    import pytest
+
+    from helium_arango_etl_lite_spark.operators.llm import similarity
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_sample_rows"):
+        similarity.knn_join_sampled(e, k=3, sample_mod=1, max_sample_rows=5)

@@ -71,6 +71,7 @@ HEADLINE = [
     "llm_ann_recall",           # recall@k eval: exact vs LSH-bucketed kNN
     "zorder_layout_stats",      # Morton clustering key + per-file spans
     "stream_late_replay",       # watermarked streaming agg, 3 micro-batches
+    "stream_join_replay",       # stream-stream interval join state
 ]
 
 SMALL_OUTPUT = {

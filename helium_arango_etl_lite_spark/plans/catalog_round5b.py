@@ -401,3 +401,128 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans(b, "zorder", F.expr(f"zkey div {_ZFILES_SHIFT}")).unionAll(
         spans(b, "time", F.col("hbk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming state dedup + stream-stream join under the driver hash
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_dedup_replay",
+    f"""WITH {EVENTS_NORM}
+       SELECT DISTINCT user_id, event_type FROM events_norm""",
+    doc="Streaming exact dedup at ingest (dropDuplicatesWithinWatermark "
+        "over a real multi-batch stream) under the driver's value hash: "
+        "events replay as three micro-batches (maxFilesPerTrigger=1); "
+        "per-key state dedups ACROSS batches, append mode emits each "
+        "key exactly once on first arrival, and the materialized table "
+        "must equal a one-shot DISTINCT. The watermark delay (40 days) "
+        "exceeds the corpus span, so no state expires and the result is "
+        "batch-order-independent — what is being hashed is the state "
+        "plumbing (store, cross-batch lookup, exactly-once emission), "
+        "the contract an ingest-time dedup needs before the corpus ever "
+        "reaches the batch dedup passes. State is keyed and bounded by "
+        "the watermark horizon, so memory tracks the dedup window at "
+        "cluster scale, not the stream length.",
+    tags=("streaming", "dedup", "state"),
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    src = _replay_dir("stream_dedup/src")
+    res = _replay_dir("stream_dedup/res")
+    ckpt = _replay_dir("stream_dedup/ckpt")
+    ev.repartition(3).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "40 days").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+    def sink(df: DataFrame, bid: int) -> None:
+        df.select("user_id", "event_type").write.mode("append").parquet(res)
+
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(res).select("user_id", "event_type")
+
+
+@register(
+    "stream_join_replay",
+    """SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, l.l_shipdate
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 180 DAY""",
+    doc="Stream-stream inner interval join under the driver's value "
+        "hash: orders and lineitem each replay as independent file "
+        "streams (three micro-batches per side), joined on orderkey "
+        "with an event-time range (ship within 180 days of order) and "
+        "watermarks on BOTH sides — the symmetric-hash-join state shape "
+        "Spark uses for stream/stream correlation. Each matching pair "
+        "is emitted exactly once whenever its partner arrives, across "
+        "any batch interleave, so the materialized table must equal the "
+        "one-shot interval join — what is being hashed is the two-sided "
+        "join state (buffering, cross-batch matching, exactly-once "
+        "emission). The delay is chosen above the corpus span so no "
+        "state evicts before its partner arrives; in production the "
+        "delay bounds BOTH state sides by the watermark horizon — the "
+        "property that makes the join runnable on unbounded streams.",
+    tags=("streaming", "join", "state"),
+)
+def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    items = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    osrc = _replay_dir("stream_join/orders")
+    lsrc = _replay_dir("stream_join/lineitem")
+    res = _replay_dir("stream_join/res")
+    ckpt = _replay_dir("stream_join/ckpt")
+    orders.repartition(3).write.mode("append").parquet(osrc)
+    items.repartition(3).write.mode("append").parquet(lsrc)
+
+    so = (
+        spark.readStream.schema("o_orderkey long, o_orderdate timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(osrc)
+        .withWatermark("o_orderdate", "3000 days")
+    )
+    sl = (
+        spark.readStream.schema(
+            "l_orderkey long, l_linenumber int, l_shipdate timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(lsrc)
+        .withWatermark("l_shipdate", "3000 days")
+    )
+    joined = sl.join(
+        so,
+        F.expr(
+            "l_orderkey = o_orderkey AND "
+            "l_shipdate >= o_orderdate AND "
+            "l_shipdate < o_orderdate + INTERVAL 180 DAYS"
+        ),
+    ).select("l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+
+    def sink(df: DataFrame, bid: int) -> None:
+        df.write.mode("append").parquet(res)
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(res)

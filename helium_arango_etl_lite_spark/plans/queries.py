@@ -36,6 +36,7 @@ too late for this batch (``llm_minhash_verify``, ``llm_window_dedup``,
 ``agg_hll_distinct``, ``llm_chunk_overlap``, ``llm_span_corruption_mask``,
 ``llm_semantic_clusters``, ``udtf_sentence_split``, ``llm_ann_recall``,
 ``llm_ann_recall_sampled``, ``stream_late_replay``,
+``stream_dedup_replay``, ``stream_join_replay``,
 ``zorder_layout_stats``), then
 fill the remaining ~45 slots with re-checks round-robin by
 least-recently-verified (continue the rotation started with the two

@@ -72,6 +72,8 @@ HEADLINE = [
     "zorder_layout_stats",      # Morton clustering key + per-file spans
     "stream_late_replay",       # watermarked streaming agg, 3 micro-batches
     "stream_join_replay",       # stream-stream interval join state
+    "agg_histogram_quantiles",  # mergeable histogram sketch + readout
+    "join_bloom_prefilter",     # runtime bloom filter, measured fp rate
 ]
 
 SMALL_OUTPUT = {

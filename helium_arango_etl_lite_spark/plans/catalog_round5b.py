@@ -526,3 +526,204 @@ def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(res)
+
+
+# ---------------------------------------------------------------------------
+# mergeable-sketch family: histogram quantiles + bloom join prefilter
+# ---------------------------------------------------------------------------
+
+_HQ_BINS = 128
+_HQ_QUANTILES = (50, 90, 95, 99)
+
+_HQ_SQL = f"""WITH pc AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+                         FROM lineitem),
+st AS (SELECT min(pc) AS minc, max(pc) AS maxc, count(*)::BIGINT AS n FROM pc),
+b AS (SELECT ((pc - minc) * {_HQ_BINS}) // (maxc - minc + 1) AS bin,
+             minc, maxc, n
+      FROM pc, st),
+bins AS (SELECT bin, count(*)::BIGINT AS cnt,
+                any_value(minc) AS minc, any_value(maxc) AS maxc,
+                any_value(n) AS n
+         FROM b GROUP BY 1),
+cum AS (SELECT bin, minc, maxc, n,
+               sum(cnt) OVER (ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)::BIGINT AS cum
+        FROM bins),
+qv AS (SELECT unnest([{", ".join(str(q) for q in _HQ_QUANTILES)}]) AS q),
+hits AS (SELECT qv.q, cum.bin, cum.minc, cum.maxc, cum.n
+         FROM cum, qv WHERE 100 * cum.cum >= qv.q * cum.n)
+SELECT q,
+       min(bin)::BIGINT AS bin,
+       round((any_value(minc)
+              + (min(bin) * (any_value(maxc) - any_value(minc) + 1))
+                // {_HQ_BINS}) / 100.0, 2) AS est_price
+FROM hits GROUP BY 1"""
+
+
+@register(
+    "agg_histogram_quantiles",
+    _HQ_SQL,
+    doc="Mergeable-histogram quantile estimation (p50/p90/p95/p99 of "
+        "l_extendedprice): integer-cent prices bin into 128 fixed-width "
+        "buckets derived from a one-row min/max broadcast, per-bin "
+        "counts partial-aggregate map-side (the sketch: O(bins) state "
+        "per partition, cell-wise mergeable like the CMS/HLL entries), "
+        "and the quantile readout is a cumulative sum over <=128 rows — "
+        "bounded, like the ntile offset maps, never corpus-sized. The "
+        "estimate is the bin's lower edge, exactly reproducible in "
+        "integer arithmetic cross-engine. This is the shuffle-cheap "
+        "complement to the exact agg_percentiles entry: at 100 TB the "
+        "exact form sorts, the sketch ships 128 longs per partition.",
+    tags=("agg", "sketch", "quantiles"),
+)
+def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc")
+    )
+    st = li.agg(
+        F.min("pc").alias("minc"), F.max("pc").alias("maxc"),
+        F.count("*").cast("long").alias("n"),
+    )
+    b = li.crossJoin(F.broadcast(st)).withColumn(
+        "bin", F.expr(f"((pc - minc) * {_HQ_BINS}) div (maxc - minc + 1)")
+    )
+    bins = b.groupBy("bin").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.first("minc").alias("minc"), F.first("maxc").alias("maxc"),
+        F.first("n").alias("n"),
+    )
+    # bounded cumulative: <= _HQ_BINS rows ever enter this window
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+    qv = spark.createDataFrame([(q,) for q in _HQ_QUANTILES], "q int")
+    hits = cum.crossJoin(F.broadcast(qv)).filter(
+        100 * F.col("cum") >= F.col("q") * F.col("n")
+    )
+    return hits.groupBy("q").agg(
+        F.min("bin").cast("long").alias("bin"),
+        F.round(
+            (
+                F.first("minc")
+                + F.expr(
+                    f"(min(bin) * (first(maxc) - first(minc) + 1)) div {_HQ_BINS}"
+                )
+            )
+            / 100.0,
+            2,
+        ).alias("est_price"),
+    )
+
+
+_BF_BITS = 65536
+_BF_HASHES = 3
+
+
+def _bf_hash_sql(expr: str, i: int) -> str:
+    from ..functions.hashing import hash32_oracle_sql
+
+    salted = expr + " || ':bf" + str(i) + "'"
+    return f"({hash32_oracle_sql(salted)} % {_BF_BITS})"
+
+
+def _bloom_sql() -> str:
+    build_hashes = ", ".join(
+        _bf_hash_sql("o_orderkey::VARCHAR", i) for i in range(_BF_HASHES)
+    )
+    probe_pass = " AND ".join(
+        f"list_contains(bits, {_bf_hash_sql('l.l_orderkey::VARCHAR', i)})"
+        for i in range(_BF_HASHES)
+    )
+    return f"""WITH build AS (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT'),
+bits_t AS (SELECT DISTINCT unnest([{build_hashes}]) AS bit FROM build),
+bits_a AS (SELECT list_sort(list(bit)) AS bits FROM bits_t),
+truth AS (SELECT DISTINCT o_orderkey FROM build),
+probe AS (SELECT l.l_orderkey,
+                 ({probe_pass}) AS bloom_pass,
+                 t.o_orderkey IS NOT NULL AS is_match
+          FROM lineitem l
+          CROSS JOIN bits_a
+          LEFT JOIN truth t ON t.o_orderkey = l.l_orderkey)
+SELECT count(*)::BIGINT AS n_probe,
+       sum(CASE WHEN is_match THEN 1 ELSE 0 END)::BIGINT AS n_true,
+       sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+       sum(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END)::BIGINT
+         AS n_false_pos,
+       round(sum(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END)
+             / greatest(1, sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END))::DOUBLE,
+             6) AS fp_rate
+FROM probe"""
+
+
+@register(
+    "join_bloom_prefilter",
+    _bloom_sql(),
+    doc="Explicit Bloom-filter join prefilter, measured: the build side "
+        "(urgent orders) hashes each key into 3 positions of a 64 Ki-bit "
+        "filter; the distinct set-bit list (<= 8192 ints, ~the size "
+        "Spark's own runtime bloom filter broadcasts) crosses onto the "
+        "probe scan as ONE broadcast row, and each lineitem row passes "
+        "iff all 3 of its positions are set — a map-side filter that at "
+        "100 TB discards most of the probe side BEFORE the shuffle, "
+        "which is the entire economics of runtime filtering. The query "
+        "reports what a real deployment must monitor: probe count, true "
+        "matches (no false negatives by construction — pinned by "
+        "n_pass >= n_true), bloom passes, and the observed "
+        "false-positive rate. Hashes are the repo's md5-derived hash32, "
+        "so DuckDB reproduces every bit exactly.",
+    tags=("join", "sketch", "prefilter"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash32
+
+    def bf_hash(col, i: int):
+        return hash32(F.concat(col.cast("string"), F.lit(f":bf{i}"))) % _BF_BITS
+
+    build = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    bits_t = build.select(
+        F.explode(
+            F.array(*[bf_hash(F.col("o_orderkey"), i) for i in range(_BF_HASHES)])
+        ).alias("bit")
+    ).distinct()
+    bits_a = bits_t.agg(F.sort_array(F.collect_list("bit")).alias("bits"))
+    truth = build.distinct().withColumnRenamed("o_orderkey", "t_orderkey")
+
+    probe = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .crossJoin(F.broadcast(bits_a))
+        .join(
+            F.broadcast(truth),
+            F.col("l_orderkey") == F.col("t_orderkey"),
+            "left",
+        )
+        .select(
+            "l_orderkey",
+            (
+                F.array_contains("bits", bf_hash(F.col("l_orderkey"), 0))
+                & F.array_contains("bits", bf_hash(F.col("l_orderkey"), 1))
+                & F.array_contains("bits", bf_hash(F.col("l_orderkey"), 2))
+            ).alias("bloom_pass"),
+            F.col("t_orderkey").isNotNull().alias("is_match"),
+        )
+    )
+    return probe.agg(
+        F.count("*").cast("long").alias("n_probe"),
+        F.sum(F.col("is_match").cast("long")).cast("long").alias("n_true"),
+        F.sum(F.col("bloom_pass").cast("long")).cast("long").alias("n_pass"),
+        F.sum((F.col("bloom_pass") & ~F.col("is_match")).cast("long"))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.round(
+            F.sum((F.col("bloom_pass") & ~F.col("is_match")).cast("long"))
+            / F.greatest(
+                F.lit(1), F.sum((~F.col("is_match")).cast("long"))
+            ),
+            6,
+        ).alias("fp_rate"),
+    )

@@ -491,3 +491,25 @@ def test_ann_recall_no_cartesian(spark, sf_dir):
     product."""
     plan = plan_of(spark, sf_dir, "llm_ann_recall")
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_stays_broadcast(spark, sf_dir):
+    """join_bloom_prefilter's probe pass must be map-side: the set-bit
+    list arrives as one broadcast row (nested-loop on a 1-row frame) and
+    the truth check as a broadcast hash join — the probe side must never
+    sort-merge or shuffle before the filter, because discarding probe
+    rows BEFORE the shuffle is the entire point of a runtime filter."""
+    plan = plan_of(spark, sf_dir, "join_bloom_prefilter")
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bits frame
+    assert "BroadcastHashJoin" in plan  # the truth side
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_histogram_quantiles_bounded_window(spark, sf_dir):
+    """agg_histogram_quantiles partial-aggregates the per-bin counts
+    map-side (the mergeable sketch); the only window runs over <= 128
+    bin rows. No corpus-sized sort or cartesian may appear."""
+    plan = plan_of(spark, sf_dir, "agg_histogram_quantiles")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan

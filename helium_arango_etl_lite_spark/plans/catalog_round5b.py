@@ -727,3 +727,87 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fp_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-quality probe: kNN label agreement
+# ---------------------------------------------------------------------------
+
+_KNN_ACC_SQL = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                             FROM embeddings),
+p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, nid) AS rank
+      FROM p),
+nb AS (SELECT r.qid, e.label AS nlabel
+       FROM r JOIN e ON e.vec_id = r.nid
+       WHERE r.rank <= {ANN_RECALL_K}),
+votes AS (SELECT qid, nlabel, count(*)::BIGINT AS cnt FROM nb GROUP BY 1, 2),
+pred AS (SELECT qid, nlabel AS pred_label
+         FROM (SELECT qid, nlabel,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY cnt DESC, nlabel) AS rn
+               FROM votes)
+         WHERE rn = 1)
+SELECT e.label,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END)::BIGINT
+         AS n_correct,
+       round(sum(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS acc
+FROM pred p JOIN e ON e.vec_id = p.qid
+GROUP BY 1"""
+
+
+@register(
+    "llm_knn_label_accuracy",
+    _KNN_ACC_SQL,
+    doc="Embedding-quality probe: leave-one-out k-NN label agreement — "
+        "each vector's label predicted by majority vote of its 3 exact "
+        "nearest neighbours (ties break on smallest label), scored per "
+        "class. The standard cheap proxy for 'do these embeddings "
+        "encode the thing we care about' before they gate dedup or "
+        "sampling decisions. Reuses the verified knn_join output; the "
+        "overlay is a label join, a (qid, label) vote count, and a "
+        "qid-partitioned argmax — every shuffle keyed and bounded by "
+        "k*n rows (operators/llm/similarity.py:knn_join).",
+    tags=("llm", "similarity", "evaluation"),
+)
+def llm_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    labels = e.select("vec_id", "label")
+    knn = similarity.knn_join(e, k=ANN_RECALL_K).select("qid", "nid")
+    nb = knn.join(
+        labels.withColumnRenamed("vec_id", "nid").withColumnRenamed(
+            "label", "nlabel"
+        ),
+        "nid",
+    )
+    votes = nb.groupBy("qid", "nlabel").agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cnt"), F.asc("nlabel"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("nlabel").alias("pred_label"))
+    )
+    own = labels.withColumnRenamed("vec_id", "qid")
+    return (
+        pred.join(own, "qid")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum((F.col("pred_label") == F.col("label")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+            F.round(
+                F.sum((F.col("pred_label") == F.col("label")).cast("long"))
+                / F.count("*"),
+                4,
+            ).alias("acc"),
+        )
+    )

@@ -401,3 +401,42 @@ def test_knn_join_sampled_caps_broadcast_side(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="max_sample_rows"):
         similarity.knn_join_sampled(e, k=3, sample_mod=1, max_sample_rows=5)
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """A Bloom filter may pass non-matches but must NEVER drop a true
+    match: every true match passes, so n_pass >= n_true and
+    n_false_pos == n_pass - n_true exactly."""
+    from helium_arango_etl_lite_spark.plans.queries import QUERIES
+
+    row = QUERIES["join_bloom_prefilter"].spark_fn(spark, sf_dir).collect()[0]
+    assert row["n_pass"] >= row["n_true"]
+    assert row["n_false_pos"] == row["n_pass"] - row["n_true"]
+    assert 0.0 <= row["fp_rate"] <= 1.0
+
+
+def test_histogram_quantiles_bracket_exact(spark, sf_dir):
+    """The histogram estimate is a bin LOWER edge, so each estimated
+    quantile must sit within one bin width below the exact quantile
+    (rank-based, same ceil(q*n) rank the readout uses)."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_lite_spark.plans.queries import QUERIES
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    est = {
+        r["q"]: r["est_price"]
+        for r in QUERIES["agg_histogram_quantiles"].spark_fn(spark, sf_dir).collect()
+    }
+    prices = sorted(
+        r[0]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .collect()
+    )
+    n = len(prices)
+    width_c = (prices[-1] - prices[0] + 1) / 128
+    for q, e in est.items():
+        exact_c = prices[-(-q * n // 100) - 1]  # ceil(q*n/100)-th order stat
+        assert e * 100 <= exact_c + 1e-6
+        assert exact_c - e * 100 <= width_c + 1e-6

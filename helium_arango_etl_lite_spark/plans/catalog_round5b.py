@@ -811,3 +811,157 @@ def llm_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: union by register max, intersection by inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+
+def _hll_algebra_sql() -> str:
+    from ..operators.aggregates import HLL_M, HLL_NUMERATOR
+
+    est = (
+        f"CASE WHEN raw <= {2.5 * HLL_M!r} AND ({HLL_M} - nb) > 0 "
+        f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - nb)::DOUBLE) "
+        f"ELSE raw END"
+    )
+    return f"""WITH tt AS (SELECT min(o_orderpriority) AS ta,
+                 max(o_orderpriority) AS tb FROM orders),
+base AS (SELECT CASE WHEN o_orderpriority = ta THEN 'a' ELSE 'b' END AS tag,
+                o_custkey AS user_id
+         FROM orders, tt WHERE o_orderpriority IN (ta, tb)),
+h AS (SELECT tag, ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+      FROM base),
+p AS (SELECT tag, hv % {HLL_M} AS b,
+             CASE WHEN hv // {HLL_M} = 0 THEN 55
+                  ELSE 55 - length(bin(hv // {HLL_M})) END AS rho
+      FROM h),
+regs_ab AS (SELECT tag, b, max(rho) AS r FROM p GROUP BY 1, 2),
+regs AS (SELECT tag, b, r FROM regs_ab
+         UNION ALL
+         SELECT 'u' AS tag, b, max(r) AS r FROM regs_ab GROUP BY 2),
+hll AS (SELECT tag, sum((1::BIGINT << (55 - r)))::BIGINT AS zp,
+               count(*)::BIGINT AS nb
+        FROM regs GROUP BY 1),
+est AS (SELECT tag, {est} AS e
+        FROM (SELECT tag, nb,
+                     {HLL_NUMERATOR!r}
+                       / ((zp + ({HLL_M} - nb) * (1::BIGINT << 55))::DOUBLE) AS raw
+              FROM hll)),
+ew AS (SELECT max(CASE WHEN tag = 'a' THEN e END) AS ea,
+              max(CASE WHEN tag = 'b' THEN e END) AS eb,
+              max(CASE WHEN tag = 'u' THEN e END) AS eu
+       FROM est),
+ex AS (SELECT count(DISTINCT CASE WHEN tag = 'a' THEN user_id END)::BIGINT AS n_a,
+              count(DISTINCT CASE WHEN tag = 'b' THEN user_id END)::BIGINT AS n_b,
+              count(DISTINCT CASE WHEN tag = 'a' THEN user_id END
+                    )::BIGINT
+                + count(DISTINCT CASE WHEN tag = 'b' THEN user_id END)::BIGINT
+                - count(DISTINCT user_id)::BIGINT AS n_inter
+       FROM base)
+SELECT ex.n_a, ex.n_b, ex.n_inter,
+       round(ew.ea, 4) AS hll_a,
+       round(ew.eb, 4) AS hll_b,
+       round(ew.eu, 4) AS hll_union,
+       round(ew.ea + ew.eb - ew.eu, 4) AS hll_inter,
+       round(abs(ew.ea + ew.eb - ew.eu - ex.n_inter::DOUBLE)
+             / greatest(1, ex.n_inter)::DOUBLE, 4) AS rel_err
+FROM ex, ew"""
+
+
+@register(
+    "agg_hll_set_algebra",
+    _hll_algebra_sql(),
+    doc="HLL register SET ALGEBRA over two customer segments (placed an "
+        "URGENT order / placed a LOW order — partially overlapping): the "
+        "union's registers are the CELL-WISE MAX of the two sketches "
+        "(never the values — the property that lets pre-aggregated "
+        "per-shard/per-day sketches answer cross-set questions at 100 TB "
+        "without rescanning), and the intersection estimate follows by "
+        "inclusion-exclusion |A|+|B|-|A U B|, reported beside the exact "
+        "counts and relative error. All register arithmetic is the "
+        "integer-exact HLL of agg_hll_distinct "
+        "(operators/aggregates.py:hll_distinct), so the whole algebra "
+        "sits under the driver's value hash.",
+    tags=("agg", "sketch", "setops"),
+)
+def agg_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64
+    from ..operators.aggregates import HLL_M, HLL_NUMERATOR
+
+    od = load_table(spark, sf_dir, "orders")
+    tt = od.agg(
+        F.min("o_orderpriority").alias("ta"),
+        F.max("o_orderpriority").alias("tb"),
+    )
+    base = (
+        od.crossJoin(F.broadcast(tt))
+        .filter(
+            (F.col("o_orderpriority") == F.col("ta"))
+            | (F.col("o_orderpriority") == F.col("tb"))
+        )
+        .select(
+            F.when(F.col("o_orderpriority") == F.col("ta"), F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("tag"),
+            F.col("o_custkey").alias("user_id"),
+        )
+    )
+    h = hash64(F.col("user_id").cast("string"))
+    p = base.select(
+        "tag",
+        (h % HLL_M).alias("b"),
+        F.when(F.floor(h / HLL_M) == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(F.floor(h / HLL_M))).cast("long"))
+        .alias("rho"),
+    )
+    regs_ab = p.groupBy("tag", "b").agg(F.max("rho").alias("r"))
+    regs_u = regs_ab.groupBy("b").agg(F.max("r").alias("r")).select(
+        F.lit("u").alias("tag"), "b", "r"
+    )
+    regs = regs_ab.select("tag", "b", "r").unionAll(regs_u)
+    hll = regs.groupBy("tag").agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - r AS INT))")
+        ).alias("zp"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    v_empty = F.lit(HLL_M) - F.col("nb")
+    raw = F.lit(HLL_NUMERATOR) / (
+        (F.col("zp") + v_empty * F.lit(1 << 55)).cast("double")
+    )
+    e = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v_empty > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_empty.cast("double")),
+    ).otherwise(raw)
+    ew = hll.select("tag", e.alias("e")).agg(
+        F.max(F.when(F.col("tag") == "a", F.col("e"))).alias("ea"),
+        F.max(F.when(F.col("tag") == "b", F.col("e"))).alias("eb"),
+        F.max(F.when(F.col("tag") == "u", F.col("e"))).alias("eu"),
+    )
+    ex = base.agg(
+        F.count_distinct(
+            F.when(F.col("tag") == "a", F.col("user_id"))
+        ).cast("long").alias("n_a"),
+        F.count_distinct(
+            F.when(F.col("tag") == "b", F.col("user_id"))
+        ).cast("long").alias("n_b"),
+        (
+            F.count_distinct(F.when(F.col("tag") == "a", F.col("user_id")))
+            + F.count_distinct(F.when(F.col("tag") == "b", F.col("user_id")))
+            - F.count_distinct(F.col("user_id"))
+        ).cast("long").alias("n_inter"),
+    )
+    return ex.crossJoin(F.broadcast(ew)).select(
+        "n_a", "n_b", "n_inter",
+        F.round(F.col("ea"), 4).alias("hll_a"),
+        F.round(F.col("eb"), 4).alias("hll_b"),
+        F.round(F.col("eu"), 4).alias("hll_union"),
+        F.round(F.col("ea") + F.col("eb") - F.col("eu"), 4).alias("hll_inter"),
+        F.round(
+            F.abs(F.col("ea") + F.col("eb") - F.col("eu") - F.col("n_inter").cast("double"))
+            / F.greatest(F.lit(1), F.col("n_inter")).cast("double"),
+            4,
+        ).alias("rel_err"),
+    )

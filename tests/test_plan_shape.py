@@ -494,14 +494,17 @@ def test_ann_recall_no_cartesian(spark, sf_dir):
 
 
 def test_bloom_prefilter_stays_broadcast(spark, sf_dir):
-    """join_bloom_prefilter's probe pass must be map-side: the set-bit
-    list arrives as one broadcast row (nested-loop on a 1-row frame) and
-    the truth check as a broadcast hash join — the probe side must never
-    sort-merge or shuffle before the filter, because discarding probe
-    rows BEFORE the shuffle is the entire point of a runtime filter."""
+    """join_bloom_prefilter's probe pass must be map-side: each of the 3
+    word lookups and the truth check compile to broadcast hash joins
+    over the probe scan — the probe side must never sort-merge or
+    shuffle before the filter, because discarding probe rows BEFORE the
+    shuffle is the entire point of a runtime filter. (No nested-loop
+    join either: the first cut broadcast one array row and paid a
+    linear array_contains scan per probe — the packed-word equi-join
+    form is 13.6x faster at x100, SCALE_SOAK.md.)"""
     plan = plan_of(spark, sf_dir, "join_bloom_prefilter")
-    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bits frame
-    assert "BroadcastHashJoin" in plan  # the truth side
+    assert plan.count("BroadcastHashJoin") >= 4  # 3 word lookups + truth
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
@@ -513,3 +516,50 @@ def test_histogram_quantiles_bounded_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_histogram_quantiles")
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_converts_sortmerge_to_broadcast_at_runtime(spark, sf_dir):
+    """Adaptive execution must stay ENABLED in this engine and must be
+    able to re-plan: with static broadcast disabled (so the planner
+    commits to a sort-merge join) but the ADAPTIVE broadcast threshold
+    open, running the join lets AQE observe the real shuffle sizes and
+    swap in a broadcast join at runtime. This is the runtime half of the
+    skew/size story: at 100 TB the planner's size estimates are wrong
+    exactly when it matters, and AQE is the correction."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    before = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        df = orders.join(cust, orders.o_custkey == cust.c_custkey).groupBy(
+            "c_nationkey"
+        ).agg(F.count("*").alias("n"))
+        static_plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in static_plan  # planner committed to SMJ
+        df.collect()  # AQE finalizes the plan with real sizes
+        final_plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final_plan
+        assert "isFinalPlan=true" in final_plan
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -366,7 +366,7 @@ def knn_join(
     id_col: str = "vec_id", vec_col: str = "embedding",
     round_dp: int = 4, engine: str = "auto",
     max_broadcast_rows: int = 10_000_000,
-    num_planes: int = 3, seed: int = 7, dim: int | None = None,
+    num_planes: int | None = None, seed: int = 7, dim: int | None = None,
 ) -> DataFrame:
     """All-pairs k-NN self-join: for EVERY vector, its ``k`` nearest
     neighbours by cosine — the per-document neighbourhood pass curation
@@ -493,10 +493,24 @@ def knn_join(
     return e.mapInPandas(batches, out_schema)
 
 
+LSH_TARGET_BUCKET_ROWS = 512  # auto plane count aims for ~this bucket size
+LSH_MAX_PLANES = 20
+
+
+def _auto_planes(n_rows: int) -> int:
+    """Plane count that keeps the EXPECTED bucket size near
+    :data:`LSH_TARGET_BUCKET_ROWS`: the candidate join's pair volume is
+    ~n^2 / 2^planes, so a FIXED plane count is quadratic in disguise —
+    3 planes measured 44.4 s at 20k vectors where 10 planes took 4.0 s
+    (SCALE_SOAK.md). ceil(log2(n / target)), clamped to [3, 20]."""
+    need = max(1, (n_rows + LSH_TARGET_BUCKET_ROWS - 1) // LSH_TARGET_BUCKET_ROWS)
+    return max(3, min(LSH_MAX_PLANES, (need - 1).bit_length()))
+
+
 def knn_join_bucketed(
     emb: DataFrame, k: int = 3,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    round_dp: int = 4, num_planes: int = 3, seed: int = 7,
+    round_dp: int = 4, num_planes: int | None = None, seed: int = 7,
     dim: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs k-NN via LSH-candidate generation — the
@@ -505,6 +519,15 @@ def knn_join_bucketed(
     sharing its sign-bit bucket, so a query's neighbour list can be
     shorter than ``k`` and a true neighbour split across buckets is
     missed (raise recall with fewer planes or multiple plane tables).
+
+    ``num_planes=None`` (default) derives the plane count from the
+    corpus size via :func:`_auto_planes` (catalog-stats estimate when
+    available, else one pruned-id-column count — a single cheap scan
+    that configures the join it precedes): expected bucket size stays
+    ~:data:`LSH_TARGET_BUCKET_ROWS`, so the candidate join's pair
+    volume grows ~linearly with the corpus instead of quadratically.
+    Pass an explicit ``num_planes`` to pin the bucket table (the
+    oracle-checked catalog entries do, for cross-engine determinism).
 
     Everything is a bucket equi-join: one map pass stamps the bucket id,
     the candidate join shuffles on (bucket, id) — never a cross join,
@@ -517,6 +540,11 @@ def knn_join_bucketed(
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
     if dim is None:
         dim = _infer_dim(e)
+    if num_planes is None:
+        est = _estimated_row_count(e)
+        if est is None:
+            est = e.select(id_col).count()
+        num_planes = _auto_planes(est)
     planes = hyperplanes(num_planes, dim, seed)
     e = e.withColumn("bucket", lsh_bucket(F.col("v"), planes))
     a = e.select(

@@ -440,3 +440,26 @@ def test_histogram_quantiles_bracket_exact(spark, sf_dir):
         exact_c = prices[-(-q * n // 100) - 1]  # ceil(q*n/100)-th order stat
         assert e * 100 <= exact_c + 1e-6
         assert exact_c - e * 100 <= width_c + 1e-6
+
+
+def test_auto_planes_tracks_corpus_size():
+    """The LSH plane count must grow with the corpus so expected bucket
+    size stays ~LSH_TARGET_BUCKET_ROWS: a FIXED plane count makes the
+    candidate join quadratic in disguise (3 planes soaked 44.4 s at 20k
+    vectors vs 4.0 s with 10 — SCALE_SOAK.md)."""
+    from helium_arango_etl_lite_spark.operators.llm.similarity import (
+        LSH_MAX_PLANES, LSH_TARGET_BUCKET_ROWS, _auto_planes,
+    )
+
+    assert _auto_planes(1) == 3
+    assert _auto_planes(2_000) == 3  # catalog scale: unchanged defaults
+    assert _auto_planes(20_000) == 6
+    assert _auto_planes(200_000) == 9
+    assert _auto_planes(10_000_000) == 15
+    assert _auto_planes(10**12) == LSH_MAX_PLANES
+    for n in (1, 10**3, 10**6, 10**9):
+        p = _auto_planes(n)
+        # expected bucket size within 2x of target (up to the clamps)
+        if 3 < p < LSH_MAX_PLANES:
+            assert n / (1 << p) <= LSH_TARGET_BUCKET_ROWS
+            assert n / (1 << (p - 1)) > LSH_TARGET_BUCKET_ROWS

@@ -263,6 +263,8 @@ def dup_clusters(
             neighbor_min, labels["node"] == neighbor_min["src"], "left"
         ).select(
             "node",
+            F.col("label").alias("old"),  # carried for the convergence
+            # check below — avoids re-joining new vs old labels per round
             F.least(
                 F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
             ).alias("label"),
@@ -273,10 +275,11 @@ def dup_clusters(
         jump = propagated.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
-        new_labels = (
+        new_full = (
             propagated.join(jump, propagated["label"] == jump["pnode"], "left")
             .select(
                 "node",
+                "old",
                 F.least(
                     F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
                 ).alias("label"),
@@ -284,13 +287,9 @@ def dup_clusters(
             .localCheckpoint(eager=True)  # truncate lineage per round
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_full.filter(F.col("label") != F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_full.select("node", "label")
         if changed == 0:
             break
     return labels.select(

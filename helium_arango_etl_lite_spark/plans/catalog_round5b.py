@@ -210,7 +210,11 @@ FROM kept GROUP BY 1"""
         "mode emission per window = aggregate over accepted rows. State "
         "is bounded by the delay horizon, so executor memory tracks the "
         "watermark window, never the stream length — the property that "
-        "makes this run on an unbounded stream at cluster scale.",
+        "makes this run on an unbounded stream at cluster scale. (The "
+        "REPLAY HARNESS collects the test-scale table driver-side to "
+        "stamp deterministically-ordered batch files — that is the "
+        "fixture construction, not the operator: a production stream "
+        "arrives already batched by the source.)",
     tags=("streaming", "watermark", "agg"),
 )
 def stream_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -74,6 +74,7 @@ HEADLINE = [
     "stream_join_replay",       # stream-stream interval join state
     "agg_histogram_quantiles",  # mergeable histogram sketch + readout
     "join_bloom_prefilter",     # runtime bloom filter, measured fp rate
+    "agg_exact_median_refine",  # sort-free exact order statistic
 ]
 
 SMALL_OUTPUT = {

@@ -999,3 +999,82 @@ def agg_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact median via iterative range refinement (selection without a sort)
+# ---------------------------------------------------------------------------
+
+_MED_BINS = 128
+
+_MED_SQL = """WITH pc AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+                         FROM lineitem),
+st AS (SELECT count(*)::BIGINT AS n, (count(*) + 1) // 2 AS k FROM pc),
+r AS (SELECT pc.pc, row_number() OVER (ORDER BY pc.pc) AS rn FROM pc)
+SELECT st.n, st.k, r.pc AS median_c,
+       round(r.pc / 100.0, 2) AS median_price
+FROM st JOIN r ON r.rn = st.k"""
+
+
+@register(
+    "agg_exact_median_refine",
+    _MED_SQL,
+    doc="EXACT global median (lower order statistic at rank (n+1)//2) "
+        "WITHOUT a global sort: two 128-bin histogram passes narrow the "
+        "candidate range by 128x each (every pass is a pushdown-filtered "
+        "scan + map-side partial counts; only the <=128-row bin table "
+        "reaches the driver), then the surviving sliver — expected "
+        "n/16384 of the data — is finished with a TakeOrdered of its "
+        "local rank. The oracle computes the same order statistic with "
+        "a brute-force row_number, so the refinement is value-hash "
+        "verified against the definition. This is the selection-"
+        "algorithm complement to agg_histogram_quantiles (approximate, "
+        "one pass) and agg_percentiles (exact, sort-based): at 100 TB "
+        "an exact quantile is O(passes) cheap scans, never a sort. "
+        "Driver involvement is bounded at O(bins) per pass (the same "
+        "control-plane budget as the ntile offset maps); the final "
+        "TakeOrdered is bounded by the sliver's local rank, which "
+        "heavy value-skew can inflate — the histogram pass makes that "
+        "skew visible before the finish step pays for it.",
+    tags=("agg", "quantiles", "selection"),
+)
+def agg_exact_median_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pc = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc")
+    )
+    st = pc.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("pc").alias("lo"), F.max("pc").alias("hi"),
+    ).collect()[0]
+    n, lo, hi = st["n"], st["lo"], st["hi"]
+    k = (n + 1) // 2  # global rank of the lower median
+
+    # Refinement passes: each histogram narrows [lo, hi] by ~1/BINS and
+    # rebases k to a rank within the surviving bin. Loop until the range
+    # is narrower than the bin count (then one bounded finish).
+    cur = pc
+    while hi - lo + 1 > _MED_BINS:
+        w = (hi - lo + _MED_BINS) // _MED_BINS  # ceil(range / BINS)
+        cur = cur.filter((F.col("pc") >= lo) & (F.col("pc") <= hi))
+        hist = (
+            cur.groupBy(((F.col("pc") - F.lit(lo)) / F.lit(w)).cast("long").alias("b"))
+            .agg(F.count("*").alias("c"))
+            .collect()  # <= BINS rows: bounded driver control plane
+        )
+        counts = {r["b"]: r["c"] for r in hist}
+        cum = 0
+        for b in sorted(counts):
+            if cum + counts[b] >= k:
+                k -= cum
+                lo, hi = lo + b * w, min(hi, lo + b * w + w - 1)
+                break
+            cum += counts[b]
+    # Finish: k-th smallest of the sliver = max of its k-row TakeOrdered.
+    sliver = pc.filter((F.col("pc") >= lo) & (F.col("pc") <= hi))
+    kth = sliver.orderBy("pc").limit(k).agg(F.max("pc").alias("median_c"))
+    return kth.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit((n + 1) // 2).cast("long").alias("k"),
+        F.col("median_c"),
+        F.round(F.col("median_c") / 100.0, 2).alias("median_price"),
+    )

@@ -39,7 +39,7 @@ too late for this batch (``llm_minhash_verify``, ``llm_window_dedup``,
 ``stream_dedup_replay``, ``stream_join_replay``,
 ``zorder_layout_stats``, ``agg_histogram_quantiles``,
 ``join_bloom_prefilter``, ``llm_knn_label_accuracy``,
-``agg_hll_set_algebra``), then
+``agg_hll_set_algebra``, ``agg_exact_median_refine``), then
 fill the remaining ~45 slots with re-checks round-robin by
 least-recently-verified (continue the rotation started with the two
 round-5 tail slots).

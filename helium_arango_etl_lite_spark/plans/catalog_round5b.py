@@ -1039,7 +1039,26 @@ FROM st JOIN r ON r.rn = st.k"""
     tags=("agg", "quantiles", "selection"),
 )
 def agg_exact_median_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pc = load_table(spark, sf_dir, "lineitem").select(
+    src = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+
+    def ranged(lo_c: int, hi_c: int) -> DataFrame:
+        # Conservative RAW-column pre-filter so the range reaches the
+        # parquet scan as PushedFilters (a predicate on the computed
+        # cents column would not push), then the exact cents filter on
+        # top. round() is half-up, so [lo-1, hi+1] cents on the raw
+        # price is a strict superset of the cents range.
+        return (
+            src.filter(
+                (F.col("l_extendedprice") >= F.lit((lo_c - 1) / 100.0))
+                & (F.col("l_extendedprice") <= F.lit((hi_c + 1) / 100.0))
+            )
+            .select(
+                F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc")
+            )
+            .filter((F.col("pc") >= lo_c) & (F.col("pc") <= hi_c))
+        )
+
+    pc = src.select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc")
     )
     st = pc.agg(
@@ -1052,12 +1071,11 @@ def agg_exact_median_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Refinement passes: each histogram narrows [lo, hi] by ~1/BINS and
     # rebases k to a rank within the surviving bin. Loop until the range
     # is narrower than the bin count (then one bounded finish).
-    cur = pc
     while hi - lo + 1 > _MED_BINS:
         w = (hi - lo + _MED_BINS) // _MED_BINS  # ceil(range / BINS)
-        cur = cur.filter((F.col("pc") >= lo) & (F.col("pc") <= hi))
         hist = (
-            cur.groupBy(((F.col("pc") - F.lit(lo)) / F.lit(w)).cast("long").alias("b"))
+            ranged(lo, hi)
+            .groupBy(((F.col("pc") - F.lit(lo)) / F.lit(w)).cast("long").alias("b"))
             .agg(F.count("*").alias("c"))
             .collect()  # <= BINS rows: bounded driver control plane
         )
@@ -1070,7 +1088,7 @@ def agg_exact_median_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             cum += counts[b]
     # Finish: k-th smallest of the sliver = max of its k-row TakeOrdered.
-    sliver = pc.filter((F.col("pc") >= lo) & (F.col("pc") <= hi))
+    sliver = ranged(lo, hi)
     kth = sliver.orderBy("pc").limit(k).agg(F.max("pc").alias("median_c"))
     return kth.select(
         F.lit(n).cast("long").alias("n"),

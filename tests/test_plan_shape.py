@@ -563,3 +563,15 @@ def test_aqe_converts_sortmerge_to_broadcast_at_runtime(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_exact_median_refine_pushes_range_to_scan(spark, sf_dir):
+    """agg_exact_median_refine's refinement scans must reach the parquet
+    reader as PushedFilters: the range predicate is duplicated on the
+    RAW price column (conservative superset) precisely because a filter
+    on the computed cents column cannot push. The finish is a bounded
+    TakeOrdered, never a global sort."""
+    plan = plan_of(spark, sf_dir, "agg_exact_median_refine")
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_extendedprice" in pushed
+    assert "TakeOrderedAndProject" in plan

@@ -77,6 +77,25 @@ HEADLINE = [
     "agg_exact_median_refine",  # sort-free exact order statistic
 ]
 
+# The exact query set BENCH_r04 measured (35 entries incl. the follow
+# pipeline): emitted as its own subtotal so cross-round totals compare a
+# FIXED workload — the headline list grows every round, and a growing
+# total would otherwise read as a regression.
+R4_COMPARABLE = {
+    "agg_cohort_retention", "agg_event_funnel", "agg_grouping_sets",
+    "agg_payment_volume", "agg_session_window", "explode_witnesses",
+    "follow_pipeline_20k_blocks", "graph_pagerank", "hash_key_md5",
+    "join_asof", "join_block_broadcast", "llm_ann_ivf", "llm_ann_lsh",
+    "llm_bigram_topk", "llm_bm25_search", "llm_char_entropy",
+    "llm_decontaminate", "llm_dedup_exact", "llm_dedup_minhash",
+    "llm_dedup_ngram_jaccard", "llm_dedup_ngram_jaccard_capped",
+    "llm_dup_clusters", "llm_inverted_index", "llm_kmeans_iter",
+    "llm_minhash_signature", "llm_multimodal_features", "llm_semdedup",
+    "llm_token_stats", "llm_topk_cosine", "llm_winnow_fingerprint",
+    "topk_accounts", "tpch_q9_product_profit", "window_latest_per_key",
+    "window_ntile_decile_scalable", "window_time_range_sum",
+}
+
 SMALL_OUTPUT = {
     "topk_accounts", "llm_topk_cosine", "llm_ann_lsh", "llm_ann_ivf",
     "graph_pagerank", "agg_event_funnel", "llm_bigram_topk",
@@ -194,6 +213,10 @@ def main() -> None:
         "queries": timings,
         "warm_total": total,  # min-of-2 per query (steady-state)
         "cold_total": round(sum(cold.values()), 3),  # first-run incl. warm-up
+        # fixed r4-era workload for apples-to-apples cross-round totals
+        "warm_total_r4_subset": round(
+            sum(v for q, v in timings.items() if q in R4_COMPARABLE), 3
+        ),
         "n_ok": len(timings),
         "n_errors": len(errors),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -1096,3 +1096,89 @@ def agg_exact_median_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("median_c"),
         F.round(F.col("median_c") / 100.0, 2).alias("median_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset-shift monitor: embedding drift between two corpus snapshots
+# ---------------------------------------------------------------------------
+
+_DRIFT_SQL = """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                                 CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS half
+                          FROM embeddings),
+d AS (SELECT half, dim, sum(x) AS s, count(*)::BIGINT AS n
+      FROM (SELECT half, unnest(v) AS x,
+                   unnest(range(1, len(v) + 1)) AS dim
+            FROM e)
+      GROUP BY 1, 2),
+m AS (SELECT dim,
+             max(CASE WHEN half = 'a' THEN s END) AS sa,
+             max(CASE WHEN half = 'b' THEN s END) AS sb,
+             max(CASE WHEN half = 'a' THEN n END) AS na,
+             max(CASE WHEN half = 'b' THEN n END) AS nb
+      FROM d GROUP BY 1),
+agg AS (SELECT any_value(na) AS n_a, any_value(nb) AS n_b,
+               sum((sa / na) * (sb / nb)) AS dot,
+               sqrt(sum(pow(sa / na, 2.0))) AS norm_a,
+               sqrt(sum(pow(sb / nb, 2.0))) AS norm_b,
+               sqrt(sum(pow(sa / na - sb / nb, 2.0))) AS l2,
+               max(abs(sa / na - sb / nb)) AS max_shift
+        FROM m)
+SELECT n_a, n_b,
+       round(dot / (norm_a * norm_b), 4) AS centroid_cosine,
+       round(l2, 4) AS centroid_l2,
+       round(max_shift, 4) AS max_dim_shift
+FROM agg"""
+
+
+@register(
+    "llm_embedding_drift",
+    _DRIFT_SQL,
+    doc="Dataset-shift monitor: the two corpus halves (vec_id parity "
+        "stands in for consecutive snapshots) reduced to per-dimension "
+        "centroid sums, compared by centroid cosine, centroid L2, and "
+        "the largest single-dimension mean shift — the cheap alarm a "
+        "training-data pipeline runs between crawls before it trusts an "
+        "embedding-gated dedup/sampling policy tuned on the previous "
+        "snapshot. Shuffle shape is the kmeans M-step's: posexplode to "
+        "(half, dim), ONE partial-aggregated shuffle whose output is "
+        "2*dim rows regardless of corpus size, then an O(dim) scalar "
+        "fold. Map-side combine does the heavy lifting; nothing "
+        "corpus-sized moves.",
+    tags=("llm", "similarity", "monitoring"),
+)
+def llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.when(F.pmod(F.col("vec_id"), F.lit(2)) == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("half"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    d = (
+        e.select("half", F.posexplode("v").alias("dim0", "x"))
+        .groupBy("half", (F.col("dim0") + 1).alias("dim"))
+        .agg(F.sum("x").alias("s"), F.count("*").cast("long").alias("n"))
+    )
+    m = d.groupBy("dim").agg(
+        F.max(F.when(F.col("half") == "a", F.col("s"))).alias("sa"),
+        F.max(F.when(F.col("half") == "b", F.col("s"))).alias("sb"),
+        F.max(F.when(F.col("half") == "a", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("half") == "b", F.col("n"))).alias("nb"),
+    )
+    ma, mb = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
+    agg = m.agg(
+        F.first("na").alias("n_a"),
+        F.first("nb").alias("n_b"),
+        F.sum(ma * mb).alias("dot"),
+        F.sqrt(F.sum(F.pow(ma, F.lit(2.0)))).alias("norm_a"),
+        F.sqrt(F.sum(F.pow(mb, F.lit(2.0)))).alias("norm_b"),
+        F.sqrt(F.sum(F.pow(ma - mb, F.lit(2.0)))).alias("l2"),
+        F.max(F.abs(ma - mb)).alias("max_shift"),
+    )
+    return agg.select(
+        "n_a", "n_b",
+        F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 4).alias(
+            "centroid_cosine"
+        ),
+        F.round(F.col("l2"), 4).alias("centroid_l2"),
+        F.round(F.col("max_shift"), 4).alias("max_dim_shift"),
+    )

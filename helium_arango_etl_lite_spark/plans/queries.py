@@ -29,7 +29,7 @@ round-5 addition ``llm_semdedup_capped``, and two re-check slots
 ``follow_replay`` — the end-to-end streaming pipeline, last checked r4).
 
 Round-6 revision plan (apply AFTER the round-5 driver run records
-CORRECTNESS_r05): front-load the 24 round-5 additions that registered
+CORRECTNESS_r05): front-load the 25 round-5 additions that registered
 too late for this batch (``llm_minhash_verify``, ``llm_window_dedup``,
 ``llm_quantize_pq``, ``llm_ann_ivf_pq``, ``llm_pipeline_funnel``,
 ``llm_dedup_pipeline[_staged]``, ``llm_heavy_hitters_cms``,
@@ -39,8 +39,9 @@ too late for this batch (``llm_minhash_verify``, ``llm_window_dedup``,
 ``stream_dedup_replay``, ``stream_join_replay``,
 ``zorder_layout_stats``, ``agg_histogram_quantiles``,
 ``join_bloom_prefilter``, ``llm_knn_label_accuracy``,
-``agg_hll_set_algebra``, ``agg_exact_median_refine``), then
-fill the remaining ~26 slots with re-checks round-robin by
+``agg_hll_set_algebra``, ``agg_exact_median_refine``,
+``llm_embedding_drift``), then
+fill the remaining ~25 slots with re-checks round-robin by
 least-recently-verified (continue the rotation started with the two
 round-5 tail slots).
 """

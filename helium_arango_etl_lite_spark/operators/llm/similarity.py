@@ -882,6 +882,14 @@ def knn_join_sampled(
             f"{max_sample_rows}; raise sample_mod (or the cap) so the "
             "broadcast side stays bounded"
         )
+    if not qrows:
+        # no id divisible by sample_mod (or empty input): an empty result
+        # with the output schema, not a numpy AxisError from norm() over
+        # a (0,)-shaped array
+        return emb.sparkSession.createDataFrame(
+            [],
+            "qid long, nid long, cos_sim double, rank int",
+        )
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)

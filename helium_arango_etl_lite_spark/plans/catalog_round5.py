@@ -37,20 +37,30 @@ from .registry import load_table, register
 # ---------------------------------------------------------------------------
 
 VERIFY_THRESHOLD = 0.8
+VERIFY_PER_DOC_CAP = 8
 
 _VERIFY_SQL = (
     "WITH " + _BASE_HASH_CTE
     + ", sig AS (SELECT doc_id, " + ", ".join(_sig_exprs()) + " FROM hs)"
     + ", bands AS (SELECT doc_id, unnest([" + ", ".join(_BAND_EXPRS) + "]) AS band_key FROM sig)"
-    + """, cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                    FROM bands a JOIN bands b
-                      ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+    + """, cand0 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bands a JOIN bands b
+                       ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       , cand AS (SELECT doc_a, doc_b, n_cand_a
+                  FROM (SELECT doc_a, doc_b,
+                               row_number() OVER (PARTITION BY doc_a
+                                                  ORDER BY doc_b) AS rk,
+                               count(*) OVER (PARTITION BY doc_a)
+                                   AS n_cand_a
+                        FROM cand0)
+                  WHERE rk <= """ + repr(VERIFY_PER_DOC_CAP) + """)
        SELECT doc_a, doc_b,
               round(CASE WHEN un > 0 THEN inter::DOUBLE / un::DOUBLE
                          ELSE 0.0 END, 4) AS jaccard,
               (CASE WHEN un > 0 THEN inter::DOUBLE / un::DOUBLE
-                    ELSE 0.0 END) >= """ + repr(VERIFY_THRESHOLD) + """ AS verified
-       FROM (SELECT c.doc_a, c.doc_b,
+                    ELSE 0.0 END) >= """ + repr(VERIFY_THRESHOLD) + """ AS verified,
+              n_cand_a
+       FROM (SELECT c.doc_a, c.doc_b, c.n_cand_a,
                     len(list_intersect(sa.shd, sb.shd)) AS inter,
                     len(sa.shd) + len(sb.shd)
                         - len(list_intersect(sa.shd, sb.shd)) AS un
@@ -68,7 +78,15 @@ _VERIFY_SQL = (
         "the corpus — only LSH candidates; shingle arrays materialise "
         "solely for candidate docs (left-semi prune). False-positive "
         "candidates survive with verified=false, so the sketch stage's "
-        "precision is directly observable.",
+        "precision is directly observable. Registered form caps verified "
+        "pairs at 8 smallest-id candidates per doc_a (pre-verify), "
+        "bounding output at O(8n) instead of O(D^2/2) per D-copy dup "
+        "group (SCALE_SOAK measured the uncapped contract at 27.3M "
+        "pairs / 104.8 s under x100 verbatim duplication) while keeping "
+        "every d_i-d_{i+1} chain link a downstream dup_clusters pass "
+        "needs; n_cand_a reports the pre-cap fan-out so truncation is "
+        "observable. The uncapped audit form stays available via "
+        "minhash_verified_pairs(per_doc_cap=None).",
     tags=("llm", "dedup", "sketch"),
 )
 def llm_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,6 +94,7 @@ def llm_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         threshold=VERIFY_THRESHOLD,
         num_hashes=NUM_HASHES, bands=BANDS, seed=SEED,
+        per_doc_cap=VERIFY_PER_DOC_CAP,
     )
 
 
@@ -351,9 +370,15 @@ _PIPELINE_SQL = (
     "WITH RECURSIVE " + _BASE_HASH_CTE
     + ", sig AS (SELECT doc_id, " + ", ".join(_sig_exprs()) + " FROM hs)"
     + ", bands AS (SELECT doc_id, unnest([" + ", ".join(_BAND_EXPRS) + "]) AS band_key FROM sig)"
-    + """, cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                    FROM bands a JOIN bands b
-                      ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    + """, cand0 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bands a JOIN bands b
+                       ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+cand AS (SELECT doc_a, doc_b
+         FROM (SELECT doc_a, doc_b,
+                      row_number() OVER (PARTITION BY doc_a
+                                         ORDER BY doc_b) AS rk
+               FROM cand0)
+         WHERE rk <= """ + repr(VERIFY_PER_DOC_CAP) + """),
 vp AS (SELECT doc_a, doc_b
        FROM (SELECT c.doc_a, c.doc_b,
                     len(list_intersect(sa.shd, sb.shd)) AS inter,
@@ -380,14 +405,23 @@ FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id"""
 @register(
     "llm_dedup_pipeline",
     _PIPELINE_SQL,
-    doc="The full production dedup pipeline as one query: MinHash-LSH "
-        "candidates -> exact-Jaccard verification on candidates only -> "
-        "connected components over VERIFIED edges (false-positive "
-        "candidates cannot merge clusters) -> per-document keeper "
-        "decision (keep = min-id representative; docs in no verified "
-        "pair keep themselves). This is the composition a 100 TB corpus "
-        "run actually executes; every stage reuses the soak-measured "
-        "operators (minhash_verified_pairs, dup_clusters).",
+    doc="Single-pass dedup pipeline: MinHash-LSH candidates -> "
+        "exact-Jaccard verification on candidates only -> connected "
+        "components over VERIFIED edges (false-positive candidates "
+        "cannot merge clusters) -> per-document keeper decision (keep = "
+        "min-id representative; docs in no verified pair keep "
+        "themselves). PREFER llm_dedup_pipeline_staged for production: "
+        "it collapses verbatim copies before the sketch stage, so a "
+        "duplication-factor-D corpus generates D^2/2 fewer candidate "
+        "pairs (the uncapped flat form measured GC death at x100 "
+        "verbatim duplication, SCALE_SOAK round-5 pipeline rows). This "
+        "registered flat form is bounded the other way: the verify "
+        "stage caps candidates at 8 smallest-id per doc_a (edge list "
+        "O(8n), chain links d_i-d_{i+1} survive so verbatim groups "
+        "still cluster whole), which turns the measured-fatal shape "
+        "into a linear one at the cost of possibly splitting clusters "
+        "whose only link ranks past the cap — the staged form has no "
+        "such approximation and the same output on this corpus.",
     tags=("llm", "dedup", "pipeline", "iterative"),
 )
 def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,6 +429,7 @@ def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     vp = dedup.minhash_verified_pairs(
         docs, threshold=VERIFY_THRESHOLD,
         num_hashes=NUM_HASHES, bands=BANDS, seed=SEED,
+        per_doc_cap=VERIFY_PER_DOC_CAP,
     ).filter(F.col("verified"))
     labels = dedup.dup_clusters(vp)
     return (

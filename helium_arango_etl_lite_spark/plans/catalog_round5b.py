@@ -199,7 +199,10 @@ FROM kept GROUP BY 1"""
         "file source's batch order is fixed) through a real "
         "withWatermark('7 days') + 1-hour tumbling-window aggregation in "
         "update mode. The oracle re-derives Spark's watermark contract "
-        "in SQL — including the SPARK-24634 two-watermark refinement "
+        "in SQL — including the SPARK-40925 late-filter/eviction "
+        "watermark split (shipped in Spark 3.4; on older Sparks the "
+        "late filter uses the CURRENT watermark and this oracle would "
+        "mismatch — the entry requires Spark >= 3.4) "
         "verified against the checkpoint offset log: LATE-EVENT "
         "FILTERING in batch b uses the watermark as of batch b-1 "
         "(millisecond-floored max event time over batches < b-1 minus "

@@ -23,27 +23,13 @@ queries, so it was removed on advisor direction).
   pytest replica ``tests/test_oracle_parity.py`` covers the whole catalog
   on every run regardless of this ordering).
 
-Round-5 batch: the 47 entries with no driver row after rounds 1-4, the
-round-5 addition ``llm_semdedup_capped``, and two re-check slots
-(``agg_payment_volume`` — core aggregate family, last checked r3;
-``follow_replay`` — the end-to-end streaming pipeline, last checked r4).
-
-Round-6 revision plan (apply AFTER the round-5 driver run records
-CORRECTNESS_r05): front-load the 25 round-5 additions that registered
-too late for this batch (``llm_minhash_verify``, ``llm_window_dedup``,
-``llm_quantize_pq``, ``llm_ann_ivf_pq``, ``llm_pipeline_funnel``,
-``llm_dedup_pipeline[_staged]``, ``llm_heavy_hitters_cms``,
-``agg_hll_distinct``, ``llm_chunk_overlap``, ``llm_span_corruption_mask``,
-``llm_semantic_clusters``, ``udtf_sentence_split``, ``llm_ann_recall``,
-``llm_ann_recall_sampled``, ``stream_late_replay``,
-``stream_dedup_replay``, ``stream_join_replay``,
-``zorder_layout_stats``, ``agg_histogram_quantiles``,
-``join_bloom_prefilter``, ``llm_knn_label_accuracy``,
-``agg_hll_set_algebra``, ``agg_exact_median_refine``,
-``llm_embedding_drift``), then
-fill the remaining ~25 slots with re-checks round-robin by
-least-recently-verified (continue the rotation started with the two
-round-5 tail slots).
+Round-6 batch (applied): the 25 round-5 additions that registered after
+the round-5 batch was committed (so they have never had a driver row),
+then ``agg_approx_distinct_scale`` — re-checked because round 6 replaced
+its rows-only HLL estimate with an oracle-checked error-band contract —
+then 24 re-check slots continuing the least-recently-verified rotation
+(all 24 are r3-era entries, the oldest in the catalog; the remaining
+r3/r4-era entries rotate in over rounds 7+).
 """
 
 from __future__ import annotations
@@ -58,59 +44,61 @@ from . import catalog_round5  # noqa: F401  (two-stage verify, window dedup, PQ,
 from . import catalog_round5b  # noqa: F401  (ANN recall, watermark replay, Z-order layout)
 
 DRIVER_BATCH: list[str] = [
-    # -- never driver-verified after rounds 1-4 (47) ------------------
-    "json_extract_props",
-    "argmin_cheapest_supplier",
-    "window_ntile_decile",
-    "tpch_q13_custdist",
+    # -- never driver-verified after rounds 1-5 (25) ------------------
+    "llm_minhash_verify",
+    "llm_window_dedup",
+    "llm_quantize_pq",
+    "llm_pipeline_funnel",
+    "llm_ann_ivf_pq",
+    "udtf_sentence_split",
+    "llm_dedup_pipeline",
+    "llm_heavy_hitters_cms",
+    "agg_hll_distinct",
+    "llm_chunk_overlap",
+    "llm_span_corruption_mask",
+    "llm_dedup_pipeline_staged",
+    "llm_semantic_clusters",
+    "llm_ann_recall",
+    "llm_ann_recall_sampled",
+    "stream_late_replay",
+    "zorder_layout_stats",
+    "stream_dedup_replay",
+    "stream_join_replay",
+    "agg_histogram_quantiles",
+    "join_bloom_prefilter",
+    "llm_knn_label_accuracy",
+    "agg_hll_set_algebra",
+    "agg_exact_median_refine",
+    "llm_embedding_drift",
+    # -- re-oracled this round (1): rows-only HLL estimate replaced by
+    #    an error-band contract the oracle value-hashes ----------------
     "agg_approx_distinct_scale",
-    "window_ntile_decile_scalable",
-    "llm_doc_pack_scalable",
-    "graph_degree_distribution",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_bilateral_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_priority",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety",
-    "tpch_q17_small_quantity",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_customers",
-    "set_ops_customers",
-    "agg_grouping_sets",
-    "window_time_range_sum",
-    "window_rank_distribution",
-    "agg_string_agg",
-    "agg_stats_profile",
-    "llm_char_entropy",
-    "llm_seq_len_buckets",
-    "llm_importance_sample",
-    "llm_semdedup",
-    "window_first_last",
-    "llm_oov_rate",
-    "llm_ngram_lm_score",
-    "llm_paragraph_dedup",
-    "llm_kmeans_iter",
-    "window_sliding_time",
-    "llm_mix_rebalance",
-    "llm_dedup_ngram_jaccard_capped",
-    "join_salted_skew",
-    "graph_label_propagation",
-    "llm_ccnet_buckets",
-    "graph_common_neighbors",
-    "window_gap_islands",
-    "events_anomaly_zscore",
-    # -- new this round (1) -------------------------------------------
-    "llm_semdedup_capped",
-    # -- re-check slots (2): previously-green, rotated each round -----
-    "agg_payment_volume",
-    "follow_replay",
+    # -- re-check slots (24): previously-green, least-recently-verified
+    #    first (all last checked r3), rotated each round ---------------
+    "project_payment_edge",
+    "concat_vertex_id",
+    "derived_arithmetic",
+    "null_tolerant_struct",
+    "hash_key_md5",
+    "udf_geo_index",
+    "regexp_extract_height",
+    "dropna_rows",
+    "filter_type_dispatch",
+    "filter_retention_window",
+    "filter_is_valid",
+    "explode_payments",
+    "explode_witnesses",
+    "join_block_broadcast",
+    "union_distinct_vertices",
+    "dedup_by_key",
+    "anti_join_new_keys",
+    "join_inventory_enrich",
+    "agg_witness_quality",
+    "agg_count_distinct",
+    "agg_time_window",
+    "topk_accounts",
+    "window_latest_per_key",
+    "window_lag_delta",
 ]
 
 

@@ -403,6 +403,25 @@ def test_knn_join_sampled_caps_broadcast_side(spark, sf_dir):
         similarity.knn_join_sampled(e, k=3, sample_mod=1, max_sample_rows=5)
 
 
+def test_knn_join_sampled_empty_sample_returns_empty(spark, sf_dir):
+    """A sample_mod no id satisfies (or an empty input) must yield an
+    EMPTY result with the normal output schema, not a numpy AxisError
+    from normalising a (0,)-shaped matrix."""
+    from helium_arango_etl_lite_spark.operators.llm import similarity
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # ids are non-negative and bounded; a huge prime modulus with no
+    # multiple in range selects nothing (0 always matches pmod, so shift
+    # the frame's ids off zero first)
+    from pyspark.sql import functions as F
+
+    shifted = e.withColumn("vec_id", F.col("vec_id") + 1)
+    out = similarity.knn_join_sampled(shifted, k=3, sample_mod=2_000_000_011)
+    assert out.columns == ["qid", "nid", "cos_sim", "rank"]
+    assert out.count() == 0
+
+
 def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
     """A Bloom filter may pass non-matches but must NEVER drop a true
     match: every true match passes, so n_pass >= n_true and

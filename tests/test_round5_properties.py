@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
@@ -18,6 +19,16 @@ words = st.sampled_from(
     ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
 )
 texts = st.lists(words, min_size=1, max_size=30).map(" ".join)
+
+
+def _round_half_up(x: float, dp: int) -> float:
+    """Round half AWAY from zero, mirroring Spark's ``F.round`` on
+    doubles (``BigDecimal.valueOf(d).setScale(dp, HALF_UP)`` — shortest
+    round-trip decimal repr first, then half-up; Python's builtin
+    ``round`` is banker's and disagrees on exact .5 ties like
+    0.15125 -> 0.1512 vs Spark/DuckDB's 0.1513)."""
+    q = Decimal(1).scaleb(-dp)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def _py_windows(text: str, window: int, stride: int) -> set[str]:
@@ -78,7 +89,7 @@ def test_pq_quantize_matches_numpy_argmin(spark, vecs):
         codes = []
         for b in range(n_blocks):
             dists = [
-                round(
+                _round_half_up(
                     sum(
                         (v[b * sub + j] - cb[c][b * sub + j])
                         * (v[b * sub + j] - cb[c][b * sub + j])
@@ -92,7 +103,9 @@ def test_pq_quantize_matches_numpy_argmin(spark, vecs):
             codes.append(dists.index(m) + 1)
             mins.append(m)
         assert got[i][:2] == tuple(codes), (i, got[i], codes)
-        assert math.isclose(got[i][2], round(sum(mins) / 8, 4), abs_tol=1e-9)
+        assert math.isclose(
+            got[i][2], _round_half_up(sum(mins) / 8, 4), abs_tol=1e-9
+        )
 
 
 def _py_hll(values: list[str]) -> float:
@@ -122,4 +135,6 @@ def test_hll_matches_python_reference(spark, ids):
     r = out[0]
     ref = _py_hll([str(i) for i in ids])
     assert r.n_exact == len(set(ids))
-    assert math.isclose(r.n_hll, round(ref, 4), abs_tol=1e-6), (r.n_hll, ref)
+    assert math.isclose(
+        r.n_hll, _round_half_up(ref, 4), abs_tol=1e-6
+    ), (r.n_hll, ref)

@@ -75,6 +75,10 @@ HEADLINE = [
     "agg_histogram_quantiles",  # mergeable histogram sketch + readout
     "join_bloom_prefilter",     # runtime bloom filter, measured fp rate
     "agg_exact_median_refine",  # sort-free exact order statistic
+    # round-6 additions
+    "llm_repetition_stats",     # Gopher repetition quality rules
+    "agg_reservoir_per_group",  # mapInPandas-sheared per-group sample
+    "llm_power_iteration",      # 2-step distributed power iteration
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -94,6 +98,20 @@ R4_COMPARABLE = {
     "llm_token_stats", "llm_topk_cosine", "llm_winnow_fingerprint",
     "topk_accounts", "tpch_q9_product_profit", "window_latest_per_key",
     "window_ntile_decile_scalable", "window_time_range_sum",
+}
+
+# The exact 52-entry workload BENCH_r05 measured (warm min-of-2), frozen
+# verbatim so round 6+ totals compare min-of-2 vs min-of-2 on a FIXED set
+# (the r4 subset only fixes the r4-era 36; this pins the round-5 additions
+# too).
+R5_COMPARABLE = R4_COMPARABLE | {
+    "llm_semdedup_capped", "llm_minhash_verify", "llm_window_dedup",
+    "llm_quantize_pq", "llm_ann_ivf_pq", "llm_dedup_pipeline",
+    "llm_dedup_pipeline_staged", "llm_heavy_hitters_cms",
+    "agg_hll_distinct", "llm_semantic_clusters", "llm_ann_recall",
+    "zorder_layout_stats", "stream_late_replay", "stream_join_replay",
+    "agg_histogram_quantiles", "join_bloom_prefilter",
+    "agg_exact_median_refine",
 }
 
 SMALL_OUTPUT = {
@@ -216,6 +234,10 @@ def main() -> None:
         # fixed r4-era workload for apples-to-apples cross-round totals
         "warm_total_r4_subset": round(
             sum(v for q, v in timings.items() if q in R4_COMPARABLE), 3
+        ),
+        # fixed r5-era workload (warm vs BENCH_r05's warm_total 92.102)
+        "warm_total_r5_subset": round(
+            sum(v for q, v in timings.items() if q in R5_COMPARABLE), 3
         ),
         "n_ok": len(timings),
         "n_errors": len(errors),

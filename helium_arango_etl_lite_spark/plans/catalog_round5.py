@@ -832,7 +832,11 @@ FROM e LEFT JOIN lab l ON l.vec_id = e.vec_id
         "counterpart of llm_dedup_pipeline; at scale the kNN stage is the "
         "auto-routed knn_join (bucketed LSH past the broadcast bound) and "
         "the mutual filter is a self-join on the (qid,nid) pair — tiny vs "
-        "the corpus.",
+        "the corpus. The full pipeline is soaked THROUGH the bucketed "
+        "route at x100 vectors (SCALE_SOAK round-6 stretch: 216.9 s at "
+        "200k, sub-linear x10->x100, recall@3 = 1.0 on the duplicated "
+        "fixture — organic-data recall is whatever llm_ann_recall "
+        "measures for the plane configuration).",
     tags=("llm", "similarity", "pipeline", "iterative"),
 )
 def llm_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,9 +27,10 @@ Round-6 batch (applied): the 25 round-5 additions that registered after
 the round-5 batch was committed (so they have never had a driver row),
 then ``agg_approx_distinct_scale`` — re-checked because round 6 replaced
 its rows-only HLL estimate with an oracle-checked error-band contract —
-then 24 re-check slots continuing the least-recently-verified rotation
-(all 24 are r3-era entries, the oldest in the catalog; the remaining
-r3/r4-era entries rotate in over rounds 7+).
+then the 3 brand-new round-6 entries (never verified), then 21 re-check
+slots continuing the least-recently-verified rotation (all 21 are
+r3-era entries, the oldest in the catalog; the remaining r3/r4-era
+entries rotate in over rounds 7+).
 """
 
 from __future__ import annotations
@@ -42,6 +43,7 @@ from . import catalog_tpch  # noqa: F401  (registers extended TPC-H shapes)
 from . import catalog_round3  # noqa: F401  (set ops, range windows, LLM passes)
 from . import catalog_round5  # noqa: F401  (two-stage verify, window dedup, PQ, funnel)
 from . import catalog_round5b  # noqa: F401  (ANN recall, watermark replay, Z-order layout)
+from . import catalog_round6  # noqa: F401  (repetition rules, reservoir sample, power iteration)
 
 DRIVER_BATCH: list[str] = [
     # -- never driver-verified after rounds 1-5 (25) ------------------
@@ -73,7 +75,11 @@ DRIVER_BATCH: list[str] = [
     # -- re-oracled this round (1): rows-only HLL estimate replaced by
     #    an error-band contract the oracle value-hashes ----------------
     "agg_approx_distinct_scale",
-    # -- re-check slots (24): previously-green, least-recently-verified
+    # -- new this round (3): never driver-verified ---------------------
+    "llm_repetition_stats",
+    "agg_reservoir_per_group",
+    "llm_power_iteration",
+    # -- re-check slots (21): previously-green, least-recently-verified
     #    first (all last checked r3), rotated each round ---------------
     "project_payment_edge",
     "concat_vertex_id",
@@ -96,9 +102,6 @@ DRIVER_BATCH: list[str] = [
     "agg_witness_quality",
     "agg_count_distinct",
     "agg_time_window",
-    "topk_accounts",
-    "window_latest_per_key",
-    "window_lag_delta",
 ]
 
 

@@ -1,0 +1,124 @@
+"""Tests for the round-6 operators: Gopher repetition rules, the
+per-partition-sheared reservoir sample, and distributed power iteration."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from helium_arango_etl_lite_spark.plans.catalog_round6 import (
+    RESERVOIR_K,
+    _round_half_up,
+)
+from helium_arango_etl_lite_spark.plans.queries import QUERIES
+
+
+def test_repetition_stats_matches_python_reference(spark):
+    docs = [
+        (0, "a a a a"),                     # dup words, top bigram 'a a' = 3/3
+        (1, "x y z w"),                     # no repetition
+        (2, "hello"),                       # single word: no bigrams
+        (3, "go go stop go go stop go"),    # mixed
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fn = QUERIES["llm_repetition_stats"].spark_fn
+
+    # point the catalog op at a scratch documents table
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: r for r in fn(spark, d).collect()}
+
+    for doc_id, text in docs:
+        words = text.split(" ")
+        n = len(words)
+        dup = round(1.0 - len(set(words)) / n, 4)
+        bgs = Counter(
+            f"{words[i]} {words[i+1]}" for i in range(n - 1)
+        )
+        top = round(
+            (max(bgs.values()) if bgs else 0) / max(n - 1, 1), 4
+        )
+        r = got[doc_id]
+        assert r.n_words == n
+        assert math.isclose(r.dup_word_frac, dup, abs_tol=1e-9)
+        assert math.isclose(r.top_bigram_frac, top, abs_tol=1e-9)
+        assert r.would_filter == (dup > 0.8 or top > 0.18)
+
+
+def test_reservoir_equals_naive_window_any_partitioning(spark, sf_dir):
+    """The mapInPandas local shear must be invisible: per-partition
+    top-k is a superset of the global top-k, so the result equals the
+    naive single-window form under ANY input partitioning."""
+    fn = QUERIES["agg_reservoir_per_group"].spark_fn
+    got = sorted(map(tuple, fn(spark, sf_dir).collect()))
+
+    from helium_arango_etl_lite_spark.plans.catalog_round6 import _RS_SALT
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.concat(F.lit(_RS_SALT), F.col("o_orderkey").cast("string")))
+    w = Window.partitionBy("priority").orderBy(
+        F.asc("h"), F.asc("o_orderkey")
+    )
+    naive = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"), "o_orderkey",
+            h.alias("h"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .drop("h")
+    )
+    totals = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_group")
+    )
+    want = sorted(
+        map(
+            tuple,
+            naive.join(totals, "priority")
+            .select("priority", "o_orderkey", "rk", "n_group")
+            .collect(),
+        )
+    )
+    assert got == want
+    # every group contributes exactly min(k, group size) rows
+    sizes = {r["priority"]: r["n_group"] for r in totals.collect()}
+    per_group = Counter(t[0] for t in got)
+    for g, n in sizes.items():
+        assert per_group[g] == min(RESERVOIR_K, n)
+
+
+def test_power_iteration_unit_norm_and_dominance(spark, sf_dir):
+    """The returned loading vector must be (approximately) unit norm,
+    dimension-complete, and aligned with the dominant direction: its
+    Rayleigh quotient must be >= the one of any single coordinate axis."""
+    import numpy as np
+
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    out = QUERIES["llm_power_iteration"].spark_fn(spark, sf_dir).collect()
+    dims = sorted(r.dim for r in out)
+    v = np.array([r.loading for r in sorted(out, key=lambda r: r.dim)])
+    assert dims == list(range(1, len(dims) + 1))
+    assert math.isclose(float(np.linalg.norm(v)), 1.0, abs_tol=1e-4)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    X = np.array([list(r.embedding) for r in emb], dtype=np.float64)
+    ray = float(v @ (X.T @ (X @ v)))
+    for d in range(X.shape[1]):
+        e = np.zeros(X.shape[1])
+        e[d] = 1.0
+        assert ray >= float(e @ (X.T @ (X @ e))) - 1e-6
+
+
+def test_round_half_up_matches_spark_semantics():
+    assert _round_half_up(0.15125, 4) == 0.1513
+    assert _round_half_up(-0.15125, 4) == -0.1513
+    assert _round_half_up(2.5, 0) == 3.0
+    assert _round_half_up(0.123449, 4) == 0.1234

@@ -103,7 +103,11 @@ R4_COMPARABLE = {
 # The exact 52-entry workload BENCH_r05 measured (warm min-of-2), frozen
 # verbatim so round 6+ totals compare min-of-2 vs min-of-2 on a FIXED set
 # (the r4 subset only fixes the r4-era 36; this pins the round-5 additions
-# too).
+# too). CAVEAT (advisor, r6): the QUERY NAMES are frozen but two members
+# changed registered semantics in round 6 — llm_minhash_verify and
+# llm_dedup_pipeline gained per_doc_cap=8 (and the pipeline composed the
+# exact-collapse pre-stage in round 7) — so r5-subset deltas across those
+# rounds partially reflect the semantic change, not engine drift.
 R5_COMPARABLE = R4_COMPARABLE | {
     "llm_semdedup_capped", "llm_minhash_verify", "llm_window_dedup",
     "llm_quantize_pq", "llm_ann_ivf_pq", "llm_dedup_pipeline",

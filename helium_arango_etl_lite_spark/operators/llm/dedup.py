@@ -359,12 +359,16 @@ def minhash_verified_pairs(
     for audits, fatal as a standing contract on duplication-heavy
     corpora. With a cap, each ``doc_a`` keeps only its ``cap`` smallest
     ``doc_b`` candidates BEFORE the exact-Jaccard verify, bounding both
-    the verify join input and the output at O(cap * n) while preserving
-    dedup connectivity: in a verbatim group {d1 < ... < dD} every doc's
-    nearest-id successor pair survives any cap >= 1, so the chain
-    d1-d2-...-dD still connects the group for a downstream
-    ``dup_clusters`` pass. The pre-cap candidate count is reported per
-    doc_a (``n_cand_a``) so the truncation is observable, never silent.
+    the verify join input and the output at O(cap * n). Connectivity
+    under the cap is a LOW-FALSE-POSITIVE property, not a guarantee: in
+    a verbatim group {d1 < ... < dD} the chain link d_i-d_{i+1} survives
+    as long as d_i has fewer than ``cap`` band-collision false-positive
+    candidates with ids below d_{i+1}; when FP candidates crowd out the
+    only true link, it is evicted before verification and the group can
+    split (the authoritative caveat — see ``llm_dedup_pipeline``'s doc).
+    Ranking is by doc_b id, deterministic, so a given corpus always caps
+    the same way. The pre-cap candidate count is reported per doc_a
+    (``n_cand_a``) so the truncation is observable, never silent.
 
     Output: (doc_a, doc_b, jaccard, verified[, n_cand_a]) — false-positive
     candidates survive with ``verified = false``, making the precision of

@@ -31,8 +31,14 @@ from .registry import load_table, register
 
 def _round_half_up(x: float, dp: int) -> float:
     """Round half AWAY from zero on the shortest decimal repr — the
-    semantics of Spark's ``F.round`` on doubles and DuckDB's ``round``;
-    Python's builtin ``round`` is banker's and diverges on .5 ties."""
+    semantics of Spark's ``F.round`` on doubles (BigDecimal.valueOf);
+    Python's builtin ``round`` is banker's and diverges on .5 ties.
+    DuckDB's ``round`` instead rounds the SCALED BINARY double
+    (round(x*10^dp)/10^dp): it agrees with this model whenever the
+    scaled product lands on/above the tie (e.g. 2.675@2dp -> 2.68) but
+    can land below it (1.005@2dp -> 1.00 vs 1.01 here) — pinned by
+    ``test_round_half_up_matches_duckdb_semantics``. Oracle fixtures
+    avoid such ties; a hit would fail the driver hash, not corrupt."""
     q = Decimal(1).scaleb(-dp)
     return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
 
@@ -185,31 +191,25 @@ def agg_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = RESERVOIR_K
 
     def local_topk(batches):
-        # per-group bounded sorted list across the whole partition:
-        # keeps the k smallest (h, key) per group in O(k) memory per
-        # group; insert only when the candidate beats the current k-th
-        import bisect
+        # vectorized per-batch shear, then cross-batch re-reduce: each
+        # Arrow chunk sorts on (h, key) ONCE and keeps its k-head per
+        # group (pure pandas/numpy — no per-row Python, round-7 fix of
+        # the r6 bisect.insort loop); the accumulator re-shears after
+        # every merge so partition state stays O(groups * k) no matter
+        # how many chunks stream through
+        def shear(pdf):
+            return (
+                pdf.sort_values(["h", "o_orderkey"], kind="mergesort")
+                .groupby("priority", sort=False)
+                .head(k)
+            )
 
-        best: dict[str, list] = {}
+        cols = ["priority", "o_orderkey", "h"]
+        acc = None
         for pdf in batches:
-            for prio, key, hh in zip(
-                pdf["priority"], pdf["o_orderkey"], pdf["h"]
-            ):
-                grp = best.setdefault(prio, [])
-                item = (hh, int(key))
-                if len(grp) < k:
-                    bisect.insort(grp, item)
-                elif item < grp[-1]:
-                    bisect.insort(grp, item)
-                    grp.pop()
-        rows = [
-            (prio, key, hh)
-            for prio, items in best.items()
-            for hh, key in items
-        ]
-        yield pd.DataFrame(
-            rows, columns=["priority", "o_orderkey", "h"]
-        )
+            top = shear(pdf[cols])
+            acc = top if acc is None else shear(pd.concat([acc, top]))
+        yield acc if acc is not None else pd.DataFrame(columns=cols)
 
     local = keyed.mapInPandas(
         local_topk, "priority string, o_orderkey long, h string"
@@ -268,7 +268,15 @@ FROM u2, n2"""
         "contract as the k-means centroid collect), and every "
         "data-sized stage is a linear scan. Intermediate scores and "
         "loadings round at 6dp on BOTH engines so partial-agg "
-        "summation order cannot diverge the trajectories. The spectral "
+        "summation order cannot diverge the trajectories; the driver-"
+        "side norm sums the collected dims in sorted-dim order so the "
+        "Python reduction is order-deterministic too. Residual caveat "
+        "(advisor, r6): rounding happens AFTER a float sum, so a value "
+        "within ~5e-7 of a 6dp rounding tie could still land on "
+        "different sides in the two engines and amplify through the "
+        "second step — none of the driver fixtures sit near a tie, and "
+        "a divergence would surface as a hash mismatch, not silent "
+        "corruption. The spectral "
         "complement to llm_embedding_drift: a rotating top direction "
         "between snapshots flags representation drift that centroid "
         "deltas miss.",
@@ -295,7 +303,7 @@ def llm_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_PI_ITERS - 1):
         # O(dim) rows: bounded driver-side collect, like the k-means /
         # PQ codebook control plane
-        rows = u.collect()
+        rows = sorted(u.collect(), key=lambda r: r["dim"])
         nrm = float(sum(r["u"] * r["u"] for r in rows)) ** 0.5
         vd = [(int(r["dim"]), _round_half_up(r["u"] / nrm, _PI_DP)) for r in rows]
         v_df = e.sparkSession.createDataFrame(vd, "dim long, vd double")

@@ -332,12 +332,33 @@ def test_span_mask_is_map_only(spark, sf_dir):
 
 
 def test_staged_pipeline_partitions_clusters_identically(spark, sf_dir):
-    """Exact-collapse-first must not change the cluster PARTITION: verbatim
-    copies share signatures, so the flat pipeline merges them anyway."""
-    flat = QUERIES["llm_dedup_pipeline"].spark_fn(spark, sf_dir).collect()
+    """The capped registered pipeline and the cap-free staged audit form
+    must produce the same cluster partition on this corpus (both compose
+    the exact-collapse pre-stage since round 7; the cap only bites when
+    band-collision false positives crowd a doc's candidate list)."""
+    capped = QUERIES["llm_dedup_pipeline"].spark_fn(spark, sf_dir).collect()
     staged = QUERIES["llm_dedup_pipeline_staged"].spark_fn(spark, sf_dir).collect()
-    assert {(r.doc_id, r.cluster_id, r.keep) for r in flat} == {
+    assert {(r.doc_id, r.cluster_id, r.keep) for r in capped} == {
         (r.doc_id, r.cluster_id, r.keep) for r in staged
+    }
+
+
+def test_flat_fixture_matches_composed_pipeline(spark, sf_dir):
+    """Round-7 composition guard: folding the exact-collapse pre-stage
+    into the registered llm_dedup_pipeline must not change its output —
+    the truly-flat chain (kept as an unregistered fixture) and the
+    composed form agree row-for-row, because verbatim copies always
+    share signatures and the per-doc cap ranks by the same doc_b order
+    either way on this corpus."""
+    from helium_arango_etl_lite_spark.plans.catalog_round5 import (
+        flat_dedup_pipeline,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flat = flat_dedup_pipeline(docs).collect()
+    composed = QUERIES["llm_dedup_pipeline"].spark_fn(spark, sf_dir).collect()
+    assert {(r.doc_id, r.cluster_id, r.keep) for r in flat} == {
+        (r.doc_id, r.cluster_id, r.keep) for r in composed
     }
 
 

@@ -79,6 +79,10 @@ HEADLINE = [
     "llm_repetition_stats",     # Gopher repetition quality rules
     "agg_reservoir_per_group",  # mapInPandas-sheared per-group sample
     "llm_power_iteration",      # 2-step distributed power iteration
+    # round-7 additions
+    "llm_multimodal_decode_ppm",  # real binary PPM parse in mapInPandas
+    "llm_multimodal_decode_wav",  # real RIFF/WAVE chunk-walk parse
+    "llm_power_iteration_2",      # top-2 directions via rank-1 deflation
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -116,6 +120,15 @@ R5_COMPARABLE = R4_COMPARABLE | {
     "zorder_layout_stats", "stream_late_replay", "stream_join_replay",
     "agg_histogram_quantiles", "join_bloom_prefilter",
     "agg_exact_median_refine",
+}
+
+# The exact 55-entry workload BENCH_r06 measured (warm_total 83.768):
+# the r5 set plus the three round-6 additions. Frozen for round 7+
+# like-for-like totals. CAVEAT: llm_dedup_pipeline composed the
+# exact-collapse pre-stage in round 7 (faster by design, not drift).
+R6_COMPARABLE = R5_COMPARABLE | {
+    "llm_repetition_stats", "agg_reservoir_per_group",
+    "llm_power_iteration",
 }
 
 SMALL_OUTPUT = {
@@ -242,6 +255,10 @@ def main() -> None:
         # fixed r5-era workload (warm vs BENCH_r05's warm_total 92.102)
         "warm_total_r5_subset": round(
             sum(v for q, v in timings.items() if q in R5_COMPARABLE), 3
+        ),
+        # fixed r6-era workload (warm vs BENCH_r06's warm_total 83.768)
+        "warm_total_r6_subset": round(
+            sum(v for q, v in timings.items() if q in R6_COMPARABLE), 3
         ),
         "n_ok": len(timings),
         "n_errors": len(errors),

@@ -23,14 +23,13 @@ queries, so it was removed on advisor direction).
   pytest replica ``tests/test_oracle_parity.py`` covers the whole catalog
   on every run regardless of this ordering).
 
-Round-6 batch (applied): the 25 round-5 additions that registered after
-the round-5 batch was committed (so they have never had a driver row),
-then ``agg_approx_distinct_scale`` — re-checked because round 6 replaced
-its rows-only HLL estimate with an oracle-checked error-band contract —
-then the 3 brand-new round-6 entries (never verified), then 21 re-check
-slots continuing the least-recently-verified rotation (all 21 are
-r3-era entries, the oldest in the catalog; the remaining r3/r4-era
-entries rotate in over rounds 7+).
+Round-7 batch (applied): the 3 brand-new round-7 entries (real PPM/WAV
+decode, top-2 power iteration — never driver-verified), then 47 re-check
+slots in least-recently-verified order: the 28 entries whose last driver
+row is round 3 (the oldest in the catalog after round 6 re-checked the
+r3-era core set), then the 19 oldest r4-era entries. After this round no
+catalog entry's latest driver row predates round 4; the remaining 30
+r4-era entries rotate in round 8.
 """
 
 from __future__ import annotations
@@ -44,64 +43,64 @@ from . import catalog_round3  # noqa: F401  (set ops, range windows, LLM passes)
 from . import catalog_round5  # noqa: F401  (two-stage verify, window dedup, PQ, funnel)
 from . import catalog_round5b  # noqa: F401  (ANN recall, watermark replay, Z-order layout)
 from . import catalog_round6  # noqa: F401  (repetition rules, reservoir sample, power iteration)
+from . import catalog_round7  # noqa: F401  (real PPM/WAV decode, top-2 spectral directions)
 
 DRIVER_BATCH: list[str] = [
-    # -- never driver-verified after rounds 1-5 (25) ------------------
-    "llm_minhash_verify",
-    "llm_window_dedup",
-    "llm_quantize_pq",
-    "llm_pipeline_funnel",
-    "llm_ann_ivf_pq",
-    "udtf_sentence_split",
-    "llm_dedup_pipeline",
-    "llm_heavy_hitters_cms",
-    "agg_hll_distinct",
-    "llm_chunk_overlap",
-    "llm_span_corruption_mask",
-    "llm_dedup_pipeline_staged",
-    "llm_semantic_clusters",
-    "llm_ann_recall",
-    "llm_ann_recall_sampled",
-    "stream_late_replay",
-    "zorder_layout_stats",
-    "stream_dedup_replay",
-    "stream_join_replay",
-    "agg_histogram_quantiles",
-    "join_bloom_prefilter",
-    "llm_knn_label_accuracy",
-    "agg_hll_set_algebra",
-    "agg_exact_median_refine",
-    "llm_embedding_drift",
-    # -- re-oracled this round (1): rows-only HLL estimate replaced by
-    #    an error-band contract the oracle value-hashes ----------------
-    "agg_approx_distinct_scale",
     # -- new this round (3): never driver-verified ---------------------
-    "llm_repetition_stats",
-    "agg_reservoir_per_group",
-    "llm_power_iteration",
-    # -- re-check slots (21): previously-green, least-recently-verified
-    #    first (all last checked r3), rotated each round ---------------
-    "project_payment_edge",
-    "concat_vertex_id",
-    "derived_arithmetic",
-    "null_tolerant_struct",
-    "hash_key_md5",
-    "udf_geo_index",
-    "regexp_extract_height",
-    "dropna_rows",
-    "filter_type_dispatch",
-    "filter_retention_window",
-    "filter_is_valid",
-    "explode_payments",
-    "explode_witnesses",
-    "join_block_broadcast",
-    "union_distinct_vertices",
-    "dedup_by_key",
-    "anti_join_new_keys",
-    "join_inventory_enrich",
-    "agg_witness_quality",
-    "agg_count_distinct",
-    "agg_time_window",
+    "llm_multimodal_decode_ppm",
+    "llm_multimodal_decode_wav",
+    "llm_power_iteration_2",
+    # -- re-check slots (28): last driver row is round 3 — the oldest
+    #    entries in the catalog ----------------------------------------
+    "topk_accounts",
+    "window_latest_per_key",
+    "window_lag_delta",
+    "agg_session_window",
+    "agg_payment_volume_salted",
+    "graph_two_hop",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_pivot",
+    "join_asof",
+    "join_range_window",
+    "dq_profile",
+    "llm_dedup_exact",
+    "llm_token_stats",
+    "llm_lang_id",
+    "llm_quality_score",
+    "llm_token_count",
+    "llm_fingerprint",
+    "llm_multimodal_meta",
+    "llm_minhash_signature",
+    "llm_dedup_minhash",
+    "llm_dedup_simhash",
+    "llm_dedup_ngram_jaccard",
+    "llm_topk_cosine",
+    "llm_ann_lsh",
+    "llm_dedup_embedding",
+    "llm_ann_ivf",
+    "llm_multimodal_features",
+    # -- re-check slots (19): the oldest r4-era entries; the remaining
+    #    30 r4-era entries rotate in round 8 ---------------------------
+    "follow_replay_receipts",
+    "follow_replay_accounts",
+    "rollup_replay",
+    "stream_totals_replay",
+    "follow_retention_replay",
+    "quarantine_replay",
+    "inventory_refresh_replay",
+    "llm_dedup_embedding_lsh",
+    "llm_dup_clusters",
+    "llm_winnow_fingerprint",
+    "llm_sample_hash",
+    "llm_vocab_topk",
+    "llm_source_stats",
+    "llm_regex_scrub",
+    "llm_dedup_exact_norm",
+    "llm_decontaminate",
+    "llm_repetition_score",
+    "llm_knn_join",
+    "llm_knn_join_bucketed",
 ]
 
 

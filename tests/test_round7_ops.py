@@ -1,0 +1,100 @@
+"""Round-7 additions: real PPM/WAV container decode and top-2 power
+iteration (oracle parity itself is covered for every registered entry by
+test_oracle_parity.py; these pin the parser edge cases and the spectral
+invariants the oracle can't express)."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from helium_arango_etl_lite_spark.operators.llm import multimodal as mm
+from helium_arango_etl_lite_spark.plans.queries import QUERIES
+
+
+def _wav_bytes(samples: bytes, rate: int = 8000, bits: int = 8,
+               channels: int = 1, extra_chunk: bytes = b"") -> bytes:
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += extra_chunk
+    chunks += b"data" + struct.pack("<I", len(samples)) + samples
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_parse_ppm_header_with_comment_and_exact_raster():
+    raster = bytes(range(12))
+    meta, px = mm.parse_ppm(b"P6\n# a comment line\n2 2\n255\n" + raster)
+    assert meta == {"kind": "image", "width": 2, "height": 2, "maxval": 255}
+    assert px.shape == (2, 2, 3)
+    assert px.tobytes() == raster
+
+
+def test_parse_ppm_rejects_malformed():
+    with pytest.raises(ValueError):
+        mm.parse_ppm(b"P5\n2 2\n255\n" + bytes(12))  # wrong magic (PGM)
+    with pytest.raises(ValueError):
+        mm.parse_ppm(b"P6\n2 2\n255\n" + bytes(11))  # truncated raster
+
+
+def test_parse_wav_walks_chunk_list_not_fixed_offset():
+    # an 8-byte junk chunk between fmt and data: a fixed-44-byte-offset
+    # "parser" would read garbage; the chunk walk must skip it
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    meta, s = mm.parse_wav(_wav_bytes(bytes([97, 98, 99]), extra_chunk=extra))
+    assert meta["sample_rate"] == 8000 and meta["bits"] == 8
+    assert s.tolist() == [97, 98, 99]
+
+
+def test_parse_wav_pcm16_and_malformed():
+    samples = struct.pack("<4h", -32768, -1, 0, 32767)
+    meta, s = mm.parse_wav(_wav_bytes(samples, bits=16))
+    assert meta["bits"] == 16
+    assert s.tolist() == [-32768, -1, 0, 32767]
+    with pytest.raises(ValueError):
+        mm.parse_wav(b"RIFX" + bytes(40))  # not RIFF/WAVE
+    with pytest.raises(ValueError):
+        mm.parse_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")  # no chunks
+
+
+def test_real_decode_dispatches_and_stays_honest():
+    meta, _ = mm.real_decode(b"P6\n1 1\n255\nabc", "image")
+    assert meta["kind"] == "image"
+    meta, _ = mm.real_decode(_wav_bytes(b"ab"), "audio")
+    assert meta["kind"] == "audio"
+    with pytest.raises(NotImplementedError):
+        mm.real_decode(b"\x89PNG\r\n\x1a\n....", "image")  # compressed codec
+
+
+def test_decode_entries_cover_every_document(spark, sf_dir):
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    ppm = QUERIES["llm_multimodal_decode_ppm"].spark_fn(spark, sf_dir)
+    wav = QUERIES["llm_multimodal_decode_wav"].spark_fn(spark, sf_dir)
+    assert ppm.count() == n_docs  # min doc length 44 >= one pixel row
+    assert wav.count() == n_docs
+    r = ppm.limit(1).collect()[0]
+    assert r.width == mm.PPM_WIDTH and r.n_pixels == r.width * r.height
+
+
+def test_power_iteration_2_components_are_consistent(spark, sf_dir):
+    """Component 1 must equal the single-direction entry exactly; both
+    components unit-norm; near-orthogonal after deflation (exact
+    orthogonality is lost to the 6dp rounding of intermediates)."""
+    one = {
+        (r.dim, r.loading)
+        for r in QUERIES["llm_power_iteration"].spark_fn(spark, sf_dir).collect()
+    }
+    two = QUERIES["llm_power_iteration_2"].spark_fn(spark, sf_dir).collect()
+    c1 = sorted((r.dim, r.loading) for r in two if r.component == 1)
+    c2 = sorted((r.dim, r.loading) for r in two if r.component == 2)
+    assert set(c1) == one
+    v1 = np.array([x for _, x in c1])
+    v2 = np.array([x for _, x in c2])
+    assert math.isclose(float(np.linalg.norm(v1)), 1.0, abs_tol=1e-4)
+    assert math.isclose(float(np.linalg.norm(v2)), 1.0, abs_tol=1e-4)
+    assert abs(float(v1 @ v2)) < 0.05

@@ -239,3 +239,134 @@ def llm_power_iteration_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     l2 = _pi_two_steps(comp2)
     out = [(1, d, v) for d, v in l1] + [(2, d, v) for d, v in l2]
     return spark.createDataFrame(out, "component long, dim long, loading double")
+
+
+# ---------------------------------------------------------------------------
+# rendezvous (highest-random-weight) sharding
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+from ..functions.hashing import hash32, hash32_oracle_sql  # noqa: E402
+
+_SHARD_HS = (
+    "["
+    + ", ".join(
+        hash32_oracle_sql(f"'shard{s}:' || doc_id::VARCHAR")
+        for s in range(N_SHARDS)
+    )
+    + "]"
+)
+
+_SHARD_SQL = f"""
+WITH h AS (SELECT doc_id, {_SHARD_HS} AS hs FROM documents)
+SELECT doc_id,
+       (list_position(hs, list_max(hs)) - 1)::BIGINT AS shard,
+       (list_position(hs[1:{N_SHARDS - 1}],
+                      list_max(hs[1:{N_SHARDS - 1}])) - 1)::BIGINT
+           AS shard_after_drop,
+       (list_position(hs, list_max(hs)) - 1) = {N_SHARDS - 1} AS moved
+FROM h"""
+
+
+@register(
+    "llm_shard_assign",
+    _SHARD_SQL,
+    doc=f"Rendezvous (highest-random-weight) sharding of documents onto "
+        f"{N_SHARDS} workers: shard = argmax over per-shard seeded "
+        "hash32(shard:doc_id). Unlike mod-hashing, removing a shard "
+        "reassigns ONLY that shard's documents (every other doc's argmax "
+        "is unchanged — the minimal-churn property that makes worker "
+        "loss cheap in a 1000-executor ingest); the entry computes the "
+        "assignment both with the full shard set and with the last "
+        "shard dropped, and the oracle value-hashes that moved == "
+        "(shard == dropped) row by row. Map-only JVM expressions, zero "
+        "shuffle, stable under corpus append (a doc's weights never "
+        "change) — the same determinism contract as llm_sample_hash.",
+    tags=("llm", "sampling", "scale"),
+)
+def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hs = F.array(
+        *[
+            hash32(
+                F.concat(F.lit(f"shard{s}:"), F.col("doc_id").cast("string"))
+            )
+            for s in range(N_SHARDS)
+        ]
+    )
+    d = docs.select("doc_id", hs.alias("hs"))
+    shard = (F.array_position("hs", F.array_max("hs")) - 1).cast("long")
+    kept = F.slice("hs", 1, N_SHARDS - 1)
+    shard2 = (F.array_position(kept, F.array_max(kept)) - 1).cast("long")
+    return d.select(
+        "doc_id",
+        shard.alias("shard"),
+        shard2.alias("shard_after_drop"),
+        (shard == N_SHARDS - 1).alias("moved"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth curve (Heaps' law readout)
+# ---------------------------------------------------------------------------
+
+_VG_BUCKETS = 10
+_VG_N = 3  # word n-gram unit: the driver corpus has a ~31-word token
+# vocabulary that saturates inside the first decile (a 1-row curve);
+# 3-gram vocabulary is ~16k at sf0.01 and spreads across all deciles
+
+_VOCAB_GROWTH_SQL = f"""
+WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+tok AS (SELECT doc_id, a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS t
+        FROM (SELECT doc_id, a,
+                     unnest(generate_series(1, len(a) - {_VG_N - 1})) AS i
+              FROM d WHERE len(a) >= {_VG_N})),
+firsts AS (SELECT t, min(doc_id) AS first_doc FROM tok GROUP BY t),
+b AS (SELECT (first_doc * {_VG_BUCKETS}) // n_docs AS bucket
+      FROM firsts, nd),
+c AS (SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS new_tokens
+      FROM b GROUP BY bucket)
+SELECT bucket, new_tokens,
+       (sum(new_tokens) OVER (ORDER BY bucket))::BIGINT AS cum_vocab
+FROM c"""
+
+
+@register(
+    "llm_vocab_growth",
+    _VOCAB_GROWTH_SQL,
+    doc=f"Vocabulary growth curve (the Heaps'-law readout corpus reports "
+        f"ship), over word {_VG_N}-gram shingles: the corpus splits into "
+        f"{_VG_BUCKETS} doc-id deciles and each distinct shingle "
+        "attributes to the decile of its FIRST occurrence; new_tokens "
+        "per decile plus the running cum_vocab show how fast the n-gram "
+        "vocabulary saturates as the corpus grows. One shingle-keyed "
+        "partial-agg shuffle (min doc_id per distinct shingle — the "
+        "same shape as the inverted-index build) then a 10-row result; "
+        "the cumulative window runs over those 10 rows, never the data. "
+        "Decile boundaries use exact integer division on both engines "
+        "so bucket edges cannot float-diverge.",
+    tags=("llm", "text", "scale"),
+)
+def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.llm.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), _VG_N)).alias("t")
+    )
+    firsts = tok.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    b = firsts.crossJoin(F.broadcast(nd)).select(
+        F.expr(f"(first_doc * {_VG_BUCKETS}) div n_docs").alias("bucket")
+    )
+    c = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("new_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return c.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("new_tokens").cast("long").alias("new_tokens"),
+        F.sum("new_tokens").over(w).cast("long").alias("cum_vocab"),
+    )

@@ -59,7 +59,13 @@ def test_fallback_is_deterministic_and_in_range():
     assert _hex_to_latlng("8f2830828052d25") != (lat1, lng1)
 
 
-@pytest.mark.skipif(not HAS_H3, reason="real h3 not installed in sandbox")
+@pytest.mark.skipif(
+    not HAS_H3,
+    reason="real h3 not installed in sandbox (round-7 status: package "
+    "installs are disallowed in this environment, so this stays the "
+    "suite's single environment-blocked skip; it activates unchanged "
+    "wherever `pip install h3` is permitted)",
+)
 def test_real_h3_matches_spec_golden_values():
     """Runs only when a real `h3` is present: the converter must agree
     with the published spec values for the golden cell."""

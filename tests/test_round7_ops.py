@@ -81,6 +81,48 @@ def test_decode_entries_cover_every_document(spark, sf_dir):
     assert r.width == mm.PPM_WIDTH and r.n_pixels == r.width * r.height
 
 
+def test_shard_assign_minimal_churn_and_balance(spark, sf_dir):
+    """The rendezvous property the oracle can't phrase globally: docs NOT
+    on the dropped shard keep their assignment; dropped-shard docs all
+    land elsewhere; the assignment is roughly balanced (each of the 8
+    shards within 3x of uniform on 500 docs)."""
+    from helium_arango_etl_lite_spark.plans.catalog_round7 import N_SHARDS
+
+    out = QUERIES["llm_shard_assign"].spark_fn(spark, sf_dir).collect()
+    counts = [0] * N_SHARDS
+    for r in out:
+        counts[r.shard] += 1
+        if r.shard == N_SHARDS - 1:
+            assert r.moved and r.shard_after_drop != N_SHARDS - 1
+        else:
+            assert not r.moved and r.shard_after_drop == r.shard
+    uniform = len(out) / N_SHARDS
+    assert all(uniform / 3 <= c <= uniform * 3 for c in counts), counts
+
+
+def test_vocab_growth_is_monotone_and_totals_to_distinct_shingles(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from helium_arango_etl_lite_spark.operators.llm.dedup import word_shingles
+
+    rows = sorted(
+        QUERIES["llm_vocab_growth"].spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert len(rows) > 1, "curve degenerated to one bucket"
+    assert [r.bucket for r in rows] == sorted({r.bucket for r in rows})
+    assert all(r.new_tokens > 0 for r in rows)
+    cums = [r.cum_vocab for r in rows]
+    assert cums == sorted(cums)
+    assert sum(r.new_tokens for r in rows) == cums[-1]
+    n_distinct = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(word_shingles(F.col("text"), 3)).alias("t"))
+        .select("t").distinct().count()
+    )
+    assert cums[-1] == n_distinct
+
+
 def test_power_iteration_2_components_are_consistent(spark, sf_dir):
     """Component 1 must equal the single-direction entry exactly; both
     components unit-norm; near-orthogonal after deflation (exact

@@ -5,14 +5,53 @@ invariants the oracle can't express)."""
 
 from __future__ import annotations
 
+import io
 import math
 import struct
+from contextlib import redirect_stdout
 
 import numpy as np
 import pytest
 
 from helium_arango_etl_lite_spark.operators.llm import multimodal as mm
 from helium_arango_etl_lite_spark.plans.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].spark_fn(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_shard_assign_is_map_only(spark, sf_dir):
+    """Rendezvous sharding must stay a pure scan: no shuffle, no join,
+    no aggregation — at 100 TB this runs as a zero-exchange map stage."""
+    plan = plan_of(spark, sf_dir, "llm_shard_assign")
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan
+
+
+def test_decode_entries_are_map_only(spark, sf_dir):
+    """Container decode is mapInPandas over the scan — any exchange here
+    would mean the binary payloads shuffle, which must never happen."""
+    for name in ("llm_multimodal_decode_ppm", "llm_multimodal_decode_wav"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "hashpartitioning" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_vocab_growth_single_data_shuffle(spark, sf_dir):
+    """The only data-sized exchange is the shingle groupBy (min first
+    doc); the decile bucketing joins a broadcast 1-row count and the
+    cumulative window runs over <= 10 rows."""
+    plan = plan_of(spark, sf_dir, "llm_vocab_growth")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # t-agg + bucket-agg
 
 
 def _wav_bytes(samples: bytes, rate: int = 8000, bits: int = 8,

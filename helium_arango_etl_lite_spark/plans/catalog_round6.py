@@ -174,7 +174,14 @@ WHERE rk <= {RESERVOIR_K}"""
         "k * partitions rows per group. Per-partition top-k is a "
         "superset of the global top-k, so the output is identical to "
         "the naive window (pinned by the oracle). Group totals "
-        "reported alongside.",
+        "reported alongside. Measured (SCALE_SOAK round 7, 15M rows x "
+        "500 groups): the shear cuts the exchange input 47x (15M -> "
+        "320k rows); on a single box the naive window's loopback "
+        "shuffle is still cheaper in wall, so this shape pays off on "
+        "a real network fabric, not on local[32] — documented from "
+        "measurement. The vectorized chunk sort beats the per-row "
+        "bisect loop 2x at 470k rows/partition (and loses below ~50k, "
+        "where the bisect reject path is O(1) — partition size decides).",
     tags=("agg", "sampling", "scale"),
 )
 def agg_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -437,7 +437,8 @@ def frame_sample(
     short clips yield fewer rows), and the fan-out is one ``explode`` — the
     same row-multiplying shape as the reference's witness explode
     (reference follower.py:180-202), applied to media. The decode of the
-    frame at ``ts_ms`` is the stubbed step (:func:`real_decode`); the
+    frame at ``ts_ms`` would call :func:`real_decode` (real for PPM/WAV
+    containers since round 7, codec formats unimplemented); the
     deterministic stand-in slices the payload proportionally to the frame
     position and signs it with md5, so tests and the SQL oracle can pin
     every row. At 100 TB this stage runs BEFORE any decode: sampling on

@@ -130,8 +130,10 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS content_md5
        FROM documents""",
     doc="Multimodal metadata surface: byte length + content hash of the "
-        "opaque payload column (decode itself is the stubbed mapInPandas "
-        "path in operators/llm/multimodal.py).",
+        "opaque payload column (since round 7 the decode interior is "
+        "real for uncompressed containers — see llm_multimodal_decode_"
+        "ppm/_wav; compressed codecs remain honestly unimplemented in "
+        "operators/llm/multimodal.py:real_decode).",
     tags=("llm", "multimodal"),
 )
 def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,8 +421,10 @@ FROM b, generate_series(0, 7) j(j)""",
         "order-insensitive hash can canonicalise (array columns are "
         "unsortable in its pandas compare). The decode is the "
         "deterministic byte-histogram stand-in "
-        "(operators/llm/multimodal.py — real codecs are stubbed; payloads "
-        "here are ASCII so the SQL oracle reproduces bytes via codepoints).",
+        "(operators/llm/multimodal.py — compressed codecs raise; real "
+        "container decode lives in llm_multimodal_decode_ppm/_wav; "
+        "payloads here are ASCII so the SQL oracle reproduces bytes "
+        "via codepoints).",
     tags=("llm", "multimodal", "udf"),
 )
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -342,6 +342,7 @@ def minhash_verified_pairs(
     df: DataFrame, text: str = "text", id_col: str = "doc_id",
     threshold: float = 0.8, num_hashes: int = 6, bands: int = 3,
     seed: int = 42, shingle_n: int = 3, per_doc_cap: int | None = None,
+    report_fanout: bool = True,
 ) -> DataFrame:
     """Two-stage dedup: MinHash-LSH candidate generation (recall stage)
     followed by EXACT n-gram Jaccard computed only on the candidate pairs
@@ -368,7 +369,10 @@ def minhash_verified_pairs(
     split (the authoritative caveat — see ``llm_dedup_pipeline``'s doc).
     Ranking is by doc_b id, deterministic, so a given corpus always caps
     the same way. The pre-cap candidate count is reported per doc_a
-    (``n_cand_a``) so the truncation is observable, never silent.
+    (``n_cand_a``) so the truncation is observable, never silent —
+    unless the caller passes ``report_fanout=False`` (consumers like
+    the dedup pipeline discard the column, and at scale the fan-out
+    count is a second window pass over every candidate pair).
 
     Output: (doc_a, doc_b, jaccard, verified[, n_cand_a]) — false-positive
     candidates survive with ``verified = false``, making the precision of
@@ -383,16 +387,17 @@ def minhash_verified_pairs(
     extra_cols: list[str] = []
     if per_doc_cap is not None:
         w = Window.partitionBy("doc_a")
+        cands = cands.withColumn(
+            "_rk", F.row_number().over(w.orderBy(F.col("doc_b").asc()))
+        )
+        if report_fanout:
+            cands = cands.withColumn("n_cand_a", F.count(F.lit(1)).over(w))
+            extra_cols = ["n_cand_a"]
         cands = (
-            cands.withColumn(
-                "_rk", F.row_number().over(w.orderBy(F.col("doc_b").asc()))
-            )
-            .withColumn("n_cand_a", F.count(F.lit(1)).over(w))
-            .filter(F.col("_rk") <= per_doc_cap)
+            cands.filter(F.col("_rk") <= per_doc_cap)
             .drop("_rk")
             .localCheckpoint(eager=False)
         )
-        extra_cols = ["n_cand_a"]
     cand_docs = (
         cands.select(F.col("doc_a").alias(id_col))
         .union(cands.select(F.col("doc_b").alias(id_col)))

@@ -737,7 +737,7 @@ def _collapsed_pipeline(
     vp = dedup.minhash_verified_pairs(
         reps_docs, threshold=VERIFY_THRESHOLD,
         num_hashes=NUM_HASHES, bands=BANDS, seed=SEED,
-        per_doc_cap=per_doc_cap,
+        per_doc_cap=per_doc_cap, report_fanout=False,  # column unused here
     ).filter(F.col("verified"))
     labels = dedup.dup_clusters(vp)
     return (

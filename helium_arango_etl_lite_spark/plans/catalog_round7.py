@@ -370,3 +370,84 @@ def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_tokens").cast("long").alias("new_tokens"),
         F.sum("new_tokens").over(w).cast("long").alias("cum_vocab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# train/val/test split leakage guard
+# ---------------------------------------------------------------------------
+
+from .catalog_llm import _BASE_HASH_CTE, _sig_exprs  # noqa: E402
+
+_LEAK_SIG_KEY = " || ':' || ".join(f"sig_{i}" for i in range(6))
+
+_LEAKAGE_SQL = (
+    "WITH " + _BASE_HASH_CTE
+    + ", sig AS (SELECT doc_id, " + ", ".join(_sig_exprs()) + " FROM hs),"
+    + f"""
+b AS (SELECT doc_id, {_LEAK_SIG_KEY} AS fp,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+                 AS bucket
+      FROM sig),
+s AS (SELECT doc_id, fp,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b),
+g AS (SELECT fp,
+             array_to_string(list_sort(list_distinct(list(split))), ',')
+                 AS splits_key,
+             count(DISTINCT split) AS ns,
+             count(*) AS n_docs
+      FROM s GROUP BY fp)
+SELECT splits_key, count(*)::BIGINT AS n_groups,
+       sum(n_docs)::BIGINT AS n_docs_leaked
+FROM g WHERE ns > 1 GROUP BY splits_key"""
+)
+
+
+@register(
+    "llm_split_leakage_check",
+    _LEAKAGE_SQL,
+    doc="Train/val/test contamination guard: after the hash-bucket split "
+        "(same 80/10/10 rule as llm_dataset_split), any MinHash-"
+        "signature-identical duplicate group whose members straddle "
+        "splits is leaked evaluation data — the signature key catches "
+        "near-verbatim duplicates that an md5-exact key misses (on this "
+        "corpus md5-level leakage is zero at sf<=0.01 while signature-"
+        "level leakage exists at every sf, which is the point of "
+        "checking). Reports, per combination of splits touched, the "
+        "leaked group and document counts; remediation is to re-home "
+        "whole groups (split by the GROUP's min-id hash, not the "
+        "doc's). Scale shape: the signature is the per-row zero-shuffle "
+        "map stage shared with the dedup entries, then ONE fp-keyed "
+        "partial-agg shuffle and a <= 4-row readout — a linear guard "
+        "cheap enough to run on every corpus build.",
+    tags=("llm", "sampling", "dedup"),
+)
+def llm_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash32 as _h32
+    from ..operators.llm.dedup import minhash_signature_df
+    from .catalog_llm import NUM_HASHES, SEED
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature_df(docs, num_hashes=NUM_HASHES, seed=SEED)
+    fp = F.concat_ws(":", *[F.col(f"sig_{i}") for i in range(6)])
+    bucket = _h32(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    s = sig.select(fp.alias("fp"), split.alias("split"))
+    g = s.groupBy("fp").agg(
+        F.collect_set("split").alias("cs"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        g.filter(F.size("cs") > 1)
+        .groupBy(F.array_join(F.array_sort("cs"), ",").alias("splits_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_docs").alias("n_docs_leaked"),
+        )
+    )

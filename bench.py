@@ -83,6 +83,9 @@ HEADLINE = [
     "llm_multimodal_decode_ppm",  # real binary PPM parse in mapInPandas
     "llm_multimodal_decode_wav",  # real RIFF/WAVE chunk-walk parse
     "llm_power_iteration_2",      # top-2 directions via rank-1 deflation
+    "llm_shard_assign",           # rendezvous sharding, zero-shuffle map
+    "llm_vocab_growth",           # shingle-keyed Heaps-law curve
+    "llm_split_leakage_check",    # signature-level split contamination
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow

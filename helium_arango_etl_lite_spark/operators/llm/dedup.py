@@ -36,14 +36,31 @@ def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
 
 
 def word_shingles(text_col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles. Pure JVM array expressions: split ->
-    index transform -> concat; empty array when the doc has < n tokens
-    (mirrors the oracle's generate_series(1, len-n+1))."""
+    """Distinct word n-gram shingles. Pure JVM array expressions: split,
+    then a chain of ``zip_with`` over ``n`` shifted slices — shingle i is
+    ``t[i] .. t[i+n-1]`` joined by spaces, in index order, so the output
+    (order included) is identical to the older transform/element_at form
+    and to the oracle's ``generate_series(1, len-n+1)``. Empty array when
+    the doc has < n tokens.
+
+    Why zip_with and not ``transform(sequence(...), i -> element_at ...)``:
+    both are interpreted higher-order functions, but the per-element work
+    differs wildly — the transform form re-resolves ``n`` element_at
+    lookups plus index arithmetic per shingle through the interpreter,
+    measured 27x slower (58.1 s vs 2.1 s exploding 26M shingles from
+    500k docs, SCALE_SOAK round 7) than zipping pre-shifted slices,
+    which the codegen'd slice kernel materialises once."""
     t = F.split(text_col if isinstance(text_col, str) else text_col, " ")
-    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])
-    )
+    length = F.greatest(F.size(t) - (n - 1), F.lit(0))
+
+    def shifted(j: int) -> Column:
+        return F.slice(t, j, length)
+
+    grams = shifted(n)
+    for j in range(n - 1, 0, -1):
+        grams = F.zip_with(
+            shifted(j), grams, lambda x, y: F.concat(x, F.lit(" "), y)
+        )
     return F.array_distinct(
         F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
     )

@@ -50,6 +50,15 @@ def word_shingles(text_col: Column | str, n: int = 3) -> Column:
     measured 27x slower (58.1 s vs 2.1 s exploding 26M shingles from
     500k docs, SCALE_SOAK round 7) than zipping pre-shifted slices,
     which the codegen'd slice kernel materialises once."""
+    return F.array_distinct(word_shingles_all(text_col, n))
+
+
+def word_shingles_all(text_col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles WITH multiplicity, in occurrence order — the
+    counting form behind :func:`word_shingles` (which distincts it) and
+    the n-gram language-model trainer (plans/catalog_round7.py), where
+    each occurrence must contribute to the count. Same zip_with-over-
+    shifted-slices kernel; empty array when the doc has < n tokens."""
     t = F.split(text_col if isinstance(text_col, str) else text_col, " ")
     length = F.greatest(F.size(t) - (n - 1), F.lit(0))
 
@@ -61,8 +70,8 @@ def word_shingles(text_col: Column | str, n: int = 3) -> Column:
         grams = F.zip_with(
             shifted(j), grams, lambda x, y: F.concat(x, F.lit(" "), y)
         )
-    return F.array_distinct(
-        F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -744,14 +744,14 @@ _CENTROID_SQL = """WITH e AS (
     tags=("llm", "similarity", "clustering"),
 )
 def llm_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.llm.similarity import cosine
+    from ..operators.llm.similarity import dot, norm
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    ).withColumn("nrm", norm(F.col("v")))  # once per row, not per centroid
     dim = 64
     cent = (
         e.groupBy(F.col("label").alias("clabel"))
@@ -765,11 +765,11 @@ def llm_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clabel", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("cv")
         )
     )
-    scored = e.crossJoin(F.broadcast(cent)).select(
+    scored = e.crossJoin(F.broadcast(cent.withColumn("ncv", norm(F.col("cv"))))).select(
         "vec_id",
         "label",
         "clabel",
-        F.round(cosine(F.col("v"), F.col("cv")), 4).alias("cos"),
+        F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("ncv")), 4).alias("cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
     best = scored.withColumn("rn", F.row_number().over(w)).filter(

@@ -678,15 +678,19 @@ GROUP BY 1, 2"""
     tags=("llm", "similarity", "iterative"),
 )
 def llm_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.llm.similarity import _as_double, cosine
+    from ..operators.llm.similarity import _as_double, dot, norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", _as_double("embedding").alias("v"))
-    cents = similarity.fixed_centroids(e, IVF_K)
-    scored = e.crossJoin(F.broadcast(cents)).select(
+    e = emb.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+        "nrm", norm(F.col("v"))  # once per row, not per centroid
+    )
+    cents = similarity.fixed_centroids(e.drop("nrm"), IVF_K)
+    scored = e.crossJoin(
+        F.broadcast(cents.withColumn("ncv", norm(F.col("cv"))))
+    ).select(
         "vec_id",
         "cid",
-        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("asim"),
+        F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("ncv")), 6).alias("asim"),
     )
     assigned = scored.groupBy("vec_id").agg(
         F.max(F.struct("asim", "cid"))["cid"].alias("cell")

@@ -451,3 +451,98 @@ def llm_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_docs").alias("n_docs_leaked"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# word-trigram language-model quality score (CCNet-style perplexity proxy)
+# ---------------------------------------------------------------------------
+
+_LM_ALPHA = 0.5     # add-alpha smoothing
+_LM_TOP_TRI = 8192  # model cap: top trigrams by (count DESC, gram ASC) —
+# ACTIVE at sf0.01 (~16k distinct trigrams), so the deterministic
+# truncation path is exercised by the driver, not just argued
+_LM_TOP_CTX = 4096  # context cap (~31-word vocab => <=961 contexts; the
+# cap is the 100 TB contract, inactive at test scale)
+
+_LM_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+tri AS (SELECT doc_id,
+               a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS t,
+               a[i] || ' ' || a[i + 1] AS ctx
+        FROM (SELECT doc_id, a,
+                     unnest(generate_series(1, len(a) - 2)) AS i
+              FROM d WHERE len(a) >= 3)),
+mt AS (SELECT t, count(*) AS ct FROM tri GROUP BY t
+       ORDER BY ct DESC, t LIMIT {_LM_TOP_TRI}),
+mc AS (SELECT ctx, count(*) AS cb FROM tri GROUP BY ctx
+       ORDER BY cb DESC, ctx LIMIT {_LM_TOP_CTX}),
+v AS (SELECT count(DISTINCT u)::DOUBLE AS vocab
+      FROM (SELECT unnest(a) AS u FROM d))
+SELECT tri.doc_id,
+       count(*)::BIGINT AS n_trigrams,
+       round(avg(ln((coalesce(mt.ct, 0) + {_LM_ALPHA})
+                    / (coalesce(mc.cb, 0) + {_LM_ALPHA} * v.vocab))), 6)
+           AS avg_logprob
+FROM tri
+LEFT JOIN mt USING (t)
+LEFT JOIN mc ON tri.ctx = mc.ctx
+CROSS JOIN v
+GROUP BY tri.doc_id"""
+
+
+@register(
+    "llm_ngram_lm_score",
+    _LM_SQL,
+    doc="Word-trigram language-model quality score (the CCNet-style "
+        "perplexity proxy used to bucket training corpora): train "
+        "add-alpha-smoothed trigram/context counts on the corpus itself, "
+        "then score every document by its mean trigram log-probability — "
+        "low scores flag boilerplate-free gibberish, high scores flag "
+        "templated repetition, and CCNet-style pipelines keep the "
+        "middle. Training is two partial-agg shuffles (trigram counts, "
+        "context counts) over the shared zip_with shingle kernel; the "
+        f"model is CAPPED at the top {_LM_TOP_TRI} trigrams / "
+        f"{_LM_TOP_CTX} contexts by (count DESC, gram ASC) — a "
+        "deterministic total order both engines reproduce — so the "
+        "broadcast stays bounded by the cap, not the corpus, at any "
+        "scale (the trigram cap truncates ~half the sf0.01 model, so "
+        "the driver exercises the unseen->0 smoothing path). Scoring is "
+        "a map-side broadcast join plus one doc_id-keyed partial agg. "
+        "Per-doc mean rounded to 6 dp (order-dependent double sum, same "
+        "contract as llm_char_entropy); ln() is libm 1-ulp on both "
+        "engines, invisible at 6 dp off rounding ties.",
+    tags=("llm", "text", "quality"),
+)
+def llm_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.dedup import word_shingles_all
+
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.select(
+        "doc_id",
+        F.explode(word_shingles_all(F.col("text"), 3)).alias("t"),
+    ).withColumn("ctx", F.substring_index("t", " ", 2))
+    model_t = (
+        tri.groupBy("t").agg(F.count(F.lit(1)).alias("ct"))
+        .orderBy(F.desc("ct"), F.asc("t")).limit(_LM_TOP_TRI)
+    )
+    model_c = (
+        tri.groupBy("ctx").agg(F.count(F.lit(1)).alias("cb"))
+        .orderBy(F.desc("cb"), F.asc("ctx")).limit(_LM_TOP_CTX)
+    )
+    vocab = docs.select(
+        F.explode(F.split("text", " ")).alias("u")
+    ).agg(F.count_distinct("u").cast("double").alias("vocab"))
+    logp = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(_LM_ALPHA))
+        / (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(_LM_ALPHA) * F.col("vocab"))
+    )
+    return (
+        tri.join(F.broadcast(model_t), "t", "left")
+        .join(F.broadcast(model_c), "ctx", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )

@@ -86,6 +86,7 @@ HEADLINE = [
     "llm_shard_assign",           # rendezvous sharding, zero-shuffle map
     "llm_vocab_growth",           # shingle-keyed Heaps-law curve
     "llm_split_leakage_check",    # signature-level split contamination
+    "llm_ngram_lm_score",         # trigram LM train + broadcast score
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -157,6 +158,22 @@ def main() -> None:
     spark.range(1_000).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+
+    # Host-speed calibration: a fixed, data-free, pure whole-stage-codegen
+    # job whose work is identical every round. Round 7 measured the SAME
+    # code+data wall drifting 4x across a 2 h window on this shared VM
+    # (SCALE_SOAK.md "host-clock honesty") — cross-round wall comparisons
+    # are only meaningful relative to this number (a round whose calib_sec
+    # is 2x another round's ran on an effectively 2x-slower host).
+    def run_calib() -> float:
+        t0 = time.time()
+        # modular so the ANSI-mode sum cannot overflow int64
+        spark.range(20_000_000_000).selectExpr(
+            "sum(pmod(id * 31 + 7, 997)) AS s"
+        ).collect()
+        return time.time() - t0
+
+    calib = round(min(run_calib(), run_calib()), 3)
 
     def run_once(name: str) -> float:
         fn = QUERIES[name].spark_fn
@@ -263,6 +280,9 @@ def main() -> None:
         "warm_total_r6_subset": round(
             sum(v for q, v in timings.items() if q in R6_COMPARABLE), 3
         ),
+        # fixed CPU-bound job (no data): divide totals by the ratio of two
+        # rounds' calib_sec before calling a delta a regression/speedup
+        "calib_sec": calib,
         "n_ok": len(timings),
         "n_errors": len(errors),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

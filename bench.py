@@ -86,7 +86,7 @@ HEADLINE = [
     "llm_shard_assign",           # rendezvous sharding, zero-shuffle map
     "llm_vocab_growth",           # shingle-keyed Heaps-law curve
     "llm_split_leakage_check",    # signature-level split contamination
-    "llm_ngram_lm_score",         # trigram LM train + broadcast score
+    "llm_trigram_lm_score",       # capped trigram LM train + broadcast score
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow

@@ -491,10 +491,12 @@ GROUP BY tri.doc_id"""
 
 
 @register(
-    "llm_ngram_lm_score",
+    "llm_trigram_lm_score",
     _LM_SQL,
     doc="Word-trigram language-model quality score (the CCNet-style "
-        "perplexity proxy used to bucket training corpora): train "
+        "perplexity proxy used to bucket training corpora; the round-3 "
+        "llm_ngram_lm_score is the add-one BIGRAM form — this one adds a "
+        "context model and a bounded-cap contract): train "
         "add-alpha-smoothed trigram/context counts on the corpus itself, "
         "then score every document by its mean trigram log-probability — "
         "low scores flag boilerplate-free gibberish, high scores flag "
@@ -513,7 +515,7 @@ GROUP BY tri.doc_id"""
         "engines, invisible at 6 dp off rounding ties.",
     tags=("llm", "text", "quality"),
 )
-def llm_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.llm.dedup import word_shingles_all
 
     docs = load_table(spark, sf_dir, "documents")

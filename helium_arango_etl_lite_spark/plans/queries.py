@@ -25,7 +25,7 @@ queries, so it was removed on advisor direction).
 
 Round-7 batch (applied): the 7 brand-new round-7 entries (real PPM/WAV
 decode, top-2 power iteration, rendezvous sharding, vocab growth, split
-leakage guard, trigram LM score — never driver-verified), then 43
+leakage guard, capped trigram LM score — never driver-verified), then 43
 re-check slots in least-recently-verified order: the 28 entries whose
 last driver row is round 3 (the oldest in the catalog after round 6
 re-checked the r3-era core set), then the 15 oldest r4-era entries.
@@ -54,7 +54,7 @@ DRIVER_BATCH: list[str] = [
     "llm_shard_assign",
     "llm_vocab_growth",
     "llm_split_leakage_check",
-    "llm_ngram_lm_score",
+    "llm_trigram_lm_score",
     # -- re-check slots (28): last driver row is round 3 — the oldest
     #    entries in the catalog ----------------------------------------
     "topk_accounts",

@@ -95,9 +95,20 @@ QUERIES: dict[str, QuerySpec] = {}
 
 
 def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
-    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the catalog."""
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the catalog.
+
+    Duplicate names raise at import: ``QUERIES[name] = ...`` silently
+    dropped an entry once (round 7 briefly shadowed the round-3
+    ``llm_ngram_lm_score`` with a new entry of the same name, removing
+    the older query from the public catalog with every test still
+    green) — a registration that evicts another must be impossible."""
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate catalog registration: {name!r} is already "
+                f"registered; pick a distinct name"
+            )
         QUERIES[name] = QuerySpec(name=name, spark_fn=fn, oracle=oracle, doc=doc, tags=tags)
         return fn
 

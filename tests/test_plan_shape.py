@@ -575,3 +575,16 @@ def test_exact_median_refine_pushes_range_to_scan(spark, sf_dir):
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "l_extendedprice" in pushed
     assert "TakeOrderedAndProject" in plan
+
+
+def test_trigram_lm_broadcasts_model_and_vocab(spark, sf_dir):
+    # the LM model is bounded by its top-M cap, never by the corpus —
+    # the scoring join must be broadcast, and the 1-row vocab scalar a
+    # broadcast nested loop, or a 100 TB corpus shuffles itself against
+    # an 8k-row model
+    plan = plan_of(spark, sf_dir, "llm_trigram_lm_score")
+    assert plan.count("BroadcastHashJoin") >= 2  # trigram + context model
+    assert "BroadcastNestedLoopJoin" in plan     # 1-row vocab crossJoin
+    assert "SortMergeJoin" not in plan
+    # model build is top-M, not a global sort
+    assert "TakeOrderedAndProject" in plan

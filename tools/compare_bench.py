@@ -1,0 +1,81 @@
+"""Drift-normalized comparison of two bench.py result files.
+
+Round 7 measured the SAME code+data walls drifting up to 4x across a
+2 h window on the shared VM (SCALE_SOAK.md "host-clock honesty"), so a
+raw BENCH_rN vs BENCH_rM delta conflates engine changes with host
+speed. bench.py emits ``calib_sec`` — a fixed, data-free whole-stage-
+codegen job — precisely so the comparison can divide it out:
+
+    normalized_delta(q) = (new[q] / old[q]) / (new_calib / old_calib)
+
+i.e. "how much did the query change relative to how much the host
+changed". Older BENCH files (r1-r6) predate calib_sec; without it on
+both sides the tool falls back to raw ratios and says so.
+
+Usage: python tools/compare_bench.py OLD.json NEW.json [top_n]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        raise SystemExit(2)
+    def load(path: str) -> dict:
+        d = json.load(open(path))
+        # the driver's BENCH_r*.json wraps bench.py's line under "parsed"
+        return d.get("parsed", d)
+
+    old = load(sys.argv[1])
+    new = load(sys.argv[2])
+    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    calib_ratio = None
+    if old.get("calib_sec") and new.get("calib_sec"):
+        calib_ratio = new["calib_sec"] / old["calib_sec"]
+        print(
+            f"calib: {old['calib_sec']:.2f}s -> {new['calib_sec']:.2f}s "
+            f"(host ratio {calib_ratio:.2f}x; query ratios below are "
+            f"divided by this)"
+        )
+    else:
+        print(
+            "calib_sec missing on one side — RAW ratios below include "
+            "host drift (round 7 measured up to 4x); interpret with care"
+        )
+
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    shared = sorted(set(oq) & set(nq))
+    rows = []
+    for q in shared:
+        if oq[q] <= 0:
+            continue
+        ratio = nq[q] / oq[q]
+        if calib_ratio:
+            ratio /= calib_ratio
+        rows.append((ratio, q, oq[q], nq[q]))
+
+    o_tot = sum(oq[q] for _, q, _, _ in rows)
+    n_tot = sum(nq[q] for _, q, _, _ in rows)
+    tot_ratio = (n_tot / o_tot) / (calib_ratio or 1.0) if o_tot else float("nan")
+    label = "normalized" if calib_ratio else "raw"
+    print(
+        f"shared queries: {len(rows)}; total {o_tot:.1f}s -> {n_tot:.1f}s "
+        f"({label} ratio {tot_ratio:.2f}x)"
+    )
+
+    rows.sort()
+    print(f"\ntop {top_n} improvements ({label} ratio, old -> new sec):")
+    for ratio, q, o, n in rows[:top_n]:
+        print(f"  {ratio:5.2f}x  {q}  {o:.2f} -> {n:.2f}")
+    print(f"\ntop {top_n} regressions:")
+    for ratio, q, o, n in rows[: -top_n - 1 : -1]:
+        print(f"  {ratio:5.2f}x  {q}  {o:.2f} -> {n:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -548,3 +548,170 @@ def llm_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(logp), 6).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental corpus dedup: new batch vs history through a broadcast Bloom
+# ---------------------------------------------------------------------------
+
+_IBF_BITS = 1024  # deliberately tight at sf0.01 (~1200 set bits) so false
+# positives OCCUR and the measured fp_rate is non-trivial; production
+# sizes bits to the history cardinality (the packed-word layout is ~the
+# same size either way relative to the corpus)
+_IBF_HASHES = 3
+
+
+def _ibf_hash_sql(expr: str, i: int) -> str:
+    from ..functions.hashing import hash32_oracle_sql
+
+    salted = expr + " || ':ibf" + str(i) + "'"
+    return f"({hash32_oracle_sql(salted)} % {_IBF_BITS})"
+
+
+def _ibloom_sql() -> str:
+    from .catalog_llm import _BASE_HASH_CTE, _sig_exprs
+
+    build_hashes = ", ".join(
+        _ibf_hash_sql("fp", i) for i in range(_IBF_HASHES)
+    )
+    probe_hashes = ", ".join(
+        f"{_ibf_hash_sql('n.fp', i)} AS h{i}" for i in range(_IBF_HASHES)
+    )
+    word_joins = " ".join(
+        f"LEFT JOIN words w{i} ON w{i}.widx = pr.h{i} // 32"
+        for i in range(_IBF_HASHES)
+    )
+    probe_pass = " AND ".join(
+        f"(coalesce(w{i}.wv, 0) & (1::BIGINT << (pr.h{i} % 32))) <> 0"
+        for i in range(_IBF_HASHES)
+    )
+    return (
+        "WITH " + _BASE_HASH_CTE
+        + ", sig AS (SELECT doc_id, " + ", ".join(_sig_exprs()) + " FROM hs),"
+        + f"""
+keyed AS (SELECT doc_id, {_LEAK_SIG_KEY} AS fp FROM sig),
+hist AS (SELECT fp FROM keyed WHERE doc_id % 5 <> 0),
+newb AS (SELECT doc_id, fp FROM keyed WHERE doc_id % 5 = 0),
+bits_t AS (SELECT DISTINCT unnest([{build_hashes}]) AS bit FROM hist),
+words AS (SELECT bit // 32 AS widx,
+                 bit_or(1::BIGINT << (bit % 32)) AS wv
+          FROM bits_t GROUP BY 1),
+truth AS (SELECT DISTINCT fp FROM hist),
+pr AS (SELECT n.doc_id, n.fp, {probe_hashes} FROM newb n),
+probe AS (SELECT pr.doc_id,
+                 ({probe_pass}) AS bloom_pass,
+                 t.fp IS NOT NULL AS is_dup
+          FROM pr
+          {word_joins}
+          LEFT JOIN truth t ON t.fp = pr.fp)
+SELECT count(*)::BIGINT AS n_new,
+       sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_true_dup,
+       sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+       sum(CASE WHEN NOT bloom_pass THEN 1 ELSE 0 END)::BIGINT
+         AS n_definitely_new,
+       sum(CASE WHEN bloom_pass AND NOT is_dup THEN 1 ELSE 0 END)::BIGINT
+         AS n_false_pos,
+       round(sum(CASE WHEN bloom_pass AND NOT is_dup THEN 1 ELSE 0 END)
+             / greatest(1, sum(CASE WHEN NOT is_dup THEN 1 ELSE 0 END))::DOUBLE,
+             6) AS fp_rate
+FROM probe"""
+    )
+
+
+@register(
+    "llm_incremental_dedup_bloom",
+    _ibloom_sql(),
+    doc="Incremental corpus dedup, the shape every continuously-crawled "
+        "training corpus needs: dedup a NEW batch (doc_id % 5 = 0) "
+        "against the HISTORY corpus (the other 80%) WITHOUT joining the "
+        "new batch to all of history. History's MinHash-signature keys "
+        "(near-verbatim duplicate identity — signature-level duplicates "
+        "straddle any split at every sf, so the true-dup path is "
+        "exercised where an md5-exact key would measure zero) build a "
+        f"{_IBF_BITS}-bit Bloom packed into <= {_IBF_BITS // 32} "
+        "(widx, word) rows, broadcast everywhere; each new doc tests "
+        f"{_IBF_HASHES} positions with O(1) word lookups. "
+        "Bloom-negative docs are DEFINITELY new (no false negatives by "
+        "construction — pinned by n_pass >= n_true_dup) and skip the "
+        "verify join entirely; only bloom-passers reach the exact "
+        "fp-keyed join, so at 100 TB the join processes "
+        "n_true_dup + fp_rate * n_new rows instead of n_new. The entry "
+        "reports the monitoring row a deployment watches: batch size, "
+        "true dups, bloom passes, definite-news, false positives, and "
+        "the measured fp_rate (the bits-per-key dial; deliberately "
+        "tight here so the rate is non-trivial at sf0.01). Same "
+        "packed-word kernel as join_bloom_prefilter (13.6x vs "
+        "array-scan probing, SCALE_SOAK.md); hashes are md5-derived so "
+        "DuckDB reproduces every bit.",
+    tags=("llm", "dedup", "sketch", "streaming"),
+)
+def llm_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash32
+    from ..operators.llm.dedup import minhash_signature_df
+    from .catalog_llm import NUM_HASHES, SEED
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature_df(docs, num_hashes=NUM_HASHES, seed=SEED)
+    keyed = sig.select(
+        "doc_id",
+        F.concat_ws(":", *[F.col(f"sig_{i}") for i in range(NUM_HASHES)]).alias("fp"),
+    )
+    hist = keyed.filter(F.col("doc_id") % 5 != 0).select("fp")
+    newb = keyed.filter(F.col("doc_id") % 5 == 0)
+
+    def ibf_hash(col, i: int):
+        return hash32(F.concat(col, F.lit(f":ibf{i}"))) % _IBF_BITS
+
+    bits_t = hist.select(
+        F.explode(
+            F.array(*[ibf_hash(F.col("fp"), i) for i in range(_IBF_HASHES)])
+        ).alias("bit")
+    ).distinct()
+    words = bits_t.groupBy(F.expr("bit div 32").alias("widx")).agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))"))
+        .alias("wv")
+    )
+    truth = hist.distinct().withColumnRenamed("fp", "t_fp")
+
+    pr = newb.select(
+        "doc_id", "fp",
+        *[ibf_hash(F.col("fp"), i).alias(f"h{i}") for i in range(_IBF_HASHES)],
+    )
+    for i in range(_IBF_HASHES):
+        wi = words.select(
+            F.col("widx").alias(f"widx{i}"), F.col("wv").alias(f"wv{i}")
+        )
+        pr = pr.join(
+            F.broadcast(wi),
+            F.expr(f"h{i} div 32") == F.col(f"widx{i}"),
+            "left",
+        )
+    pass_expr = None
+    for i in range(_IBF_HASHES):
+        bit_set = (
+            F.coalesce(F.col(f"wv{i}"), F.lit(0)).bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(h{i} % 32 AS INT))")
+            )
+            != 0
+        )
+        pass_expr = bit_set if pass_expr is None else (pass_expr & bit_set)
+    probe = pr.join(truth, F.col("fp") == F.col("t_fp"), "left").select(
+        "doc_id",
+        pass_expr.alias("bloom_pass"),
+        F.col("t_fp").isNotNull().alias("is_dup"),
+    )
+    return probe.agg(
+        F.count("*").cast("long").alias("n_new"),
+        F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_true_dup"),
+        F.sum(F.col("bloom_pass").cast("long")).cast("long").alias("n_pass"),
+        F.sum((~F.col("bloom_pass")).cast("long")).cast("long")
+        .alias("n_definitely_new"),
+        F.sum((F.col("bloom_pass") & ~F.col("is_dup")).cast("long"))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.round(
+            F.sum((F.col("bloom_pass") & ~F.col("is_dup")).cast("long"))
+            / F.greatest(F.lit(1), F.sum((~F.col("is_dup")).cast("long"))),
+            6,
+        ).alias("fp_rate"),
+    )

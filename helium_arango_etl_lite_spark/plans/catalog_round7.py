@@ -554,18 +554,31 @@ def llm_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # incremental corpus dedup: new batch vs history through a broadcast Bloom
 # ---------------------------------------------------------------------------
 
-_IBF_BITS = 1024  # deliberately tight at sf0.01 (~1200 set bits) so false
-# positives OCCUR and the measured fp_rate is non-trivial; production
-# sizes bits to the history cardinality (the packed-word layout is ~the
-# same size either way relative to the corpus)
 _IBF_HASHES = 3
+# filter size ADAPTS to history cardinality: bits = max(1024,
+# 2^bitlength(2*n_keys - 1)) where n_keys counts DISTINCT history keys —
+# the Bloom inserts distinct keys, so sizing on rows would oversize the
+# filter whenever history carries internal duplicates (the x100 soak
+# fixture showed exactly that: 400k rows but 5k distinct keys made a
+# row-sized filter 200x too big and fp_rate degenerate-zero).
+# ~2-4 bits per key is deliberately tight so
+# the measured fp_rate stays non-trivial (~0.3) at EVERY scale while the
+# packed word table stays ~n_hist/16 longs; production turns the same
+# dial the other way (10 bits/key -> fp ~1%). The formula is exact
+# integer arithmetic both engines reproduce: Python bit_length() ==
+# DuckDB length(bin(x)) for x >= 1.
+_IBF_BITS_SQL = "(SELECT greatest(1024, 1 << length(bin(greatest(2 * count(DISTINCT fp) - 1, 1)))) FROM hist)"
+
+
+def _ibf_bits_py(n_hist: int) -> int:
+    return max(1024, 1 << max(2 * n_hist - 1, 1).bit_length())
 
 
 def _ibf_hash_sql(expr: str, i: int) -> str:
     from ..functions.hashing import hash32_oracle_sql
 
     salted = expr + " || ':ibf" + str(i) + "'"
-    return f"({hash32_oracle_sql(salted)} % {_IBF_BITS})"
+    return f"({hash32_oracle_sql(salted)} % {_IBF_BITS_SQL})"
 
 
 def _ibloom_sql() -> str:
@@ -628,8 +641,9 @@ FROM probe"""
         "(near-verbatim duplicate identity — signature-level duplicates "
         "straddle any split at every sf, so the true-dup path is "
         "exercised where an md5-exact key would measure zero) build a "
-        f"{_IBF_BITS}-bit Bloom packed into <= {_IBF_BITS // 32} "
-        "(widx, word) rows, broadcast everywhere; each new doc tests "
+        "Bloom sized to the DISTINCT history keys (bits = "
+        "2^ceil(log2(2*n_keys)), one bounded count action) packed into <= bits/32 (widx, word) "
+        "rows, broadcast everywhere; each new doc tests "
         f"{_IBF_HASHES} positions with O(1) word lookups. "
         "Bloom-negative docs are DEFINITELY new (no false negatives by "
         "construction — pinned by n_pass >= n_true_dup) and skip the "
@@ -638,8 +652,10 @@ FROM probe"""
         "n_true_dup + fp_rate * n_new rows instead of n_new. The entry "
         "reports the monitoring row a deployment watches: batch size, "
         "true dups, bloom passes, definite-news, false positives, and "
-        "the measured fp_rate (the bits-per-key dial; deliberately "
-        "tight here so the rate is non-trivial at sf0.01). Same "
+        "the measured fp_rate (~0.3 at every scale by construction: "
+        "the 2-4-bits-per-key sizing is deliberately tight so the FP "
+        "path stays exercised; production picks ~10 bits/key for ~1%). "
+        "Same "
         "packed-word kernel as join_bloom_prefilter (13.6x vs "
         "array-scan probing, SCALE_SOAK.md); hashes are md5-derived so "
         "DuckDB reproduces every bit.",
@@ -659,8 +675,14 @@ def llm_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = keyed.filter(F.col("doc_id") % 5 != 0).select("fp")
     newb = keyed.filter(F.col("doc_id") % 5 == 0)
 
+    # bounded control plane: ONE distinct-count (a single long to the
+    # driver) sizes the filter; the oracle mirrors it with a scalar
+    # subquery over DISTINCT fp
+    n_keys = hist.select(F.count_distinct("fp")).collect()[0][0]
+    bits = _ibf_bits_py(n_keys)
+
     def ibf_hash(col, i: int):
-        return hash32(F.concat(col, F.lit(f":ibf{i}"))) % _IBF_BITS
+        return hash32(F.concat(col, F.lit(f":ibf{i}"))) % bits
 
     bits_t = hist.select(
         F.explode(

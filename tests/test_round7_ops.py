@@ -205,3 +205,33 @@ def test_power_iteration_2_components_are_consistent(spark, sf_dir):
     assert math.isclose(float(np.linalg.norm(v1)), 1.0, abs_tol=1e-4)
     assert math.isclose(float(np.linalg.norm(v2)), 1.0, abs_tol=1e-4)
     assert abs(float(v1 @ v2)) < 0.05
+
+
+def test_ibf_bits_formula_matches_duckdb_bin_length():
+    """The Bloom size formula must be bit-identical across engines:
+    Python's (2n-1).bit_length() vs DuckDB's length(bin(2n-1)) — a
+    divergence silently desynchronizes every hash position."""
+    import duckdb
+
+    from helium_arango_etl_lite_spark.plans.catalog_round7 import _ibf_bits_py
+
+    for n in [0, 1, 2, 3, 400, 511, 512, 513, 4000, 5000, 400_000]:
+        duck = duckdb.sql(
+            f"SELECT greatest(1024, 1 << length(bin(greatest(2 * {n} - 1, 1))))"
+        ).fetchone()[0]
+        assert _ibf_bits_py(n) == duck, n
+
+
+def test_incremental_bloom_invariants(spark, sf_dir):
+    """No false negatives (every true dup bloom-passes), counts add up,
+    and the join-shear is real (some docs skip the verify join)."""
+    r = (
+        QUERIES["llm_incremental_dedup_bloom"]
+        .spark_fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert r.n_pass + r.n_definitely_new == r.n_new
+    assert r.n_pass >= r.n_true_dup          # no false negatives
+    assert r.n_false_pos == r.n_pass - r.n_true_dup
+    assert r.n_definitely_new > 0            # the shear pays for itself
+    assert r.n_true_dup > 0                  # signature key finds real dups

@@ -647,14 +647,17 @@ FROM probe"""
         f"{_IBF_HASHES} positions with O(1) word lookups. "
         "Bloom-negative docs are DEFINITELY new (no false negatives by "
         "construction — pinned by n_pass >= n_true_dup) and skip the "
-        "verify join entirely; only bloom-passers reach the exact "
-        "fp-keyed join, so at 100 TB the join processes "
-        "n_true_dup + fp_rate * n_new rows instead of n_new. The entry "
-        "reports the monitoring row a deployment watches: batch size, "
-        "true dups, bloom passes, definite-news, false positives, and "
-        "the measured fp_rate (~0.3 at every scale by construction: "
-        "the 2-4-bits-per-key sizing is deliberately tight so the FP "
-        "path stays exercised; production picks ~10 bits/key for ~1%). "
+        "verify join entirely in the production shape "
+        "(filter(bloom_pass) before the join), which therefore "
+        "processes n_true_dup + fp_rate * n_new rows instead of n_new. "
+        "This REGISTERED entry instruments BOTH paths — it joins every "
+        "new doc to truth so the false-positive rate is measurable; "
+        "the monitoring row it reports (batch size, true dups, bloom "
+        "passes, definite-news, false positives, fp_rate) is what a "
+        "deployment watches to know the shear is still paying. The "
+        "2-4-bits-per-key sizing is deliberately tight so the FP path "
+        "stays exercised (measured 0.30 at sf0.01, 0.43 at sf0.1 and "
+        "x100 — SCALE_SOAK.md); production picks ~10 bits/key for ~1%. "
         "Same "
         "packed-word kernel as join_bloom_prefilter (13.6x vs "
         "array-scan probing, SCALE_SOAK.md); hashes are md5-derived so "

@@ -211,3 +211,65 @@ def test_bm25_ranks_higher_tf_higher(spark):
     got = bm25_search(df, ["spark"], k=10).collect()
     assert [r["doc_id"] for r in got] == [2, 1, 0]
     assert got[0]["bm25"] > got[1]["bm25"] > got[2]["bm25"] > 0
+
+
+word = st.text(alphabet="abcx", min_size=1, max_size=3)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(word, min_size=0, max_size=12), min_size=1, max_size=6))
+def test_word_shingles_all_matches_reference(spark, docs):
+    """The zip_with shingle kernel must equal the naive Python reference
+    IN ORDER and WITH MULTIPLICITY (the LM trainer counts occurrences),
+    and word_shingles must be exactly its order-preserving dedup."""
+    from helium_arango_etl_lite_spark.operators.llm.dedup import (
+        word_shingles, word_shingles_all,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["all"], r["dedup"])
+        for r in df.select(
+            "doc_id",
+            word_shingles_all(F.col("text"), 3).alias("all"),
+            word_shingles(F.col("text"), 3).alias("dedup"),
+        ).collect()
+    }
+    for i, toks in enumerate(docs):
+        # NOTE: split(" ") on "" yields [""], matching Spark's split —
+        # the reference must tokenize identically
+        ref_toks = " ".join(toks).split(" ")
+        ref = [
+            " ".join(ref_toks[j : j + 3]) for j in range(len(ref_toks) - 2)
+        ]
+        assert got[i][0] == ref, (toks, got[i][0], ref)
+        seen: list[str] = []
+        for s in ref:
+            if s not in seen:
+                seen.append(s)
+        assert got[i][1] == seen
+
+
+def test_trigram_lm_smoothing_bounds(spark, sf_dir):
+    """Every per-doc mean log-prob must lie in (ln(a/(T + a*V)), 0):
+    the worst single trigram is an unseen gram (ct=0, possibly cap-
+    truncated) under the most common context (cb <= T, the total
+    trigram occurrences), and the ceiling is strict because cb >= ct
+    and a*V > a."""
+    import math
+
+    from helium_arango_etl_lite_spark.plans.catalog_round7 import _LM_ALPHA
+    from helium_arango_etl_lite_spark.plans.queries import QUERIES
+
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = docs_tbl.select(
+        F.explode(F.split("text", " ")).alias("u")
+    ).distinct().count()
+
+    rows = QUERIES["llm_trigram_lm_score"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    total_tri = sum(r["n_trigrams"] for r in rows)
+    floor = math.log(_LM_ALPHA / (total_tri + _LM_ALPHA * vocab))
+    for r in rows:
+        assert floor - 1e-9 < r["avg_logprob"] < 0.0, r

@@ -88,6 +88,7 @@ HEADLINE = [
     "llm_split_leakage_check",    # signature-level split contamination
     "llm_trigram_lm_score",       # capped trigram LM train + broadcast score
     "llm_incremental_dedup_bloom",  # new-batch-vs-history bloom shear
+    "events_resample_interp",     # regular-grid resample, fused windows
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow

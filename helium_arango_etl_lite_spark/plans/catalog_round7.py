@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..operators.llm import multimodal as mm
 from .catalog_round6 import _round_half_up
-from .registry import load_table, register
+from .registry import EVENTS_NORM, load_events, load_table, register
 
 # ---------------------------------------------------------------------------
 # real PPM decode
@@ -739,4 +739,150 @@ def llm_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.lit(1), F.sum((~F.col("is_dup")).cast("long"))),
             6,
         ).alias("fp_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-series resample + gap-fill interpolation
+# ---------------------------------------------------------------------------
+
+_RS_STEP = "6"  # hours between grid points: ~30-day span -> ~120 pts/user
+
+_RESAMPLE_SQL = f"""
+WITH {EVENTS_NORM},
+pe AS (SELECT user_id, ts, max_by(value, event_id) AS v
+       FROM events_norm GROUP BY 1, 2),
+b AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM pe GROUP BY 1),
+grid AS (SELECT user_id,
+                unnest(generate_series(date_trunc('day', t0), t1,
+                                       INTERVAL {_RS_STEP} HOUR)) AS ts
+         FROM b),
+u AS (SELECT user_id, ts, v, 0 AS is_grid FROM pe
+      UNION ALL
+      SELECT user_id, ts, NULL::DOUBLE, 1 FROM grid),
+w AS (SELECT user_id, ts, is_grid,
+        last_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, is_grid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, is_grid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, is_grid
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, is_grid
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      FROM u)
+SELECT user_id, ts AS grid_ts,
+       CASE WHEN pv IS NULL THEN 'bfill'
+            WHEN nv IS NULL THEN 'ffill'
+            ELSE 'interp' END AS fill_mode,
+       round(CASE WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  WHEN epoch_us(nt) = epoch_us(pt) THEN pv
+                  ELSE pv + (nv - pv)
+                       * ((epoch_us(ts) - epoch_us(pt))
+                          / (epoch_us(nt) - epoch_us(pt))) END, 4)
+         AS v_interp
+FROM w WHERE is_grid = 1"""
+
+
+@register(
+    "events_resample_interp",
+    _RESAMPLE_SQL,
+    doc="Time-series resampling with gap-fill: every user's irregular "
+        f"event stream becomes a regular {_RS_STEP}-hour grid with "
+        "linear interpolation between the neighbouring events "
+        "(backward-fill before the first event, forward-fill after the "
+        "last — fill_mode reports which path produced each point). The "
+        "dataflow is the as-of-join composition run BOTH directions in "
+        "one pass: union the grid rows (null value) with the event "
+        "rows, then prev = last-ignorenulls over (ts, event-first) and "
+        "next = first-ignorenulls over the 1-FOLLOWING frame — the tie "
+        "ordering makes an exactly-on-grid event its own prev (weight "
+        "0, so v_interp = v exactly) and never its own next. Both "
+        "windows share one user-keyed partitioning AND ordering, so "
+        "Catalyst fuses all four columns into a SINGLE Window operator "
+        "— one shuffle, one sort for both directions (pinned by the "
+        "plan test; the per-user bounds branch re-reads the pruned "
+        "events scan, the declarative cost of not materialising the "
+        "tiny pre-agg). Output is O(span/step * "
+        "users) regardless of event density — at 100 TB the grid is "
+        "tiny next to the events, and the events are never joined to "
+        "each other (no range-join blow-up). Interpolation arithmetic "
+        "is epoch-microsecond integers divided as doubles, identical "
+        "in both engines; rounded 4 dp.",
+    tags=("temporal", "window", "timeseries"),
+)
+def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    pe = ev.groupBy("user_id", "ts").agg(
+        F.max_by("value", "event_id").alias("v")
+    )
+    bounds = pe.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("t0")),
+                F.col("t1"),
+                F.expr(f"INTERVAL {_RS_STEP} HOURS"),
+            )
+        ).alias("ts"),
+    )
+    u = pe.select(
+        "user_id", "ts", "v", F.lit(0).alias("is_grid")
+    ).unionByName(
+        grid.select(
+            "user_id", "ts",
+            F.lit(None).cast("double").alias("v"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    ets = F.when(F.col("is_grid") == 0, F.col("ts"))
+    evv = F.when(F.col("is_grid") == 0, F.col("v"))
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    w = u.select(
+        "user_id", "ts", "is_grid",
+        F.last(evv, ignorenulls=True).over(wp).alias("pv"),
+        F.last(ets, ignorenulls=True).over(wp).alias("pt"),
+        F.first(evv, ignorenulls=True).over(wn).alias("nv"),
+        F.first(ets, ignorenulls=True).over(wn).alias("nt"),
+    )
+    gp, tp, tn = (F.unix_micros(c) for c in (F.col("ts"), F.col("pt"), F.col("nt")))
+    interp = (
+        F.when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(tn == tp, F.col("pv"))
+        .otherwise(
+            F.col("pv") + (F.col("nv") - F.col("pv")) * ((gp - tp) / (tn - tp))
+        )
+    )
+    fill_mode = (
+        F.when(F.col("pv").isNull(), F.lit("bfill"))
+        .when(F.col("nv").isNull(), F.lit("ffill"))
+        .otherwise(F.lit("interp"))
+    )
+    return (
+        w.filter(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("grid_ts"),
+            fill_mode.alias("fill_mode"),
+            F.round(interp, 4).alias("v_interp"),
+        )
     )

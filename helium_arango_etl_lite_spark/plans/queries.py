@@ -23,15 +23,16 @@ queries, so it was removed on advisor direction).
   pytest replica ``tests/test_oracle_parity.py`` covers the whole catalog
   on every run regardless of this ordering).
 
-Round-7 batch (applied): the 8 brand-new round-7 entries (real PPM/WAV
+Round-7 batch (applied): the 9 brand-new round-7 entries (real PPM/WAV
 decode, top-2 power iteration, rendezvous sharding, vocab growth, split
-leakage guard, capped trigram LM score, incremental Bloom dedup — never
-driver-verified), then 42 re-check slots in least-recently-verified
-order: the 28 entries whose last driver row is round 3 (the oldest in
-the catalog after round 6 re-checked the r3-era core set), then the 14
-oldest r4-era entries. After this round no catalog entry's latest
-driver row predates round 4; the remaining 35 r4-era entries rotate in
-round 8.
+leakage guard, capped trigram LM score, incremental Bloom dedup,
+resample + gap-fill interpolation — never driver-verified), then 41
+re-check slots in least-recently-verified order: the 28 entries whose
+last driver row is round 3 (the oldest in the catalog after round 6
+re-checked the r3-era core set), then the 13 oldest r4-era entries.
+After this round no catalog entry's latest driver row predates round 4;
+the remaining 36 r4-era entries rotate in round 8 (the full catalog is
+also locally replicated green every round — tools/driver_replica.py).
 """
 
 from __future__ import annotations
@@ -48,7 +49,7 @@ from . import catalog_round6  # noqa: F401  (repetition rules, reservoir sample,
 from . import catalog_round7  # noqa: F401  (real PPM/WAV decode, top-2 spectral directions)
 
 DRIVER_BATCH: list[str] = [
-    # -- new this round (8): never driver-verified ---------------------
+    # -- new this round (9): never driver-verified ---------------------
     "llm_multimodal_decode_ppm",
     "llm_multimodal_decode_wav",
     "llm_power_iteration_2",
@@ -57,6 +58,7 @@ DRIVER_BATCH: list[str] = [
     "llm_split_leakage_check",
     "llm_trigram_lm_score",
     "llm_incremental_dedup_bloom",
+    "events_resample_interp",
     # -- re-check slots (28): last driver row is round 3 — the oldest
     #    entries in the catalog ----------------------------------------
     "topk_accounts",
@@ -87,8 +89,8 @@ DRIVER_BATCH: list[str] = [
     "llm_dedup_embedding",
     "llm_ann_ivf",
     "llm_multimodal_features",
-    # -- re-check slots (14): the oldest r4-era entries; the remaining
-    #    35 r4-era entries rotate in round 8 ---------------------------
+    # -- re-check slots (13): the oldest r4-era entries; the remaining
+    #    36 r4-era entries rotate in round 8 ---------------------------
     "follow_replay_receipts",
     "follow_replay_accounts",
     "rollup_replay",
@@ -102,7 +104,6 @@ DRIVER_BATCH: list[str] = [
     "llm_sample_hash",
     "llm_vocab_topk",
     "llm_source_stats",
-    "llm_regex_scrub",
 ]
 
 

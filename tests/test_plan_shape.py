@@ -588,3 +588,15 @@ def test_trigram_lm_broadcasts_model_and_vocab(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     # model build is top-M, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_resample_interp_fuses_both_window_directions(spark, sf_dir):
+    # prev (unbounded-preceding) and next (1-following) share partitioning
+    # and ordering, so they must compile into ONE Window operator over one
+    # exchange+sort — a second window pass would double the dominant
+    # shuffle at scale
+    plan = plan_of(spark, sf_dir, "events_resample_interp")
+    # formatted explain prints each node twice (tree + detail); count the
+    # tree form "Window (N)"
+    assert plan.count("Window (") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

@@ -472,9 +472,12 @@ tri AS (SELECT doc_id,
         FROM (SELECT doc_id, a,
                      unnest(generate_series(1, len(a) - 2)) AS i
               FROM d WHERE len(a) >= 3)),
-mt AS (SELECT t, count(*) AS ct FROM tri GROUP BY t
-       ORDER BY ct DESC, t LIMIT {_LM_TOP_TRI}),
-mc AS (SELECT ctx, count(*) AS cb FROM tri GROUP BY ctx
+mtf AS (SELECT t, count(*) AS ct FROM tri GROUP BY t),
+mt AS (SELECT t, ct FROM mtf ORDER BY ct DESC, t LIMIT {_LM_TOP_TRI}),
+mc AS (SELECT split_part(t, ' ', 1) || ' ' || split_part(t, ' ', 2)
+              AS ctx,
+              sum(ct)::BIGINT AS cb
+       FROM mtf GROUP BY 1
        ORDER BY cb DESC, ctx LIMIT {_LM_TOP_CTX}),
 v AS (SELECT count(DISTINCT u)::DOUBLE AS vocab
       FROM (SELECT unnest(a) AS u FROM d))
@@ -501,8 +504,11 @@ GROUP BY tri.doc_id"""
         "then score every document by its mean trigram log-probability — "
         "low scores flag boilerplate-free gibberish, high scores flag "
         "templated repetition, and CCNet-style pipelines keep the "
-        "middle. Training is two partial-agg shuffles (trigram counts, "
-        "context counts) over the shared zip_with shingle kernel; the "
+        "middle. Training is ONE corpus-sized partial-agg shuffle "
+        "(trigram counts over the shared zip_with shingle kernel); the "
+        "context model aggregates that distinct-gram table by prefix — "
+        "cb(w1 w2) = sum ct over the prefix's grams — so it never "
+        "re-explodes the corpus. The "
         f"model is CAPPED at the top {_LM_TOP_TRI} trigrams / "
         f"{_LM_TOP_CTX} contexts by (count DESC, gram ASC) — a "
         "deterministic total order both engines reproduce — so the "
@@ -523,12 +529,20 @@ def llm_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(word_shingles_all(F.col("text"), 3)).alias("t"),
     ).withColumn("ctx", F.substring_index("t", " ", 2))
-    model_t = (
+    # ONE corpus-sized gram shuffle trains both models: the context
+    # count cb(w1 w2) is exactly sum(ct) over grams sharing the prefix,
+    # so model_c aggregates the (distinct-gram-sized) count table
+    # instead of re-exploding the corpus. localCheckpoint so the two
+    # consumers don't each recompute the explode+agg (the gram table is
+    # the bounded intermediate — distinct grams, not occurrences).
+    gram_counts = (
         tri.groupBy("t").agg(F.count(F.lit(1)).alias("ct"))
-        .orderBy(F.desc("ct"), F.asc("t")).limit(_LM_TOP_TRI)
+        .localCheckpoint(eager=False)
     )
+    model_t = gram_counts.orderBy(F.desc("ct"), F.asc("t")).limit(_LM_TOP_TRI)
     model_c = (
-        tri.groupBy("ctx").agg(F.count(F.lit(1)).alias("cb"))
+        gram_counts.groupBy(F.substring_index("t", " ", 2).alias("ctx"))
+        .agg(F.sum("ct").cast("long").alias("cb"))
         .orderBy(F.desc("cb"), F.asc("ctx")).limit(_LM_TOP_CTX)
     )
     vocab = docs.select(
@@ -671,10 +685,13 @@ def llm_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signature_df(docs, num_hashes=NUM_HASHES, seed=SEED)
+    # (doc_id, fp) is consumed by three plan branches (bloom build,
+    # truth, probe) — checkpoint so the signature map stage (the entry's
+    # only corpus-sized work) runs ONCE, not once per consumer
     keyed = sig.select(
         "doc_id",
         F.concat_ws(":", *[F.col(f"sig_{i}") for i in range(NUM_HASHES)]).alias("fp"),
-    )
+    ).localCheckpoint(eager=False)
     hist = keyed.filter(F.col("doc_id") % 5 != 0).select("fp")
     newb = keyed.filter(F.col("doc_id") % 5 == 0)
 

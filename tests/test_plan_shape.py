@@ -600,3 +600,12 @@ def test_resample_interp_fuses_both_window_directions(spark, sf_dir):
     # tree form "Window (N)"
     assert plan.count("Window (") == 1
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_incremental_bloom_probes_via_broadcast_words(spark, sf_dir):
+    # each of the 3 hash positions probes the packed word table via a
+    # broadcast hash join — a shuffle join here would move the whole new
+    # batch 3 times to meet a <= bits/32-row table
+    plan = plan_of(spark, sf_dir, "llm_incremental_dedup_bloom")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan

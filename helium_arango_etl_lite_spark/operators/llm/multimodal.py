@@ -101,6 +101,11 @@ def parse_ppm(buf: bytes) -> tuple[dict, np.ndarray]:
         i = j
     i += 1  # exactly one whitespace byte separates maxval from raster
     w, h, maxval = fields
+    if not 1 <= maxval <= 255:
+        # spec-valid PPMs with maxval >= 256 carry TWO bytes per sample;
+        # silently viewing them as uint8 would return a garbled raster,
+        # so reject rather than mis-decode (round-8 ADVICE fix).
+        raise ValueError(f"PPM maxval {maxval} out of supported range 1..255")
     need = w * h * 3
     if len(buf) - i < need:
         raise ValueError(f"truncated PPM raster: {len(buf) - i} < {need}")
@@ -125,6 +130,15 @@ def parse_wav(buf: bytes) -> tuple[dict, np.ndarray]:
     while pos + 8 <= len(buf):
         cid = buf[pos : pos + 4]
         sz = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        if pos + 8 + sz > len(buf):
+            # a declared size past the end of the buffer would silently
+            # yield fewer samples (or an opaque numpy error for odd-length
+            # 16-bit truncation) — raise the documented ValueError instead
+            # (round-8 ADVICE fix).
+            raise ValueError(
+                f"truncated chunk {cid!r}: declares {sz} bytes, "
+                f"{len(buf) - pos - 8} remain"
+            )
         body = buf[pos + 8 : pos + 8 + sz]
         if cid == b"fmt ":
             fmt = body
@@ -315,7 +329,13 @@ def encode_wav_from_text(
     """Build a REAL RIFF/WAVE 8-bit-PCM file per document, JVM-side: the
     first min(max_samples, len) text bytes are the unsigned samples.
     With max_samples <= 64 every variable header byte (RIFF size 36+n,
-    data size n) stays < 0x80, so chr()+utf-8 encode is byte-exact."""
+    data size n) stays < 0x80, so chr()+utf-8 encode is byte-exact.
+
+    Empty documents are dropped (like the PPM encoder drops sub-row docs):
+    a zero-sample WAV has no amplitude stats, the SQL oracle's
+    generate_series(1, 0) emits no row for it, and decode_wav raises a
+    typed error on it — filtering keeps both engines aligned (round-8
+    ADVICE fix; no such doc exists in the driver data, min length 44)."""
     n = F.least(F.lit(max_samples), F.length("text")).cast("int")
     content = F.concat(
         F.lit("RIFF"),
@@ -325,7 +345,7 @@ def encode_wav_from_text(
         F.lit("\x00\x00\x00"),
         F.col("text").substr(F.lit(1), n),
     )
-    return docs.select(
+    return docs.filter(F.length("text") >= 1).select(
         F.col("doc_id").alias("media_id"),
         F.encode(content, "utf-8").alias("content"),
     )
@@ -402,6 +422,13 @@ def decode_wav(media: DataFrame) -> DataFrame:
             rows = []
             for mid, buf in zip(pdf["media_id"], pdf["content"]):
                 meta, s = parse_wav(bytes(buf))
+                if len(s) == 0:
+                    # a zero-length data chunk is container-valid but has
+                    # no amplitude stats; s.max() would raise an opaque
+                    # numpy ValueError — raise the typed error instead so
+                    # the quarantine wrapper can classify it (round-8
+                    # ADVICE fix).
+                    raise ValueError("empty data chunk")
                 rows.append(
                     (
                         int(mid), meta["sample_rate"], meta["n_channels"],
@@ -413,6 +440,193 @@ def decode_wav(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=WAV_STATS_SCHEMA.fieldNames())
 
     return media.mapInPandas(batches, WAV_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# quarantine decode (round 8): malformed containers split, not crashed
+# ---------------------------------------------------------------------------
+
+# stable reason codes, classified from the typed errors the parsers raise;
+# mirrors the PERMISSIVE-mode corrupt-record split of quarantine_replay
+# (sources/jsonl.py) applied to binary media
+_REASON_PREFIXES: list[tuple[str, str]] = [
+    ("bad_magic", "not a P6 PPM"),
+    ("bad_maxval", "PPM maxval"),
+    ("truncated", "truncated"),  # PPM header/raster, WAV chunk
+    ("not_riff", "not a RIFF/WAVE"),
+    ("empty_data", "empty data chunk"),
+    ("missing_chunk", "missing fmt/data"),
+    ("non_pcm", "non-PCM WAV"),
+]
+
+
+def quarantine_reason(e: Exception) -> str:
+    """Map a parser error to a stable reason code. Each code corresponds to
+    a distinct guard in parse_ppm/parse_wav/decode, so the oracle pinning a
+    code per corruption class verifies WHICH error path fired, not just
+    that something failed."""
+    msg = str(e)
+    for code, prefix in _REASON_PREFIXES:
+        if msg.startswith(prefix):
+            return code
+    return "decode_error"
+
+
+QUARANTINE_PPM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("status", StringType(), False),
+        StructField("reason", StringType(), False),
+        StructField("n_pixels", LongType(), True),
+        StructField("sum_rgb", LongType(), True),
+    ]
+)
+
+
+def decode_ppm_quarantine(media: DataFrame) -> DataFrame:
+    """PPM decode that SPLITS malformed containers into quarantine rows
+    instead of failing the job: every payload yields exactly one row —
+    status 'ok' with integer-exact raster stats, or status 'quarantined'
+    with a reason code naming the guard that rejected it. At 100 TB a
+    single corrupt object must never kill a decode stage; this is the
+    media twin of the PERMISSIVE corrupt-record path the JSONL source
+    uses (quarantine_replay). Map-only Arrow batches, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    meta, px = parse_ppm(bytes(buf))
+                    rows.append(
+                        (
+                            int(mid), "ok", "ok",
+                            meta["width"] * meta["height"],
+                            int(px.sum(dtype=np.int64)),
+                        )
+                    )
+                except (ValueError, NotImplementedError) as e:
+                    rows.append(
+                        (int(mid), "quarantined", quarantine_reason(e),
+                         None, None)
+                    )
+            yield pd.DataFrame(
+                rows, columns=QUARANTINE_PPM_SCHEMA.fieldNames()
+            )
+
+    return media.mapInPandas(batches, QUARANTINE_PPM_SCHEMA)
+
+
+QUARANTINE_WAV_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("status", StringType(), False),
+        StructField("reason", StringType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("sum_amp", LongType(), True),
+    ]
+)
+
+
+def decode_wav_quarantine(media: DataFrame) -> DataFrame:
+    """WAV decode with the same quarantine split as
+    :func:`decode_ppm_quarantine`; additionally classifies the
+    zero-length data chunk (container-valid, stats-undefined) and the
+    non-PCM format code (honest NotImplementedError) as quarantine rows
+    rather than job failures."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    meta, s = parse_wav(bytes(buf))
+                    if len(s) == 0:
+                        raise ValueError("empty data chunk")
+                    rows.append(
+                        (int(mid), "ok", "ok", len(s),
+                         int(s.sum(dtype=np.int64)))
+                    )
+                except (ValueError, NotImplementedError) as e:
+                    rows.append(
+                        (int(mid), "quarantined", quarantine_reason(e),
+                         None, None)
+                    )
+            yield pd.DataFrame(
+                rows, columns=QUARANTINE_WAV_SCHEMA.fieldNames()
+            )
+
+    return media.mapInPandas(batches, QUARANTINE_WAV_SCHEMA)
+
+
+def encode_ppm_corrupted(
+    docs: DataFrame, width: int = PPM_WIDTH, max_h: int = PPM_MAX_H
+) -> DataFrame:
+    """The PPM fixture with DETERMINISTIC corruption classes keyed on
+    doc_id % 10, built entirely JVM-side: 3 -> wrong magic ('Q6'),
+    5 -> header maxval 999 (spec-valid 2-byte-per-sample form the parser
+    rejects rather than mis-decodes), 7 -> raster truncated 10 bytes
+    short of the header's promise; every other doc encodes cleanly.
+    Each class exercises a different parse_ppm guard."""
+    cls = F.col("doc_id") % 10
+    h = F.least(F.lit(max_h), F.floor(F.length("text") / (3 * width))).cast(
+        "int"
+    )
+    row = 3 * width
+    body = F.col("text").substr(F.lit(1), (h * row).cast("int"))
+    body_short = F.col("text").substr(F.lit(1), (h * row - 10).cast("int"))
+    hdr = lambda magic, maxval: F.concat(  # noqa: E731
+        F.lit(f"{magic}\n{width} "), h.cast("string"), F.lit(f"\n{maxval}\n")
+    )
+    content = (
+        F.when(cls == 3, F.concat(hdr("Q6", 255), body))
+        .when(cls == 5, F.concat(hdr("P6", 999), body))
+        .when(cls == 7, F.concat(hdr("P6", 255), body_short))
+        .otherwise(F.concat(hdr("P6", 255), body))
+    )
+    return docs.filter(F.length("text") >= row).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(content, "utf-8").alias("content"),
+    )
+
+
+# fmt-chunk bytes 0-1 are the audio format code; 0x02 = ADPCM (non-PCM)
+_WAV_MID_NONPCM = _WAV_MID[:15] + "\x02" + _WAV_MID[16:]
+
+
+def encode_wav_corrupted(
+    docs: DataFrame, max_samples: int = WAV_MAX_SAMPLES
+) -> DataFrame:
+    """The WAV fixture with deterministic corruption classes keyed on
+    doc_id % 10: 3 -> wrong magic ('RIFX'), 5 -> non-PCM format code
+    (ADPCM) in the fmt chunk, 7 -> data chunk declares n samples but the
+    payload is cut 10 bytes short (the truncated-chunk guard),
+    9 -> container-valid zero-length data chunk (the empty-data guard);
+    every other doc encodes cleanly. All JVM-side string builds — every
+    variable byte stays < 0x80 so utf-8 encode is byte-exact."""
+    cls = F.col("doc_id") % 10
+    n = F.least(F.lit(max_samples), F.length("text")).cast("int")
+    zeros = F.lit("\x00\x00\x00")
+
+    def wav(magic: str, mid: str, data_n, body) -> F.Column:
+        return F.concat(
+            F.lit(magic), F.chr((data_n + 36).cast("long")), F.lit(mid),
+            F.chr(data_n.cast("long")), zeros, body,
+        )
+
+    full = F.col("text").substr(F.lit(1), n)
+    short = F.col("text").substr(F.lit(1), (n - 10).cast("int"))
+    content = (
+        F.when(cls == 3, wav("RIFX", _WAV_MID, n, full))
+        .when(cls == 5, wav("RIFF", _WAV_MID_NONPCM, n, full))
+        .when(cls == 7, wav("RIFF", _WAV_MID, n, short))
+        .when(cls == 9, wav("RIFF", _WAV_MID, F.lit(0), F.lit("")))
+        .otherwise(wav("RIFF", _WAV_MID, n, full))
+    )
+    return docs.filter(F.length("text") >= 1).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(content, "utf-8").alias("content"),
+    )
 
 
 FRAME_SCHEMA = StructType(

@@ -23,16 +23,17 @@ queries, so it was removed on advisor direction).
   pytest replica ``tests/test_oracle_parity.py`` covers the whole catalog
   on every run regardless of this ordering).
 
-Round-7 batch (applied): the 9 brand-new round-7 entries (real PPM/WAV
-decode, top-2 power iteration, rendezvous sharding, vocab growth, split
-leakage guard, capped trigram LM score, incremental Bloom dedup,
-resample + gap-fill interpolation — never driver-verified), then 41
-re-check slots in least-recently-verified order: the 28 entries whose
-last driver row is round 3 (the oldest in the catalog after round 6
-re-checked the r3-era core set), then the 13 oldest r4-era entries.
-After this round no catalog entry's latest driver row predates round 4;
-the remaining 36 r4-era entries rotate in round 8 (the full catalog is
-also locally replicated green every round — tools/driver_replica.py).
+Round-8 batch (applied): the brand-new round-8 entries (quarantine
+decode for malformed media — never driver-verified), then the entries
+whose CODE changed this round and therefore need a fresh independent row
+(llm_shard_assign's moved column is now derived from the actual
+reassignment; events_resample_interp shares one events scan via
+localCheckpoint; both decode entries gained parser guards and the WAV
+encoder an empty-doc filter), then the 36 entries whose last driver row
+is round 4 (the stalest in the catalog — tools/batch_staleness.py), then
+the 8 stalest r5-era entries to fill 50. After this round no catalog
+entry's latest driver row predates round 5 (the full catalog is also
+locally replicated green every round — tools/driver_replica.py).
 """
 
 from __future__ import annotations
@@ -47,63 +48,64 @@ from . import catalog_round5  # noqa: F401  (two-stage verify, window dedup, PQ,
 from . import catalog_round5b  # noqa: F401  (ANN recall, watermark replay, Z-order layout)
 from . import catalog_round6  # noqa: F401  (repetition rules, reservoir sample, power iteration)
 from . import catalog_round7  # noqa: F401  (real PPM/WAV decode, top-2 spectral directions)
+from . import catalog_round8  # noqa: F401  (quarantine decode for malformed media)
 
 DRIVER_BATCH: list[str] = [
-    # -- new this round (9): never driver-verified ---------------------
+    # -- new this round (2): never driver-verified ---------------------
+    "llm_multimodal_quarantine_ppm",
+    "llm_multimodal_quarantine_wav",
+    # -- changed this round (4): code touched, need fresh driver rows --
+    "llm_shard_assign",
+    "events_resample_interp",
     "llm_multimodal_decode_ppm",
     "llm_multimodal_decode_wav",
-    "llm_power_iteration_2",
-    "llm_shard_assign",
-    "llm_vocab_growth",
-    "llm_split_leakage_check",
-    "llm_trigram_lm_score",
-    "llm_incremental_dedup_bloom",
-    "events_resample_interp",
-    # -- re-check slots (28): last driver row is round 3 — the oldest
-    #    entries in the catalog ----------------------------------------
-    "topk_accounts",
-    "window_latest_per_key",
-    "window_lag_delta",
-    "agg_session_window",
-    "agg_payment_volume_salted",
-    "graph_two_hop",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_pivot",
-    "join_asof",
-    "join_range_window",
-    "dq_profile",
-    "llm_dedup_exact",
-    "llm_token_stats",
-    "llm_lang_id",
-    "llm_quality_score",
-    "llm_token_count",
-    "llm_fingerprint",
-    "llm_multimodal_meta",
-    "llm_minhash_signature",
-    "llm_dedup_minhash",
-    "llm_dedup_simhash",
-    "llm_dedup_ngram_jaccard",
-    "llm_topk_cosine",
-    "llm_ann_lsh",
-    "llm_dedup_embedding",
-    "llm_ann_ivf",
-    "llm_multimodal_features",
-    # -- re-check slots (13): the oldest r4-era entries; the remaining
-    #    36 r4-era entries rotate in round 8 ---------------------------
-    "follow_replay_receipts",
-    "follow_replay_accounts",
-    "rollup_replay",
-    "stream_totals_replay",
-    "follow_retention_replay",
-    "quarantine_replay",
-    "inventory_refresh_replay",
-    "llm_dedup_embedding_lsh",
-    "llm_dup_clusters",
-    "llm_winnow_fingerprint",
-    "llm_sample_hash",
-    "llm_vocab_topk",
-    "llm_source_stats",
+    # -- re-check slots (36): last driver row is round 4 — the stalest
+    #    entries in the catalog (tools/batch_staleness.py) -------------
+    "agg_cohort_retention",
+    "agg_cube",
+    "agg_event_funnel",
+    "agg_grouped_topn",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "join_outer_reconcile",
+    "join_semi_urgent",
+    "llm_bigram_topk",
+    "llm_blocklist_filter",
+    "llm_bm25_search",
+    "llm_bpe_pair_counts",
+    "llm_centroid_assign",
+    "llm_cross_dedup",
+    "llm_dataset_split",
+    "llm_decontaminate",
+    "llm_dedup_exact_norm",
+    "llm_doc_pack",
+    "llm_frame_sample",
+    "llm_inverted_index",
+    "llm_knn_join",
+    "llm_knn_join_bucketed",
+    "llm_length_histogram",
+    "llm_quantize_int8",
+    "llm_regex_scrub",
+    "llm_repetition_score",
+    "llm_sample_stratified",
+    "llm_tfidf_topk",
+    "tpch_q18_large_orders",
+    "tpch_q1_pricing",
+    "tpch_q3_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_region_volume",
+    "tpch_q6_forecast",
+    "window_moving_avg",
+    "window_running_sum",
+    # -- re-check slots (8): the stalest r5-era entries ----------------
+    "agg_grouping_sets",
+    "agg_payment_volume",
+    "agg_stats_profile",
+    "agg_string_agg",
+    "argmin_cheapest_supplier",
+    "events_anomaly_zscore",
+    "follow_replay",
+    "graph_common_neighbors",
 ]
 
 

@@ -600,6 +600,12 @@ def test_resample_interp_fuses_both_window_directions(spark, sf_dir):
     # tree form "Window (N)"
     assert plan.count("Window (") == 1
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # round-8: the per-(user,ts) pre-agg is localCheckpointed so the
+    # bounds/grid branch and the union branch share ONE events scan —
+    # no parquet scan of the fact table may remain in the visible plan
+    # (both branches read the checkpointed RDD instead)
+    assert plan.count("Scan parquet") == 0
+    assert "ExistingRDD" in plan
 
 
 def test_incremental_bloom_probes_via_broadcast_words(spark, sf_dir):

@@ -18,17 +18,73 @@ Usage: python tools/compare_bench.py OLD.json NEW.json [top_n]
 from __future__ import annotations
 
 import json
+import os
+import re
 import sys
+
+# top-level scalar keys of the bench line — everything else matched by the
+# tail regex is a per-query timing
+_SCALAR_KEYS = {
+    "value", "warm_total", "cold_total", "warm_total_r4_subset",
+    "warm_total_r5_subset", "warm_total_r6_subset", "warm_total_r7_subset",
+    "calib_sec", "n_ok", "n_errors", "sf", "partial_total",
+    "queries_truncated_to",
+}
+
+
+def recover_from_tail(tail: str) -> dict:
+    """Best-effort parse of a TRUNCATED bench line (the driver captures
+    only the last 2000 chars of stdout; round 7's full-detail line
+    outgrew that and left parsed=null). Every '"name": number' pair is
+    recoverable by regex — known scalar keys go top-level, the rest are
+    per-query timings; a pair cut mid-name at the truncation point has
+    no opening quote and is skipped rather than mis-keyed."""
+    out: dict = {"queries": {}}
+    for name, num in re.findall(r'"([A-Za-z0-9_]+)": (-?[0-9.]+)', tail):
+        val = float(num)
+        if name in _SCALAR_KEYS:
+            out[name] = val
+        else:
+            out["queries"][name] = val
+    return out
 
 
 def main() -> None:
     if len(sys.argv) < 3:
         print(__doc__)
         raise SystemExit(2)
+
     def load(path: str) -> dict:
         d = json.load(open(path))
         # the driver's BENCH_r*.json wraps bench.py's line under "parsed"
-        return d.get("parsed", d)
+        p = d.get("parsed", d)
+        if p is None and isinstance(d.get("tail"), str):
+            p = recover_from_tail(d["tail"])
+            print(
+                f"{path}: parsed=null, recovered "
+                f"{len(p['queries'])} query timings from the tail capture"
+            )
+        # since round 8 the printed line is compact (top-15 queries) and
+        # the full map lives in BENCH_DETAIL.json next to the bench run;
+        # merge it when it is verifiably the SAME run (calib matches)
+        ref = (p or {}).get("queries_detail_file")
+        if ref:
+            for cand in (
+                os.path.join(os.path.dirname(os.path.abspath(path)), ref),
+                os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))), ref),
+            ):
+                try:
+                    det = json.load(open(cand))
+                except (OSError, json.JSONDecodeError):
+                    continue
+                if det.get("calib_sec") == p.get("calib_sec") and det.get(
+                    "warm_total"
+                ) == p.get("warm_total"):
+                    p = {**p, "queries": det.get("queries", p.get("queries"))}
+                    print(f"{path}: merged full query map from {cand}")
+                    break
+        return p or {}
 
     old = load(sys.argv[1])
     new = load(sys.argv[2])

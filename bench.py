@@ -89,6 +89,13 @@ HEADLINE = [
     "llm_trigram_lm_score",       # capped trigram LM train + broadcast score
     "llm_incremental_dedup_bloom",  # new-batch-vs-history bloom shear
     "events_resample_interp",     # regular-grid resample, fused windows
+    # round-8 additions
+    "llm_multimodal_quarantine_ppm",  # corrupt-container quarantine split
+    "llm_multimodal_quarantine_wav",  # corrupt-container quarantine split
+    "llm_mixture_weights",        # temperature-scaled source mixture
+    "llm_quality_percentile",     # histogram percentile, no corpus sort
+    "llm_hard_negatives",         # shortlist-mined contrastive negatives
+    "storage_compaction_plan",    # running-sum bin-packed file groups
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow

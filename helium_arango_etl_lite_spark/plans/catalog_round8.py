@@ -22,10 +22,12 @@ the job.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from ..operators.llm import multimodal as mm
-from .registry import load_table, register
+from ..operators.llm import similarity, text
+from .registry import EVENTS_NORM, load_events, load_table, register
 
 _PPM_ROW = 3 * mm.PPM_WIDTH
 
@@ -114,3 +116,289 @@ FROM d LEFT JOIN ok ON d.doc_id = ok.doc_id"""
 def llm_multimodal_quarantine_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return mm.decode_wav_quarantine(mm.encode_wav_corrupted(docs))
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled corpus mixture weights
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.7
+
+_MIX_SQL = f"""
+WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
+                    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+             FROM documents GROUP BY 1),
+tot AS (SELECT sum(n_tokens) AS total FROM per),
+p AS (SELECT per.*, per.n_tokens::DOUBLE / tot.total AS share
+      FROM per, tot),
+z AS (SELECT sum(pow(share, {_MIX_ALPHA})) AS z FROM p)
+SELECT p.source, p.n_docs, p.n_tokens,
+       round(p.share, 6) AS share,
+       round(pow(p.share, {_MIX_ALPHA}) / z.z, 6) AS mix_share,
+       round(pow(p.share, {_MIX_ALPHA}) / z.z / p.share, 6) AS sample_weight
+FROM p, z"""
+
+
+@register(
+    "llm_mixture_weights",
+    _MIX_SQL,
+    doc=f"Temperature-scaled corpus mixture (the multilingual-LM "
+        f"sampling rule, alpha={_MIX_ALPHA}): per-source token share "
+        "p_i, target mixture q_i ~ p_i^alpha renormalized, and the "
+        "per-doc sample_weight q_i/p_i a downstream sampler multiplies "
+        "into its keep probability — upweights tail sources, "
+        "downweights dominant ones, the knob every pretraining mix "
+        "uses. Dataflow: ONE source-keyed partial-agg shuffle over the "
+        "corpus (token counts combine map-side), then all "
+        "normalization runs on the ~|sources|-row table via two tiny "
+        "broadcast cross-joins — the corpus is scanned once and never "
+        "rescanned or re-shuffled. Complements llm_mix_rebalance "
+        "(hard equalize-to-min downsampler): this computes the "
+        "CONTINUOUS weights. Rounded 6dp on both engines.",
+    tags=("llm", "sampling", "scale"),
+)
+def llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    # the ~|sources|-row aggregate feeds THREE consumers (total, share
+    # table, normalizer) — without the checkpoint Catalyst re-derives
+    # each from the source and scans the corpus four times (seen in the
+    # plan; the recurring checkpoint-the-intermediate lesson, cf. the
+    # trigram LM gram table). Plan test pins zero visible corpus scans.
+    per = per.localCheckpoint(eager=False)
+    tot = per.agg(F.sum("n_tokens").alias("total"))
+    p = per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total")).alias("share"),
+    )
+    z = p.agg(F.sum(F.pow("share", F.lit(_MIX_ALPHA))).alias("z"))
+    q = F.pow("share", F.lit(_MIX_ALPHA)) / F.col("z")
+    return p.crossJoin(F.broadcast(z)).select(
+        "source", "n_docs", "n_tokens",
+        F.round("share", 6).alias("share"),
+        F.round(q, 6).alias("mix_share"),
+        F.round(q / F.col("share"), 6).alias("sample_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source quality percentile via fixed-bin histograms (no global sort)
+# ---------------------------------------------------------------------------
+
+_QP_BINS = 32
+
+_STOP_IN = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+
+_QP_SQL = f"""
+WITH q AS (SELECT doc_id, source,
+                  len(list_filter(string_split(text, ' '),
+                                  x -> x IN ({_STOP_IN})))::DOUBLE
+                    / len(string_split(text, ' '))::DOUBLE AS stop_ratio
+           FROM documents),
+b AS (SELECT doc_id, source,
+             least({_QP_BINS - 1},
+                   floor(stop_ratio * {_QP_BINS})::BIGINT) AS q_bin
+      FROM q),
+h AS (SELECT source, q_bin, count(*)::BIGINT AS cnt
+      FROM b GROUP BY 1, 2),
+w AS (SELECT source, q_bin, cnt,
+             coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY q_bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS below,
+             sum(cnt) OVER (PARTITION BY source) AS total
+      FROM h)
+SELECT b.doc_id, b.source, b.q_bin,
+       round((w.below + 0.5 * w.cnt) / w.total, 6) AS pct_in_source
+FROM b JOIN w ON b.source = w.source AND b.q_bin = w.q_bin"""
+
+
+@register(
+    "llm_quality_percentile",
+    _QP_SQL,
+    doc=f"Source-relative quality calibration: a doc's raw stopword "
+        "ratio is not comparable across sources (forum text and "
+        "reference text have different baselines), so corpus filters "
+        "threshold on the PER-SOURCE percentile instead. The scalable "
+        f"shape: quantize the score into {_QP_BINS} fixed bins, build "
+        "a per-(source,bin) histogram (one partial-agg shuffle whose "
+        f"result is <= |sources| x {_QP_BINS} rows), run the "
+        "cumulative window on that tiny table, and broadcast-join the "
+        "mid-bin percentile back onto the scan — NO per-source global "
+        "sort ever touches the corpus, so one giant source cannot "
+        "skew a partition the way percent_rank's sort would at "
+        "100 TB. The corpus is scanned twice, both passes pruned to "
+        "(doc_id, source, text-derived bin); the histogram resolution "
+        "is the documented precision dial.",
+    tags=("llm", "quality", "scale"),
+)
+def llm_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.split("text", " ")
+    stop_ratio = text.stopword_score(tok, "en").cast("double") / F.size(
+        tok
+    ).cast("double")
+    b = docs.select(
+        "doc_id", "source",
+        F.least(
+            F.lit(_QP_BINS - 1), F.floor(stop_ratio * _QP_BINS)
+        ).cast("long").alias("q_bin"),
+    )
+    h = b.groupBy("source", "q_bin").agg(F.count(F.lit(1)).alias("cnt"))
+    win = Window.partitionBy("source").orderBy("q_bin")
+    w = h.select(
+        "source", "q_bin", "cnt",
+        F.coalesce(
+            F.sum("cnt").over(
+                win.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("below"),
+        F.sum("cnt").over(
+            Window.partitionBy("source").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    return b.join(F.broadcast(w), ["source", "q_bin"]).select(
+        "doc_id", "source", "q_bin",
+        F.round(
+            (F.col("below") + 0.5 * F.col("cnt")) / F.col("total"), 6
+        ).alias("pct_in_source"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining from the exact sampled k-NN shortlist
+# ---------------------------------------------------------------------------
+
+_HN_SHORTLIST = 10   # ANN shortlist depth per query
+_HN_K = 3            # hard negatives kept per query
+_HN_DUP_T = 0.98     # cosine at/above this = positive/duplicate, excluded
+_HN_MOD = 4          # deterministic query sample: vec_id % 4 == 0
+
+_HN_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT a.vec_id AS qid, c.vec_id AS nid,
+             round(list_dot_product(a.v, c.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+      FROM e a JOIN e c ON a.vec_id <> c.vec_id
+      WHERE a.vec_id % {_HN_MOD} = 0),
+r AS (SELECT qid, nid, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, nid) AS rank
+      FROM p),
+s AS (SELECT * FROM r WHERE rank <= {_HN_SHORTLIST}),
+n AS (SELECT qid, nid, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, nid) AS neg_rank
+      FROM s WHERE cos_sim < {_HN_DUP_T})
+SELECT qid, nid, cos_sim, neg_rank FROM n WHERE neg_rank <= {_HN_K}"""
+
+
+@register(
+    "llm_hard_negatives",
+    _HN_SQL,
+    doc=f"Hard-negative mining for embedding/retrieval training: for a "
+        f"deterministic query sample (vec_id % {_HN_MOD}), take the "
+        f"exact top-{_HN_SHORTLIST} neighbour shortlist, drop "
+        f"positives/near-dups (cos >= {_HN_DUP_T}), keep the "
+        f"{_HN_K} hardest remaining — the highest-similarity TRUE "
+        "negatives that make contrastive batches informative. Mining "
+        "from the shortlist (not the full ranking) is the production "
+        "contract: at 100 TB the shortlist comes from the same sampled "
+        "GEMM scan knn_join_sampled uses (query sample broadcasts, one "
+        "corpus scan, per-partition top-k, bounded merge — never "
+        "corpus x corpus), and the dedup filter + rerank run on "
+        f"<= {_HN_SHORTLIST} rows per query. Same 4dp half-away "
+        "rounding and ascending-id tie-break as every kNN entry "
+        "(operators/llm/similarity.py:knn_join_sampled).",
+    tags=("llm", "similarity", "sampling"),
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    short = similarity.knn_join_sampled(
+        emb, k=_HN_SHORTLIST, sample_mod=_HN_MOD
+    )
+    neg = short.filter(F.col("cos_sim") < _HN_DUP_T)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("nid")
+    )
+    return (
+        neg.select(
+            "qid", "nid", "cos_sim",
+            F.row_number().over(w).alias("neg_rank"),
+        )
+        .filter(F.col("neg_rank") <= _HN_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction planner (lakehouse maintenance)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 5_000  # rows per compacted output file
+
+_COMPACT_SQL = f"""
+WITH {EVENTS_NORM},
+files AS (SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+                 count(*)::BIGINT AS n_rows
+          FROM events_norm GROUP BY 1),
+c AS (SELECT day, n_rows,
+             coalesce(sum(n_rows) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum_before
+      FROM files)
+SELECT (cum_before // {_COMPACT_TARGET})::BIGINT AS group_id,
+       count(*)::BIGINT AS n_files,
+       sum(n_rows)::BIGINT AS total_rows,
+       min(day) AS first_day,
+       max(day) AS last_day
+FROM c GROUP BY 1"""
+
+
+@register(
+    "storage_compaction_plan",
+    _COMPACT_SQL,
+    doc=f"Small-file compaction planner (the lakehouse maintenance pass "
+        "every streaming ingest needs): day-partitioned event files are "
+        "binned into compaction groups by running-total row count — "
+        f"group = cumulative-rows-before // {_COMPACT_TARGET} — which "
+        "is greedy sequential bin-packing expressed declaratively, and "
+        "PRESERVES time order so compacted files keep their time "
+        "clustering (the property Z-order/partition pruning depends "
+        "on; random bin-packing would destroy it). Dataflow: one "
+        "day-keyed partial-agg shuffle over the fact table, then the "
+        "running-sum window and the group agg run on ONE ROW PER DAY — "
+        "the unpartitioned window is bounded by the time span, never "
+        "the corpus, so the single-task window is safe at any scale. "
+        "The real compactor would feed group_id to a "
+        "repartition-by-range write (operators/storage.py).",
+    tags=("storage", "scale", "temporal"),
+)
+def storage_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    files = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    c = files.select(
+        "day", "n_rows",
+        F.coalesce(F.sum("n_rows").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        c.groupBy(
+            F.floor(F.col("cum_before") / _COMPACT_TARGET)
+            .cast("long")
+            .alias("group_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("total_rows"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+    )

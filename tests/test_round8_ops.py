@@ -130,3 +130,120 @@ def test_quarantine_entries_are_map_only(spark, sf_dir):
         assert "hashpartitioning" not in plan, name
         assert "SortMergeJoin" not in plan, name
         assert "BroadcastHashJoin" not in plan, name
+
+
+def test_mixture_weights_single_corpus_shuffle(spark, sf_dir):
+    """One source-keyed partial agg over the corpus; every normalization
+    join must broadcast (the per-source table is ~|sources| rows)."""
+    plan = plan_of(spark, sf_dir, "llm_mixture_weights")
+    # the per-source aggregate is localCheckpointed: every normalization
+    # branch must read the checkpointed ~|sources|-row RDD, leaving ZERO
+    # visible corpus scans (before the fix this plan scanned the parquet
+    # four times — once per consumer of `per`)
+    assert plan.count("Scan parquet") == 0
+    assert "ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the two 1-row cross joins
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_percentile_no_corpus_sort(spark, sf_dir):
+    """The percentile must come from the histogram join-back — a
+    percent_rank-style sort of the corpus within source partitions is
+    exactly the skew hazard this operator exists to avoid."""
+    plan = plan_of(spark, sf_dir, "llm_quality_percentile")
+    assert "BroadcastHashJoin" in plan      # histogram joins back broadcast
+    assert "SortMergeJoin" not in plan
+    # the only window runs over the <= |sources| x bins histogram rows,
+    # which sit beneath a HashAggregate, never directly over the scan
+    assert plan.count("Window (") <= 2  # cumulative + per-source total
+
+
+def test_hard_negatives_no_cartesian(spark, sf_dir):
+    """Mining runs on the sampled-GEMM shortlist: no corpus x corpus
+    join may appear, and the rerank window is per-qid (bounded rows)."""
+    plan = plan_of(spark, sf_dir, "llm_hard_negatives")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_compaction_plan_window_is_per_day_not_per_row(spark, sf_dir):
+    """The unpartitioned running-sum window is safe ONLY because it runs
+    over one row per day (bounded by time span, not corpus size): it
+    must sit above the day-keyed aggregate in the plan."""
+    plan = plan_of(spark, sf_dir, "storage_compaction_plan")
+    # in the root-first tree the final group agg sits above the window,
+    # and the window sits above the day-keyed aggregate that bounds its
+    # input to one row per day
+    tree = plan.split("\n\n")[0]
+    assert tree.index("HashAggregate") < tree.index("Window")
+    assert tree.rindex("HashAggregate") > tree.index("Window")
+    assert "hashpartitioning" in plan  # the day agg exchange
+
+
+def test_mixture_weights_invariants(spark, sf_dir):
+    """mix_share sums to ~1 and the temperature tilts weights the right
+    way: below-average sources get weight > 1, dominant ones < 1."""
+    from helium_arango_etl_lite_spark.plans.queries import QUERIES
+
+    rows = QUERIES["llm_mixture_weights"].spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert abs(sum(r["mix_share"] for r in rows) - 1.0) < 1e-4
+    mean_share = 1.0 / len(rows)
+    for r in rows:
+        if r["share"] < mean_share:
+            assert r["sample_weight"] > 1.0, r
+        elif r["share"] > mean_share:
+            assert r["sample_weight"] < 1.0, r
+
+
+def test_quality_percentile_is_valid_percentile(spark, sf_dir):
+    """Mid-bin percentiles are in (0,1) and monotone in the bin index
+    within each source."""
+    from collections import defaultdict
+
+    from helium_arango_etl_lite_spark.plans.queries import QUERIES
+
+    rows = QUERIES["llm_quality_percentile"].spark_fn(
+        spark, sf_dir
+    ).collect()
+    per = defaultdict(dict)
+    for r in rows:
+        assert 0.0 < r["pct_in_source"] < 1.0
+        per[r["source"]][r["q_bin"]] = r["pct_in_source"]
+    for src, bins in per.items():
+        ks = sorted(bins)
+        assert all(
+            bins[a] < bins[b] for a, b in zip(ks, ks[1:])
+        ), src
+
+
+def test_hard_negatives_are_below_dup_threshold(spark, sf_dir):
+    from helium_arango_etl_lite_spark.plans.queries import QUERIES
+
+    rows = QUERIES["llm_hard_negatives"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    per_qid = {}
+    for r in rows:
+        assert r["qid"] % 4 == 0 and r["cos_sim"] < 0.98
+        per_qid.setdefault(r["qid"], []).append(r)
+    for qid, rs in per_qid.items():
+        ranks = sorted(r["neg_rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["neg_rank"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_compaction_groups_are_contiguous_and_bounded(spark, sf_dir):
+    from helium_arango_etl_lite_spark.plans.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["storage_compaction_plan"].spark_fn(
+            spark, sf_dir
+        ).collect(),
+        key=lambda r: r["group_id"],
+    )
+    assert rows[0]["group_id"] == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b["group_id"] == a["group_id"] + 1
+        assert a["last_day"] < b["first_day"]  # time order preserved

@@ -96,6 +96,7 @@ HEADLINE = [
     "llm_quality_percentile",     # histogram percentile, no corpus sort
     "llm_hard_negatives",         # shortlist-mined contrastive negatives
     "storage_compaction_plan",    # running-sum bin-packed file groups
+    "llm_dedup_pipeline_star",    # hub-topology candidates, linear verify
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow

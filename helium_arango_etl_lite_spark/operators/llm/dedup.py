@@ -179,6 +179,103 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_star_pairs(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 6, bands: int = 3, seed: int = 42, shingle_n: int = 3,
+) -> DataFrame:
+    """STAR-topology LSH candidates: within each band bucket, every doc
+    pairs with the bucket's MINIMUM doc id (the hub) instead of with
+    every other member — O(bands * n) candidate pairs with NO window
+    pass, versus O(sum bucket^2) for all-pairs banding or a
+    row_number-capped subset of it.
+
+    Why this exists (round-8 soak, SCALE_SOAK.md): on a x100 near-dup
+    corpus the per-doc candidate CAP bounds the verify join but SEVERS
+    group connectivity (145k keepers vs 95k uncapped — edges inside
+    100-member groups are evicted before verification). The star keeps
+    every member connected to its bucket hub, so a bucket-coherent
+    duplicate group stays one component through the hub while the
+    candidate count stays linear. The trade: a member whose exact
+    Jaccard to the HUB falls below threshold loses its link even when it
+    would have verified against a nearer sibling — each band's
+    independent hub gives it ``bands`` chances. Deterministic: hub =
+    min id, so a given corpus always stars the same way.
+
+    Output: distinct (doc_a, doc_b) with doc_a < doc_b (the hub is the
+    bucket min, so hub < member always holds).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by bands={bands}"
+        )
+    r = num_hashes // bands
+    sig = minhash_signature_df(df, text, id_col, num_hashes, seed, shingle_n)
+    band_cols = [
+        F.concat_ws(
+            "_", F.lit(b), *[F.col(f"sig_{b * r + j}") for j in range(r)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
+    )
+    # both the hub aggregate and the member probe consume `banded`;
+    # checkpoint so the signature map stage runs once
+    banded = banded.localCheckpoint(eager=False)
+    hub = banded.groupBy("band_key").agg(F.min(id_col).alias("hub"))
+    return (
+        banded.join(hub, "band_key")
+        .filter(F.col(id_col) != F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col(id_col).alias("doc_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard_on_pairs(
+    df: DataFrame, cands: DataFrame, text: str = "text",
+    id_col: str = "doc_id", threshold: float = 0.8, shingle_n: int = 3,
+) -> DataFrame:
+    """The exact-Jaccard PRECISION stage over an arbitrary candidate-pair
+    DataFrame (columns ``doc_a``, ``doc_b`` + optional pass-through
+    columns): shingle arrays are materialised only for docs appearing in
+    a candidate pair (left-semi prune), so the verify join input is
+    |candidate docs|, never |corpus|. Shared by
+    :func:`minhash_verified_pairs` (all-pairs / capped candidates) and
+    :func:`minhash_star_pairs` consumers (star candidates).
+
+    Output: (doc_a, doc_b, jaccard, verified, *pass-through).
+    """
+    extra_cols = [c for c in cands.columns if c not in ("doc_a", "doc_b")]
+    cand_docs = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .union(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.select(
+            F.col(id_col), word_shingles(F.col(text), shingle_n).alias("shd")
+        )
+        .join(cand_docs, id_col, "left_semi")
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shd").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shd").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(
+        union > 0, inter.cast("double") / union.cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(jac, 4).alias("jaccard"),
+            (jac >= threshold).alias("verified"),
+            *extra_cols,
+        )
+    )
+
+
 def simhash(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int = 16,
     engine: str = "arrow",
@@ -266,6 +363,16 @@ def dup_clusters(
     round N doesn't replay rounds 1..N-1; the loop exits early on
     convergence.
     """
+    # EAGER checkpoint of the pair edges: `pairs` is typically the tail
+    # of an expensive lineage (LSH candidates -> shingle semi-join ->
+    # exact-Jaccard verify), and it is consumed by BOTH union branches
+    # plus the label init below — inside the first iteration's job those
+    # branches re-derive the unmaterialized lineage instead of sharing
+    # one pass (round-8 soak: the star pipeline measured 494 s at x100
+    # near-dup where its sequentially-materialized stages sum to ~112 s;
+    # the loop's own eager checkpoints already run at construction time,
+    # so this adds no new eagerness, only ordering).
+    pairs = pairs.select(doc_a, doc_b).localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col(doc_a).alias("src"), F.col(doc_b).alias("dst"))
         .unionByName(
@@ -410,45 +517,21 @@ def minhash_verified_pairs(
     # both join sides consume cands; checkpoint so the LSH band join and
     # the signature map stage run once, not three times
     cands = cands.localCheckpoint(eager=False)
-    extra_cols: list[str] = []
     if per_doc_cap is not None:
         w = Window.partitionBy("doc_a")
         cands = cands.withColumn(
             "_rk", F.row_number().over(w.orderBy(F.col("doc_b").asc()))
         )
         if report_fanout:
+            # n_cand_a flows to the output as a pass-through column
             cands = cands.withColumn("n_cand_a", F.count(F.lit(1)).over(w))
-            extra_cols = ["n_cand_a"]
         cands = (
             cands.filter(F.col("_rk") <= per_doc_cap)
             .drop("_rk")
             .localCheckpoint(eager=False)
         )
-    cand_docs = (
-        cands.select(F.col("doc_a").alias(id_col))
-        .union(cands.select(F.col("doc_b").alias(id_col)))
-        .distinct()
-    )
-    sh = (
-        df.select(F.col(id_col), word_shingles(F.col(text), shingle_n).alias("shd"))
-        .join(cand_docs, id_col, "left_semi")
-    )
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shd").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shd").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.when(
-        union > 0, inter.cast("double") / union.cast("double")
-    ).otherwise(F.lit(0.0))
-    return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            F.round(jac, 4).alias("jaccard"),
-            (jac >= threshold).alias("verified"),
-            *extra_cols,
-        )
+    return exact_jaccard_on_pairs(
+        df, cands, text, id_col, threshold, shingle_n
     )
 
 

@@ -658,12 +658,21 @@ def llm_span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLES_R_CTE = _BASE_HASH_CTE.replace("FROM documents", "FROM docs_r")
 
 
-def _collapsed_pipeline_sql(per_doc_cap: int | None) -> str:
+def _collapsed_pipeline_sql(
+    per_doc_cap: int | None, star: bool = False
+) -> str:
     """Oracle for the exact-collapse-first dedup pipeline, with an
     optional per-doc_a candidate cap between LSH banding and the exact
     verify (the registered llm_dedup_pipeline sets the cap; the staged
-    entry verifies every candidate)."""
-    if per_doc_cap is None:
+    entry verifies every candidate; llm_dedup_pipeline_star replaces
+    the all-pairs candidate CTE with hub->member star pairs)."""
+    if star:
+        cand = """, hub AS (SELECT band_key, min(doc_id) AS hub
+                   FROM bands GROUP BY 1),
+cand AS (SELECT DISTINCT h.hub AS doc_a, b.doc_id AS doc_b
+         FROM bands b JOIN hub h ON b.band_key = h.band_key
+         WHERE b.doc_id <> h.hub),"""
+    elif per_doc_cap is None:
         cand = """, cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                     FROM bands a JOIN bands b
                       ON a.band_key = b.band_key AND a.doc_id < b.doc_id),"""
@@ -714,12 +723,14 @@ _STAGED_SQL = _collapsed_pipeline_sql(None)
 
 
 def _collapsed_pipeline(
-    spark: SparkSession, sf_dir: str, per_doc_cap: int | None
+    spark: SparkSession, sf_dir: str, per_doc_cap: int | None,
+    star: bool = False,
 ) -> DataFrame:
-    """Shared Spark body of llm_dedup_pipeline / llm_dedup_pipeline_staged:
-    exact-collapse to md5-representatives, MinHash-LSH + exact-Jaccard
-    verify (optionally candidate-capped) on representatives only,
-    connected components, then map every doc through its rep."""
+    """Shared Spark body of llm_dedup_pipeline / llm_dedup_pipeline_staged
+    / llm_dedup_pipeline_star: exact-collapse to md5-representatives,
+    MinHash-LSH + exact-Jaccard verify (candidate-capped, all-pairs, or
+    star hub->member) on representatives only, connected components,
+    then map every doc through its rep."""
     docs = load_table(spark, sf_dir, "documents")
     rep = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
     # ONE checkpoint of the exact-collapse window: the doc->rep map and
@@ -734,11 +745,20 @@ def _collapsed_pipeline(
     reps_docs = base.filter(F.col("doc_id") == F.col("rep")).select(
         "doc_id", "text"
     )
-    vp = dedup.minhash_verified_pairs(
-        reps_docs, threshold=VERIFY_THRESHOLD,
-        num_hashes=NUM_HASHES, bands=BANDS, seed=SEED,
-        per_doc_cap=per_doc_cap, report_fanout=False,  # column unused here
-    ).filter(F.col("verified"))
+    if star:
+        cands = dedup.minhash_star_pairs(
+            reps_docs, num_hashes=NUM_HASHES, bands=BANDS, seed=SEED,
+        ).localCheckpoint(eager=False)  # consumed by prune + verify join
+        vp = dedup.exact_jaccard_on_pairs(
+            reps_docs, cands, threshold=VERIFY_THRESHOLD
+        ).filter(F.col("verified"))
+    else:
+        vp = dedup.minhash_verified_pairs(
+            reps_docs, threshold=VERIFY_THRESHOLD,
+            num_hashes=NUM_HASHES, bands=BANDS, seed=SEED,
+            per_doc_cap=per_doc_cap,
+            report_fanout=False,  # column unused here
+        ).filter(F.col("verified"))
     labels = dedup.dup_clusters(vp)
     return (
         mapped.join(

@@ -402,3 +402,36 @@ def storage_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day").alias("last_day"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# star-candidate dedup pipeline (the round-8 soak's answer)
+# ---------------------------------------------------------------------------
+
+from .catalog_round5 import _collapsed_pipeline, _collapsed_pipeline_sql  # noqa: E402
+
+
+@register(
+    "llm_dedup_pipeline_star",
+    _collapsed_pipeline_sql(None, star=True),
+    doc="The dedup pipeline with STAR-topology LSH candidates: inside "
+        "each band bucket every member pairs only with the bucket's "
+        "min-id hub — O(bands x n) candidate pairs with no window pass, "
+        "where all-pairs banding pays O(sum bucket^2) and the per-doc "
+        "cap pays a row_number window plus SEVERED group connectivity. "
+        "Born from the round-8 near-dup soak (SCALE_SOAK.md): at x100 "
+        "non-verbatim duplication the capped pipeline under-merged 1.53x "
+        "(145k vs 95k keepers) because cap eviction cut edges inside "
+        "100-member groups; the star keeps every member linked to its "
+        "hub, so bucket-coherent groups stay one component while the "
+        "verify join stays linear. Trade-off: a member verifies against "
+        "the HUB only (bands chances), so a group whose hub drifted "
+        "past the Jaccard threshold can still split — precision is "
+        "unchanged (every merge is an exactly-verified pair). Same "
+        "exact-collapse pre-stage, verify threshold, CC, and doc->rep "
+        "mapping as llm_dedup_pipeline "
+        "(operators/llm/dedup.py:minhash_star_pairs).",
+    tags=("llm", "dedup", "scale"),
+)
+def llm_dedup_pipeline_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _collapsed_pipeline(spark, sf_dir, None, star=True)

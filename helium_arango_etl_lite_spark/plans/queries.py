@@ -26,15 +26,15 @@ queries, so it was removed on advisor direction).
 Round-8 batch (applied): the brand-new round-8 entries (quarantine
 decode for malformed media; temperature-scaled mixture weights;
 histogram-based per-source quality percentile; hard-negative mining
-from the exact sampled shortlist; compaction planner — never
-driver-verified), then the entries
+from the exact sampled shortlist; compaction planner; star-candidate
+dedup pipeline — never driver-verified), then the entries
 whose CODE changed this round and therefore need a fresh independent row
 (llm_shard_assign's moved column is now derived from the actual
 reassignment; events_resample_interp shares one events scan via
 localCheckpoint; both decode entries gained parser guards and the WAV
 encoder an empty-doc filter), then the 36 entries whose last driver row
 is round 4 (the stalest in the catalog — tools/batch_staleness.py), then
-the 4 stalest r5-era entries to fill 50. After this round no catalog
+the 3 stalest r5-era entries to fill 50. After this round no catalog
 entry's latest driver row predates round 5 (the full catalog is also
 locally replicated green every round — tools/driver_replica.py).
 """
@@ -61,6 +61,7 @@ DRIVER_BATCH: list[str] = [
     "llm_quality_percentile",
     "llm_hard_negatives",
     "storage_compaction_plan",
+    "llm_dedup_pipeline_star",
     # -- changed this round (4): code touched, need fresh driver rows --
     "llm_shard_assign",
     "events_resample_interp",
@@ -104,11 +105,10 @@ DRIVER_BATCH: list[str] = [
     "tpch_q6_forecast",
     "window_moving_avg",
     "window_running_sum",
-    # -- re-check slots (4): the stalest r5-era entries ----------------
+    # -- re-check slots (3): the stalest r5-era entries ----------------
     "agg_grouping_sets",
     "agg_payment_volume",
     "agg_stats_profile",
-    "agg_string_agg",
 ]
 
 

@@ -198,6 +198,30 @@ def main() -> None:
 
     calib = round(min(run_calib(), run_calib()), 3)
 
+    # Second calibration for the PYTHON-worker path: round 8 found that
+    # dividing by the JVM calib over-corrects queries dominated by
+    # Arrow/pandas workers (their raw walls were flat while the JVM got
+    # 23% faster). A fixed mapInPandas job measures that axis separately
+    # — normalize mapInPandas-bound queries by calib_py_sec, JVM-bound
+    # ones by calib_sec.
+    def run_calib_py() -> float:
+        import numpy as _np
+
+        def work(it):
+            for pdf in it:
+                v = pdf["id"].to_numpy()
+                for _ in range(200):
+                    v = (v * 31 + 7) % 997
+                yield pdf.assign(id=v)
+
+        t0 = time.time()
+        spark.range(6_000_000).mapInPandas(work, "id long").selectExpr(
+            "sum(id)"
+        ).collect()
+        return time.time() - t0
+
+    calib_py = round(min(run_calib_py(), run_calib_py()), 3)
+
     def run_once(name: str) -> float:
         fn = QUERIES[name].spark_fn
         t0 = time.time()
@@ -325,8 +349,10 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),  # first-run incl. warm-up
         **subtotals,
         # fixed CPU-bound job (no data): divide totals by the ratio of two
-        # rounds' calib_sec before calling a delta a regression/speedup
+        # rounds' calib_sec before calling a delta a regression/speedup;
+        # calib_py_sec is the same idea for the Arrow/pandas worker path
         "calib_sec": calib,
+        "calib_py_sec": calib_py,
         "n_ok": len(timings),
         "n_errors": len(errors),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -27,7 +27,8 @@ import sys
 _SCALAR_KEYS = {
     "value", "warm_total", "cold_total", "warm_total_r4_subset",
     "warm_total_r5_subset", "warm_total_r6_subset", "warm_total_r7_subset",
-    "calib_sec", "n_ok", "n_errors", "sf", "partial_total",
+    "warm_total_r8_subset",
+    "calib_sec", "calib_py_sec", "n_ok", "n_errors", "sf", "partial_total",
     "queries_truncated_to",
 }
 
@@ -98,6 +99,14 @@ def main() -> None:
             f"(host ratio {calib_ratio:.2f}x; query ratios below are "
             f"divided by this)"
         )
+        if old.get("calib_py_sec") and new.get("calib_py_sec"):
+            py_ratio = new["calib_py_sec"] / old["calib_py_sec"]
+            print(
+                f"calib_py: {old['calib_py_sec']:.2f}s -> "
+                f"{new['calib_py_sec']:.2f}s (Python-worker host ratio "
+                f"{py_ratio:.2f}x — read mapInPandas-bound queries "
+                f"against this, not the JVM ratio)"
+            )
     else:
         print(
             "calib_sec missing on one side — RAW ratios below include "

@@ -990,30 +990,46 @@ def knn_join_sampled(
     )
     scale = 10.0 ** round_dp
 
+    # Query-block tiling (round 8): the GEMM's |sample| x |batch| sims
+    # matrix is the kernel's only unbounded memory — at a 50k-query
+    # sample against 10k-row Arrow batches it is ~4 GB per task and 32
+    # concurrent tasks thrash the box. Tiling the SAMPLE side bounds it
+    # at q_block x |batch| (~160 MB) with bit-identical output: the
+    # per-partition top-k per query is computed per block, and blocks
+    # partition the queries, so no cross-block state exists.
+    q_block = 2048
+
     def batches(it):
         sq, sm = bc.value
-        nq = len(sq)
         for pdf in it:
             if not len(pdf):
                 continue
             c = np.stack(pdf["v"].to_numpy())
             c = c / np.linalg.norm(c, axis=1, keepdims=True)
             cids = pdf[id_col].to_numpy(dtype=np.int64)
-            sims = sm @ c.T  # |sample| x |partition rows|
-            sims = np.floor(np.abs(sims) * scale + 0.5) / scale * np.sign(sims)
-            sims[sq[:, None] == cids[None, :]] = -np.inf  # self-match
-            kk = min(k, sims.shape[1])
-            order = np.lexsort((cids[None, :].repeat(nq, 0), -sims), axis=1)
-            top = order[:, :kk]
-            tops = np.take_along_axis(sims, top, axis=1)
-            keep = np.isfinite(tops).ravel()
-            yield pd.DataFrame(
-                {
-                    "qid": np.repeat(sq, kk)[keep],
-                    "nid": cids[top].ravel()[keep],
-                    "cos_sim": tops.ravel()[keep],
-                }
-            )
+            for q0 in range(0, len(sq), q_block):
+                bq, bm = sq[q0 : q0 + q_block], sm[q0 : q0 + q_block]
+                nq = len(bq)
+                sims = bm @ c.T  # q_block x |partition rows|
+                sims = (
+                    np.floor(np.abs(sims) * scale + 0.5) / scale
+                    * np.sign(sims)
+                )
+                sims[bq[:, None] == cids[None, :]] = -np.inf  # self-match
+                kk = min(k, sims.shape[1])
+                order = np.lexsort(
+                    (cids[None, :].repeat(nq, 0), -sims), axis=1
+                )
+                top = order[:, :kk]
+                tops = np.take_along_axis(sims, top, axis=1)
+                keep = np.isfinite(tops).ravel()
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(bq, kk)[keep],
+                        "nid": cids[top].ravel()[keep],
+                        "cos_sim": tops.ravel()[keep],
+                    }
+                )
 
     cand = e.mapInPandas(batches, cand_schema)
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))

@@ -97,6 +97,11 @@ HEADLINE = [
     "llm_hard_negatives",         # shortlist-mined contrastive negatives
     "storage_compaction_plan",    # running-sum bin-packed file groups
     "llm_dedup_pipeline_star",    # hub-topology candidates, linear verify
+    "llm_repeated_span_scrub",    # corpus-wide span removal + md5 rewrite
+    "llm_dedup_containment",      # asymmetric quote/inclusion detector
+    "join_interval_overlap",      # cell-blocked bounded-range self-join
+    "dq_partition_skew",          # hash-bucket load/hot-key pre-flight
+    "events_cusum_alarm",         # CUSUM drift alarms via prefix-min identity
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -156,6 +161,16 @@ R7_COMPARABLE = R6_COMPARABLE | {
     "llm_power_iteration_2", "llm_shard_assign", "llm_vocab_growth",
     "llm_split_leakage_check", "llm_trigram_lm_score",
     "llm_incremental_dedup_bloom", "events_resample_interp",
+}
+
+# The round-8 headline set frozen for round 9+ like-for-like totals:
+# the r7 set plus the eleven round-8 additions.
+R8_COMPARABLE = R7_COMPARABLE | {
+    "llm_multimodal_quarantine_ppm", "llm_multimodal_quarantine_wav",
+    "llm_mixture_weights", "llm_quality_percentile", "llm_hard_negatives",
+    "storage_compaction_plan", "llm_dedup_pipeline_star",
+    "llm_repeated_span_scrub", "llm_dedup_containment",
+    "join_interval_overlap", "dq_partition_skew", "events_cusum_alarm",
 }
 
 SMALL_OUTPUT = {
@@ -322,6 +337,9 @@ def main() -> None:
         ),
         "warm_total_r7_subset": round(
             sum(v for q, v in timings.items() if q in R7_COMPARABLE), 3
+        ),
+        "warm_total_r8_subset": round(
+            sum(v for q, v in timings.items() if q in R8_COMPARABLE), 3
         ),
     }
     # Full per-query detail goes to a FILE: round 7's headline line (64

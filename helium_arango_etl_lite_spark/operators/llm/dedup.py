@@ -60,6 +60,13 @@ def word_shingles_all(text_col: Column | str, n: int = 3) -> Column:
     each occurrence must contribute to the count. Same zip_with-over-
     shifted-slices kernel; empty array when the doc has < n tokens."""
     t = F.split(text_col if isinstance(text_col, str) else text_col, " ")
+    return array_shingles(t, n)
+
+
+def array_shingles(t: Column, n: int = 3) -> Column:
+    """The shingle kernel over an ALREADY-SPLIT token array — callers
+    that also need the tokens themselves (e.g. span scrubbing) split
+    once and share the array instead of paying a second split."""
     length = F.greatest(F.size(t) - (n - 1), F.lit(0))
 
     def shifted(j: int) -> Column:
@@ -589,4 +596,156 @@ def window_dup_stats(
                 4,
             ).alias("dup_ratio"),
         )
+    )
+
+
+def containment_pairs(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3, threshold: float = 0.9,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Shingle CONTAINMENT |A intersect B| / |A| for ordered pairs — the
+    asymmetric cousin of :func:`ngram_jaccard_pairs`, and the right
+    score for quote/inclusion detection: a short document embedded
+    verbatim inside a long one has containment ~1.0 while its symmetric
+    Jaccard is tiny (|A|/|B|), so Jaccard-thresholded dedup never sees
+    it. Broder's resemblance-vs-containment distinction, applied to
+    training corpora where boilerplate wrappers swallow whole articles.
+
+    Emits BOTH directions (doc_a contained-in doc_b is not doc_b
+    contained-in doc_a); ``doc_a`` is the contained side. Same scale
+    posture as the Jaccard form: the explode is linear, the self-join
+    keys on the shingle, and ubiquitous shingles are the quadratic risk
+    — ``max_shingle_freq`` drops them via a broadcast anti join
+    (containment against a frequency-capped set is then a documented
+    under-estimate, exactly like the capped Jaccard entry).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text), shingle_n)).alias("s"),
+    )
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+        hot = freq.filter(F.col("f") > max_shingle_freq).select("s")
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    sh = sh.localCheckpoint(eager=False)  # sizes + both join sides
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    cont = F.round(F.col("inter").cast("double") / F.col("na").cast("double"), 6)
+    return (
+        inter.join(sa, "doc_a")
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+SPAN_OKEY_SHIFT = 1 << 20  # packs (doc_id, position) into one BIGINT
+
+
+def repeated_span_scrub(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    span_w: int = 5,
+) -> DataFrame:
+    """Exact repeated-SPAN removal — the rewrite stage of suffix-style
+    substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): every word ``span_w``-gram occurring more
+    than once in the corpus keeps its FIRST occurrence (min packed
+    (doc_id, position) key) and every other occurrence is masked; a
+    token is dropped when any masked span covers it. Detection-only
+    siblings: :func:`window_dup_stats` (strided char windows) and the
+    per-doc fingerprint entries — this one actually produces the
+    scrubbed corpus.
+
+    Per doc: token count, masked-token count/fraction, and the md5 of
+    the scrubbed text (order-exact reconstruction), so the oracle pins
+    the rewrite itself, not just counts.
+
+    Scale shape: ONE corpus-linear shingle explode, a gram-keyed
+    partial-agg shuffle for (count, first-occurrence) per gram, a join
+    back on gram to find non-keeper occurrences (only REPEATED grams
+    survive the filter, so the masked-span set is small on organic
+    corpora), then per-doc coverage aggregates on a doc_id shuffle of
+    those spans only. The corpus itself never re-shuffles: coverage
+    comes back as ONE small array per affected doc and the rewrite is
+    per-row JVM array expressions (filter-by-index + concat_ws + md5).
+    Hot boilerplate grams cost one agg row each (partial-agg combines
+    map-side); their occurrence lists DO flow through the span join —
+    at 100 TB frequency-cap them exactly as ngram_jaccard_pairs does.
+    """
+    d = df.select(
+        F.col(id_col), F.split(F.col(text), " ").alias("ws")
+    ).localCheckpoint(eager=False)  # occurrence branch + rewrite branch
+    occ = (
+        d.select(
+            F.col(id_col),
+            F.posexplode(array_shingles(F.col("ws"), span_w)).alias(
+                "p0", "gram"
+            ),
+        )
+        # 1-based token index i; packed order key = doc_id * 2^20 + i —
+        # the pack keeps "first occurrence" a plain MIN. assert_true
+        # makes a >2^20-token doc FAIL LOUDLY instead of silently
+        # corrupting keeper selection via key overlap.
+        .select(
+            F.col(id_col),
+            (F.col("p0") + 1).alias("i"),
+            "gram",
+            F.when(
+                F.assert_true(F.col("p0") + 1 < SPAN_OKEY_SHIFT).isNull(),
+                F.col(id_col) * SPAN_OKEY_SHIFT + F.col("p0") + 1,
+            ).alias("okey"),
+        )
+    )
+    keep = occ.groupBy("gram").agg(
+        F.min("okey").alias("first_okey"), F.count(F.lit(1)).alias("n_occ")
+    )
+    masked = (
+        occ.join(keep.filter(F.col("n_occ") >= 2), "gram")
+        .filter(F.col("okey") != F.col("first_okey"))
+        .select(F.col(id_col), "i")
+    )
+    cov = (
+        masked.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (span_w - 1))
+            ).alias("idx"),
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("idx")).alias("cov"))
+    )
+    j = d.join(cov, id_col, "left").select(
+        F.col(id_col),
+        "ws",
+        F.coalesce("cov", F.array().cast("array<int>")).alias("cov"),
+    )
+    kept = F.filter(
+        F.col("ws"),
+        lambda x, i: ~F.array_contains(F.col("cov"), (i + 1).cast("int")),
+    )
+    n_tok = F.size("ws").cast("long")
+    # cov indices never exceed the token count (spans start at real
+    # positions), so masked count == |cov|
+    n_masked = F.size("cov").cast("long")
+    return j.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_masked.alias("n_masked"),
+        F.round(n_masked.cast("double") / n_tok.cast("double"), 6).alias(
+            "masked_frac"
+        ),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
     )

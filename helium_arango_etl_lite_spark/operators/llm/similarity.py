@@ -31,6 +31,52 @@ def _as_double(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _id_rank_penalty(ids, round_dp: int):
+    """Ascending-id tie-break folded into ONE sortable key (round 8).
+
+    The GEMM kernels rank candidates by ``(rounded sim DESC, id ASC)``.
+    Expressing that with a full-row ``np.lexsort`` costs
+    O(rows * n log n) per batch AND materialises an ids matrix the size
+    of the sims matrix — the dominant cost of the x100 hard-negatives
+    soak. Instead, subtract a per-candidate penalty strictly smaller
+    than one rounding quantum: ``rank(id) * eps`` with
+    ``eps = 10^-round_dp / (n + 2)``. Distinct rounded sims differ by
+    >= 10^-round_dp while the worst-case total penalty is
+    ``n/(n+2) * 10^-round_dp`` — a margin of ``2/(n+2) * 10^-round_dp``
+    (~2e-11 at n=10M), far above double ulp, so the composite key's
+    order EQUALS the lexicographic order and ``argpartition`` +
+    small-argsort selects the exact same top-k in O(n + k log k).
+    Ranks (not raw ids) keep eps scale-independent: raw ids at 100 TB
+    can exceed the 53-bit mantissa's room under a 1e-4 quantum.
+    """
+    import numpy as np
+
+    n = len(ids)
+    eps = (10.0 ** -round_dp) / (n + 2)
+    rank = np.empty(n, dtype=np.float64)
+    rank[np.argsort(ids, kind="stable")] = np.arange(n, dtype=np.float64)
+    return rank * eps
+
+
+def _topk_cols(key, kk: int):
+    """Per-row top-``kk`` column indices of ``key`` (2-D), ordered
+    descending — exact, via argpartition preselect + an O(kk log kk)
+    argsort of only the preselected block. ``key`` must be a strict
+    total order per row (see :func:`_id_rank_penalty`)."""
+    import numpy as np
+
+    if kk < key.shape[1]:
+        part = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+    else:
+        part = np.broadcast_to(
+            np.arange(key.shape[1]), key.shape
+        )
+    sel = np.take_along_axis(key, part, axis=1)
+    return np.take_along_axis(
+        part, np.argsort(-sel, axis=1, kind="stable"), axis=1
+    )
+
+
 def _infer_dim(e: DataFrame, vec_col: str = "v") -> int:
     """Embedding dimension from one sampled row (single-row job).
 
@@ -446,8 +492,9 @@ def knn_join(
     ``engine="arrow"``: the corpus collects into ONE normalised numpy
     matrix broadcast to executors (rows x dim floats — fine up to ~10M
     rows), and each Arrow batch of queries scores against it with a
-    single GEMM, then vectorised top-k (argpartition + lexsort). Python
-    runs matrix-at-a-time.
+    single GEMM, then vectorised exact top-k — argpartition over a
+    composite sim/id key (:func:`_id_rank_penalty`), O(n) per query row
+    instead of a full-row lexsort. Python runs matrix-at-a-time.
 
     ``engine="expr"``: crossJoin + fold-based cosine + partitioned
     row_number window — all JVM, quadratic expression work.
@@ -520,7 +567,10 @@ def knn_join(
     ids = np.array([r[id_col] for r in corpus], dtype=np.int64)
     mat = np.array([r["v"] for r in corpus], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = e.sparkSession.sparkContext.broadcast((ids, mat))
+    # id-rank penalty computed ONCE at broadcast time (driver side), so
+    # the per-batch kernel is argpartition-only (_id_rank_penalty)
+    pen = _id_rank_penalty(ids, round_dp)
+    bc = e.sparkSession.sparkContext.broadcast((ids, mat, pen))
 
     out_schema = StructType(
         [
@@ -533,18 +583,19 @@ def knn_join(
     scale = 10.0 ** round_dp
 
     def batches(it):
-        nids, nmat = bc.value
+        nids, nmat, npen = bc.value
         for pdf in it:
             q = np.stack(pdf["v"].to_numpy())
             q = q / np.linalg.norm(q, axis=1, keepdims=True)
             sims = q @ nmat.T
-            # half-away-from-zero at round_dp, then rank by (-sim, nid)
+            # half-away-from-zero at round_dp, then rank by (-sim, nid):
+            # the id tie-break rides inside one composite key so top-k
+            # is argpartition O(n), not a full-row lexsort O(n log n)
             sims = np.floor(np.abs(sims) * scale + 0.5) / scale * np.sign(sims)
             qids = pdf[id_col].to_numpy(dtype=np.int64)
             self_mask = qids[:, None] == nids[None, :]
             sims[self_mask] = -np.inf
-            order = np.lexsort((nids[None, :].repeat(len(qids), 0), -sims), axis=1)
-            top = order[:, :k]
+            top = _topk_cols(sims - npen[None, :], k)
             rows = len(qids)
             yield pd.DataFrame(
                 {
@@ -1007,9 +1058,9 @@ def knn_join_sampled(
             c = np.stack(pdf["v"].to_numpy())
             c = c / np.linalg.norm(c, axis=1, keepdims=True)
             cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cpen = _id_rank_penalty(cids, round_dp)  # once per batch
             for q0 in range(0, len(sq), q_block):
                 bq, bm = sq[q0 : q0 + q_block], sm[q0 : q0 + q_block]
-                nq = len(bq)
                 sims = bm @ c.T  # q_block x |partition rows|
                 sims = (
                     np.floor(np.abs(sims) * scale + 0.5) / scale
@@ -1017,10 +1068,7 @@ def knn_join_sampled(
                 )
                 sims[bq[:, None] == cids[None, :]] = -np.inf  # self-match
                 kk = min(k, sims.shape[1])
-                order = np.lexsort(
-                    (cids[None, :].repeat(nq, 0), -sims), axis=1
-                )
-                top = order[:, :kk]
+                top = _topk_cols(sims - cpen[None, :], kk)
                 tops = np.take_along_axis(sims, top, axis=1)
                 keep = np.isfinite(tops).ravel()
                 yield pd.DataFrame(

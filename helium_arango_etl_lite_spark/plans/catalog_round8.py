@@ -435,3 +435,329 @@ from .catalog_round5 import _collapsed_pipeline, _collapsed_pipeline_sql  # noqa
 )
 def llm_dedup_pipeline_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _collapsed_pipeline(spark, sf_dir, None, star=True)
+
+
+# ---------------------------------------------------------------------------
+# repeated-span scrub: the rewrite stage of substring dedup
+# ---------------------------------------------------------------------------
+
+from ..operators.llm import dedup as _dedup  # noqa: E402
+from ..functions.hashing import hash32 as _hash32  # noqa: E402
+
+_SPAN_W = 5
+
+_SPAN_SCRUB_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+occ AS (SELECT doc_id, i, array_to_string(ws[i:i+{_SPAN_W - 1}], ' ') AS gram,
+               doc_id * {_dedup.SPAN_OKEY_SHIFT} + i AS okey
+        FROM (SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws) - {_SPAN_W - 1})) AS i
+              FROM d WHERE len(ws) >= {_SPAN_W})),
+keep AS (SELECT gram, min(okey) AS first_okey, count(*) AS n_occ
+         FROM occ GROUP BY 1),
+masked AS (SELECT o.doc_id, o.i
+           FROM occ o JOIN keep k ON o.gram = k.gram
+           WHERE k.n_occ >= 2 AND o.okey <> k.first_okey),
+cov AS (SELECT DISTINCT doc_id, idx
+        FROM (SELECT doc_id,
+                     unnest(generate_series(i, i + {_SPAN_W - 1})) AS idx
+              FROM masked)),
+tok AS (SELECT doc_id, idx, ws[idx] AS tk
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS idx
+              FROM d)),
+j AS (SELECT t.doc_id, t.idx, t.tk, (c.idx IS NOT NULL) AS m
+      FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN m THEN 1 ELSE 0 END)::BIGINT AS n_masked,
+       round(sum(CASE WHEN m THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           AS masked_frac,
+       md5(coalesce(string_agg(tk, ' ' ORDER BY idx) FILTER (WHERE NOT m),
+                    '')) AS clean_md5
+FROM j GROUP BY doc_id"""
+
+
+@register(
+    "llm_repeated_span_scrub",
+    _SPAN_SCRUB_SQL,
+    doc=f"Exact repeated-span REMOVAL (word {_SPAN_W}-grams): every span "
+        "occurring >1x corpus-wide keeps only its first occurrence (min "
+        "packed (doc_id,pos) key) and covered tokens are dropped — the "
+        "rewrite stage of suffix-style substring dedup (Lee et al. 2022) "
+        "where the fingerprint/window siblings only detect. The oracle "
+        "value-hashes the md5 of each SCRUBBED document (order-exact "
+        "string_agg reconstruction), so keeper choice, span coverage "
+        "merging, and the rewrite itself are all pinned cross-engine. "
+        "Plan: one shingle explode, a gram-keyed partial-agg (count + "
+        "min key), a gram join that only repeated grams survive, and a "
+        "per-doc coverage array join — the corpus re-shuffles zero "
+        "times; the rewrite is per-row JVM filter-by-index + concat_ws "
+        "(operators/llm/dedup.py:repeated_span_scrub).",
+    tags=("llm", "dedup", "scale"),
+)
+def llm_repeated_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.repeated_span_scrub(
+        load_table(spark, sf_dir, "documents"), span_w=_SPAN_W
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingle containment: asymmetric near-dup (quote / inclusion detection)
+# ---------------------------------------------------------------------------
+
+_CONT_T = 0.9
+
+_CONTAINMENT_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM w WHERE len(ws) >= 3),
+ex AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+       FROM pos),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY 1),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(inter::DOUBLE / sa.n_sh::DOUBLE, 6) AS containment
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+WHERE round(inter::DOUBLE / sa.n_sh::DOUBLE, 6) >= {_CONT_T}"""
+
+
+@register(
+    "llm_dedup_containment",
+    _CONTAINMENT_SQL,
+    doc=f"Shingle CONTAINMENT |A n B|/|A| >= {_CONT_T} for ordered pairs "
+        "(doc_a = the contained side, both directions emitted) — "
+        "Broder's asymmetric resemblance, the score Jaccard-thresholded "
+        "dedup is blind to: a short doc quoted verbatim inside a long "
+        "one has containment ~1.0 but Jaccard ~|A|/|B|. Same linear "
+        "explode + shingle-keyed self-join shape as "
+        "llm_dedup_ngram_jaccard; at 100 TB frequency-cap hot shingles "
+        "(max_shingle_freq) exactly as the capped Jaccard entry does "
+        "(operators/llm/dedup.py:containment_pairs).",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=_CONT_T
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap self-join: range join via cell blocking, no cartesian
+# ---------------------------------------------------------------------------
+
+_IV_CELL = 300  # blocking cell width >= max interval duration (60+239 s)
+
+_INTERVAL_OVERLAP_SQL = f"""
+WITH {EVENTS_NORM},
+e AS (SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS s,
+             floor(epoch(ts))::BIGINT + 60 + event_id % 240 AS t
+      FROM events_norm)
+SELECT a.user_id AS user_id, a.event_id AS event_a, b.event_id AS event_b,
+       (least(a.t, b.t) - greatest(a.s, b.s))::BIGINT AS overlap_sec
+FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+WHERE a.s < b.t AND b.s < a.t"""
+
+
+@register(
+    "join_interval_overlap",
+    _INTERVAL_OVERLAP_SQL,
+    doc="Interval-overlap self-join (half-open [start, start+60+id%240)) "
+        "per user WITHOUT a range-join cartesian: each interval lands in "
+        "the (<= 2) time cells of width >= max duration it touches, the "
+        "join is a plain (user, cell) EQUI-join, the overlap predicate "
+        "filters candidates, and distinct() collapses pairs that met in "
+        "both cells. The oracle states the semantics as the naive "
+        "inequality self-join DuckDB can afford at sf0.01; the Spark "
+        "plan is the one that survives 100 TB — shuffle volume is "
+        "2x events keyed by (user, cell), candidate volume is bounded "
+        "by per-cell density, never |user|^2. The same blocking "
+        "generalizes to any bounded-duration temporal join (ad "
+        "attribution, session stitching).",
+    tags=("join", "temporal", "scale"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    s = F.unix_timestamp("ts")
+    e = ev.select(
+        "event_id", "user_id", s.alias("s"),
+        (s + 60 + F.pmod("event_id", F.lit(240))).alias("t"),
+    )
+    cells = e.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / _IV_CELL).cast("long"),
+                F.floor((F.col("t") - 1) / _IV_CELL).cast("long"),
+            )
+        ).alias("cell"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .filter(
+            (F.col("a.s") < F.col("b.t")) & (F.col("b.s") < F.col("a.t"))
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            (
+                F.least(F.col("a.t"), F.col("b.t"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).cast("long").alias("overlap_sec"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# partition-skew diagnostic: what a hash shuffle on this key would do
+# ---------------------------------------------------------------------------
+
+_SKEW_P = 64
+
+_PARTITION_SKEW_SQL = f"""
+WITH {EVENTS_NORM},
+kc AS (SELECT user_id, count(*)::BIGINT AS n FROM events_norm GROUP BY 1),
+b AS (SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+              % {_SKEW_P}) AS bucket, n FROM kc),
+agg AS (SELECT bucket, sum(n)::BIGINT AS n_rows, max(n)::BIGINT AS max_key
+        FROM b GROUP BY 1)
+SELECT bucket, n_rows,
+       round(n_rows * {_SKEW_P}.0 / (sum(n_rows) OVER ())::DOUBLE, 6)
+           AS load_factor,
+       round(max_key::DOUBLE / n_rows::DOUBLE, 6) AS hot_key_share
+FROM agg"""
+
+
+@register(
+    "dq_partition_skew",
+    _PARTITION_SKEW_SQL,
+    doc=f"Shuffle-skew pre-flight: simulate hash-partitioning events by "
+        f"user_id into {_SKEW_P} buckets (the cross-engine md5-prefix "
+        "hash, functions/hashing.py) and report per-bucket load_factor "
+        "(1.0 = balanced) plus hot_key_share — the fraction of the "
+        "bucket owned by its single heaviest key. The pair separates "
+        "the two skew regimes that need DIFFERENT fixes: load_factor "
+        "spread with low hot_key_share is hash unluckiness (more "
+        "partitions / AQE fixes it), high hot_key_share is an "
+        "irreducible hot key (only salting or a broadcast fixes it). "
+        "Cost: one partial-agg key count over the fact table, then all "
+        f"work on |keys| rows; the window runs on {_SKEW_P} rows.",
+    tags=("dq", "scale"),
+)
+def dq_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    kc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    b = kc.select(
+        F.pmod(_hash32(F.col("user_id").cast("string")), F.lit(_SKEW_P))
+        .alias("bucket"),
+        "n",
+    )
+    agg = b.groupBy("bucket").agg(
+        F.sum("n").alias("n_rows"), F.max("n").alias("max_key")
+    )
+    total = F.sum("n_rows").over(Window.partitionBy())
+    return agg.select(
+        "bucket",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(
+            F.col("n_rows") * _SKEW_P / total.cast("double"), 6
+        ).alias("load_factor"),
+        F.round(
+            F.col("max_key").cast("double") / F.col("n_rows").cast("double"),
+            6,
+        ).alias("hot_key_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point alarms: the "stateful" recursion as two windows
+# ---------------------------------------------------------------------------
+
+_CUSUM_MULT = 3      # slack per step = MULT * per-user mean (cents)
+_CUSUM_H = 5000      # alarm threshold (cents)
+
+_CUSUM_SQL = f"""
+WITH {EVENTS_NORM},
+e AS (SELECT user_id, ts, event_id, round(value * 100)::BIGINT AS xc
+      FROM events_norm),
+m AS (SELECT *, (sum(xc) OVER (PARTITION BY user_id))
+                // (count(*) OVER (PARTITION BY user_id)) AS mean_c
+      FROM e),
+p AS (SELECT *, sum(xc - {_CUSUM_MULT} * mean_c)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS pf
+      FROM m),
+c AS (SELECT *, pf - least(min(pf) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING), 0)
+                AS cusum
+      FROM p)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN cusum > {_CUSUM_H} THEN 1 ELSE 0 END)::BIGINT
+           AS n_alarms,
+       max(cusum)::BIGINT AS max_cusum,
+       min(ts) FILTER (WHERE cusum > {_CUSUM_H}) AS first_alarm_ts
+FROM c GROUP BY 1"""
+
+
+@register(
+    "events_cusum_alarm",
+    _CUSUM_SQL,
+    doc="One-sided CUSUM change-point alarms per user (Page 1954): "
+        "s_i = max(0, s_(i-1) + x_i - slack) looks like a stateful "
+        "recursion demanding applyInPandasWithState, but the identity "
+        "s_i = p_i - min(0, min_(j<=i) p_j) (p = prefix sum of "
+        "deviations) turns it into TWO ordinary window functions over "
+        "one (user, ts)-sorted partition — fully declarative, one "
+        "shuffle, Catalyst-optimizable, trivially parallel across "
+        f"users. Slack = {_CUSUM_MULT}x the per-user mean, threshold "
+        f"{_CUSUM_H} cents; ALL arithmetic in integer cents "
+        "(round(value*100), floor-div mean), so prefix sums are exact "
+        "and the alarm predicate can never flip on floating-point "
+        "association order — the property that makes the cross-engine "
+        "hash meaningful. Emits every user (zero-alarm users have "
+        "first_alarm_ts NULL); the anomaly-zscore entry flags level "
+        "outliers, this one flags sustained drifts too small to be "
+        "outliers row-by-row.",
+    tags=("temporal", "window", "dq"),
+)
+def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    e = ev.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("xc"),
+    )
+    w_all = Window.partitionBy("user_id")
+    w_ord = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mean_c = F.floor(
+        F.sum("xc").over(w_all) / F.count(F.lit(1)).over(w_all)
+    ).cast("long")
+    dev = F.col("xc") - _CUSUM_MULT * F.col("mean_c")
+    c = (
+        e.withColumn("mean_c", mean_c)
+        .withColumn("pf", F.sum(dev).over(w_ord))
+        .withColumn(
+            "cusum",
+            F.col("pf") - F.least(F.min("pf").over(w_ord), F.lit(0)),
+        )
+    )
+    alarm = F.col("cusum") > _CUSUM_H
+    return c.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(alarm, 1).otherwise(0)).cast("long").alias("n_alarms"),
+        F.max("cusum").cast("long").alias("max_cusum"),
+        F.min(F.when(alarm, F.col("ts"))).alias("first_alarm_ts"),
+    )

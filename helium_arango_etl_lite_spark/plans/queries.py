@@ -23,11 +23,13 @@ queries, so it was removed on advisor direction).
   pytest replica ``tests/test_oracle_parity.py`` covers the whole catalog
   on every run regardless of this ordering).
 
-Round-8 batch (applied): the brand-new round-8 entries (quarantine
-decode for malformed media; temperature-scaled mixture weights;
-histogram-based per-source quality percentile; hard-negative mining
-from the exact sampled shortlist; compaction planner; star-candidate
-dedup pipeline — never driver-verified), then the entries
+Round-8 batch (applied): the brand-new round-8 entries (CUSUM alarms;
+repeated-span scrub; shingle containment; interval-overlap join;
+partition-skew pre-flight; quarantine decode for malformed media;
+temperature-scaled mixture weights; histogram-based per-source quality
+percentile; hard-negative mining from the exact sampled shortlist;
+compaction planner; star-candidate dedup pipeline — never
+driver-verified), then the entries
 whose CODE changed this round and therefore need a fresh independent row
 (llm_shard_assign's moved column is now derived from the actual
 reassignment; events_resample_interp shares one events scan via
@@ -54,7 +56,12 @@ from . import catalog_round7  # noqa: F401  (real PPM/WAV decode, top-2 spectral
 from . import catalog_round8  # noqa: F401  (quarantine decode for malformed media)
 
 DRIVER_BATCH: list[str] = [
-    # -- new this round (6): never driver-verified ---------------------
+    # -- new this round (12): never driver-verified --------------------
+    "events_cusum_alarm",
+    "llm_repeated_span_scrub",
+    "llm_dedup_containment",
+    "join_interval_overlap",
+    "dq_partition_skew",
     "llm_multimodal_quarantine_ppm",
     "llm_multimodal_quarantine_wav",
     "llm_mixture_weights",
@@ -103,12 +110,9 @@ DRIVER_BATCH: list[str] = [
     "tpch_q4_order_priority",
     "tpch_q5_region_volume",
     "tpch_q6_forecast",
-    "window_moving_avg",
-    "window_running_sum",
-    # -- re-check slots (3): the stalest r5-era entries ----------------
-    "agg_grouping_sets",
-    "agg_payment_volume",
-    "agg_stats_profile",
+    # (window_moving_avg, window_running_sum + the 3 stalest r5-era
+    # entries displaced to next round's rotation by the 5 new
+    # never-verified entries)
 ]
 
 

@@ -503,3 +503,30 @@ def test_auto_planes_tracks_corpus_size():
         if 3 < p < LSH_MAX_PLANES:
             assert n / (1 << p) <= LSH_TARGET_BUCKET_ROWS
             assert n / (1 << (p - 1)) > LSH_TARGET_BUCKET_ROWS
+
+
+def test_topk_composite_key_equals_lexsort_on_ties():
+    """The argpartition kernel (round 8) must select and ORDER exactly
+    like the lexsort it replaced — (rounded sim DESC, id ASC) — on the
+    adversarial case: coarsely quantized sims with massive ties (the
+    x100-duplication regime), shuffled non-contiguous ids, and a -inf
+    self-mask hole. Property-checked against the naive reference."""
+    import numpy as np
+
+    from helium_arango_etl_lite_spark.operators.llm.similarity import (
+        _id_rank_penalty, _topk_cols,
+    )
+
+    rng = np.random.default_rng(8)
+    for trial in range(20):
+        nq, nc = rng.integers(1, 40), int(rng.integers(2, 300))
+        k = int(rng.integers(1, 12))
+        # quantized to 1dp at round_dp=4: tie groups hundreds wide
+        sims = np.round(rng.random((nq, nc)), 1)
+        sims[rng.random((nq, nc)) < 0.02] = -np.inf
+        ids = rng.choice(np.arange(0, 10 * nc, dtype=np.int64), nc,
+                         replace=False)
+        kk = min(k, nc)
+        ref = np.lexsort((ids[None, :].repeat(nq, 0), -sims), axis=1)[:, :kk]
+        got = _topk_cols(sims - _id_rank_penalty(ids, 4)[None, :], kk)
+        assert np.array_equal(ref, got), f"trial {trial}"

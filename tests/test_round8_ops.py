@@ -247,3 +247,185 @@ def test_compaction_groups_are_contiguous_and_bounded(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert b["group_id"] == a["group_id"] + 1
         assert a["last_day"] < b["first_day"]  # time order preserved
+
+
+# ---------------------------------------------------------------------------
+# round-8b: span scrub, containment, interval overlap, partition skew
+# (oracle parity for the registered entries is in test_oracle_parity.py;
+# these pin semantics and plan shapes on adversarial fixtures)
+# ---------------------------------------------------------------------------
+
+
+def test_span_scrub_masks_duplicate_copy_not_original(spark):
+    """Verbatim copy: the lower doc_id owns every span's first
+    occurrence and keeps all tokens; the copy is fully masked; an
+    unrelated doc is untouched and its clean_md5 is the md5 of its own
+    text."""
+    import hashlib
+
+    from helium_arango_etl_lite_spark.operators.llm.dedup import (
+        repeated_span_scrub,
+    )
+
+    base = "a b c d e f g h i j"
+    other = "q r s t u v w x y z"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repeated_span_scrub(df, span_w=5).collect()}
+    assert out[1]["n_masked"] == 0
+    assert out[1]["clean_md5"] == hashlib.md5(base.encode()).hexdigest()
+    assert out[2]["n_masked"] == 10 and out[2]["masked_frac"] == 1.0
+    assert out[2]["clean_md5"] == hashlib.md5(b"").hexdigest()
+    assert out[3]["n_masked"] == 0
+    assert out[3]["clean_md5"] == hashlib.md5(other.encode()).hexdigest()
+
+
+def test_span_scrub_partial_overlap_merges_coverage(spark):
+    """A doc repeating ITS OWN 5-gram: the second occurrence's span is
+    masked, overlapping covered indices count once, and the scrubbed
+    text drops exactly the second occurrence's tokens."""
+    import hashlib
+
+    from helium_arango_etl_lite_spark.operators.llm.dedup import (
+        repeated_span_scrub,
+    )
+
+    # tokens 1-5 and 7-11 are the same 5-gram; positions 7..11 masked
+    txt = "a b c d e X a b c d e"
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    row = repeated_span_scrub(df, span_w=5).collect()[0]
+    assert row["n_tokens"] == 11
+    assert row["n_masked"] == 5
+    assert row["clean_md5"] == hashlib.md5(b"a b c d e X").hexdigest()
+
+
+def test_containment_detects_quote_that_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much longer one: containment
+    (short in long) ~1.0 while symmetric Jaccard is far below 0.8 —
+    the asymmetric score must flag the pair, the symmetric one must
+    not, and the direction must be (contained -> container)."""
+    from helium_arango_etl_lite_spark.operators.llm.dedup import (
+        containment_pairs, ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short + " " + filler)],
+        "doc_id long, text string",
+    )
+    cont = containment_pairs(df, threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] == 1.0
+    assert ngram_jaccard_pairs(df, threshold=0.8).collect() == []
+
+
+def test_interval_overlap_plan_has_no_cartesian(spark, sf_dir):
+    """The blocking design's whole point: the self-join must be a
+    (user, cell) EQUI-join (SortMergeJoin/ShuffledHashJoin), never a
+    BroadcastNestedLoopJoin or CartesianProduct."""
+    plan = plan_of(spark, sf_dir, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_counts_cross_cell_pair_once(spark):
+    """Two intervals overlapping ACROSS a cell boundary share two cells;
+    distinct() must emit the pair exactly once with the true overlap."""
+    import datetime as dt
+
+    from helium_arango_etl_lite_spark.plans.queries import QUERIES
+
+    # fabricate: ids chosen so durations are 60 + id%240
+    base = dt.datetime(2024, 1, 1, 0, 4, 0)  # s=240: [240,540) spans 2 cells
+    rows = [
+        (180, base, 7, "a", 0.0, "{}"),        # dur 60+180=240: [240, 480)
+        (181, base + dt.timedelta(seconds=50), 7, "a", 0.0, "{}"),
+        # id 181 -> dur 301? no: 60+181%240=241 -> [290, 531)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = QUERIES["join_interval_overlap"].spark_fn(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["event_a"], r["event_b"]) == (180, 181)
+    # overlap = min(480, 531) - max(240, 290) = 190
+    assert r["overlap_sec"] == 190
+
+
+def test_partition_skew_accounts_every_row(spark, sf_dir):
+    """Bucket loads must sum to the table's row count and load factors
+    to ~P (the diagnostic is a partition of the data, not a sample)."""
+    from helium_arango_etl_lite_spark.plans.queries import QUERIES, load_table
+
+    rows = QUERIES["dq_partition_skew"].spark_fn(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_rows"] for r in rows) == total
+    assert abs(sum(r["load_factor"] for r in rows) - 64.0) < 1e-3
+    assert all(0.0 < r["hot_key_share"] <= 1.0 for r in rows)
+
+
+def test_cusum_matches_naive_recursion(spark):
+    """The two-window identity s_i = p_i - min(0, min prefix) must equal
+    the literal max(0, s+d) recursion, computed naively in Python on a
+    fixture with a deliberate mid-stream level shift."""
+    import datetime as dt
+
+    from helium_arango_etl_lite_spark.plans.queries import QUERIES
+
+    base = dt.datetime(2024, 3, 1)
+    # short strong burst: per-step slack is 3x the (burst-inflated)
+    # mean, so the burst must clear that bar — 200 vs mean 29 does
+    vals = [10.0] * 40 + [200.0] * 5 + [10.0] * 5
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, "a", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = QUERIES["events_cusum_alarm"].spark_fn(spark, d).collect()
+
+    xc = [round(v * 100) for v in vals]
+    mean_c = sum(xc) // len(xc)
+    s, alarms, mx, first = 0, 0, 0, None
+    for i, x in enumerate(xc):
+        s = max(0, s + x - 3 * mean_c)
+        mx = max(mx, s)
+        if s > 5000:
+            alarms += 1
+            first = first if first is not None else i
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_events"] == len(vals)
+    assert r["n_alarms"] == alarms and alarms > 0
+    assert r["max_cusum"] == mx
+    assert r["first_alarm_ts"] == base + dt.timedelta(minutes=first)
+
+
+def test_cusum_plan_single_shuffle(spark, sf_dir):
+    """Both window frames and the final per-user agg share the user_id
+    partitioning: exactly ONE Exchange in the physical plan (plus none
+    for the scan) — the declarative identity's whole point is that the
+    'stateful' op costs one shuffle."""
+    plan = plan_of(spark, sf_dir, "events_cusum_alarm")
+    import re
+
+    # one HASH exchange total (the loader's round-robin spread of the
+    # tiny test parquet is not the operator's doing)
+    hash_ex = re.findall(r"hashpartitioning\(user_id", plan)
+    assert len(hash_ex) == 1, plan

@@ -102,6 +102,7 @@ HEADLINE = [
     "join_interval_overlap",      # cell-blocked bounded-range self-join
     "dq_partition_skew",          # hash-bucket load/hot-key pre-flight
     "events_cusum_alarm",         # CUSUM drift alarms via prefix-min identity
+    "stream_cusum_replay",        # the same numbers from stateful streaming
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -171,6 +172,7 @@ R8_COMPARABLE = R7_COMPARABLE | {
     "storage_compaction_plan", "llm_dedup_pipeline_star",
     "llm_repeated_span_scrub", "llm_dedup_containment",
     "join_interval_overlap", "dq_partition_skew", "events_cusum_alarm",
+    "stream_cusum_replay",
 }
 
 SMALL_OUTPUT = {

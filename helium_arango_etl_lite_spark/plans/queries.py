@@ -56,8 +56,9 @@ from . import catalog_round7  # noqa: F401  (real PPM/WAV decode, top-2 spectral
 from . import catalog_round8  # noqa: F401  (quarantine decode for malformed media)
 
 DRIVER_BATCH: list[str] = [
-    # -- new this round (12): never driver-verified --------------------
+    # -- new this round (13): never driver-verified --------------------
     "events_cusum_alarm",
+    "stream_cusum_replay",
     "llm_repeated_span_scrub",
     "llm_dedup_containment",
     "join_interval_overlap",
@@ -74,7 +75,7 @@ DRIVER_BATCH: list[str] = [
     "events_resample_interp",
     "llm_multimodal_decode_ppm",
     "llm_multimodal_decode_wav",
-    # -- re-check slots (36): last driver row is round 4 — the stalest
+    # -- re-check slots (33): last driver row is round 4 — the stalest
     #    entries in the catalog (tools/batch_staleness.py) -------------
     "agg_cohort_retention",
     "agg_cube",
@@ -109,10 +110,9 @@ DRIVER_BATCH: list[str] = [
     "tpch_q3_priority",
     "tpch_q4_order_priority",
     "tpch_q5_region_volume",
-    "tpch_q6_forecast",
-    # (window_moving_avg, window_running_sum + the 3 stalest r5-era
-    # entries displaced to next round's rotation by the 5 new
-    # never-verified entries)
+    # (tpch_q6_forecast, window_moving_avg, window_running_sum + the 3
+    # stalest r5-era entries displaced to next round's rotation by the
+    # 6 new never-verified entries)
 ]
 
 

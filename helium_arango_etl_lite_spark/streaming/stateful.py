@@ -84,3 +84,90 @@ def running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("n_alarms", LongType(), False),
+        StructField("max_cusum", LongType(), False),
+        StructField("first_alarm_us", LongType(), True),
+    ]
+)
+
+CUSUM_STATE = StructType(
+    [
+        StructField("s", LongType(), False),
+        StructField("mx", LongType(), False),
+        StructField("alarms", LongType(), False),
+        StructField("first_us", LongType(), True),
+        StructField("n", LongType(), False),
+    ]
+)
+
+
+def make_cusum_update(mult: int, h: int):
+    """Build the per-key CUSUM update fn (closure carries the dials).
+
+    Runs the LITERAL Page recursion ``s = max(0, s + xc - mult*mean_c)``
+    row-by-row in event-time order — the stateful computation the batch
+    entry ``events_cusum_alarm`` expresses declaratively via the
+    prefix-min identity. The two are verified HASH-IDENTICAL by the
+    replay entry (plans/catalog_round8.py:stream_cusum_replay), which is
+    the strongest cross-form check the repo has: same numbers from a
+    recursion over micro-batch state and from two window functions.
+
+    Rows inside a micro-batch arrive unordered (Arrow chunks); the fn
+    sorts each batch's group by (ts_us, event_id). Cross-batch order is
+    the replay harness's contract (time-split batches, controlled
+    mtimes). A null deviation contributes nothing to the state but the
+    row still counts and the CURRENT s is still alarm-evaluated —
+    matching how window sums skip nulls batch-side.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        s, mx, alarms, first_us, n = (
+            state.get if state.exists else (0, 0, 0, None, 0)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+        for ts_us, xc, mean_c in zip(
+            pdf["ts_us"].values, pdf["xc"].values, pdf["mean_c"].values
+        ):
+            n += 1
+            if not pd.isna(xc):
+                s = max(0, s + int(xc) - mult * int(mean_c))
+            mx = max(mx, s)
+            if s > h:
+                alarms += 1
+                if first_us is None:
+                    first_us = int(ts_us)
+        state.update((int(s), int(mx), int(alarms), first_us, int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_alarms": [alarms],
+                "max_cusum": [mx],
+                "first_alarm_us": [first_us],
+            }
+        )
+
+    return update
+
+
+def cusum_monitor(events: DataFrame, mult: int, h: int) -> DataFrame:
+    """Streaming CUSUM drift monitor (calibrate-then-monitor shape):
+    ``events`` carries precomputed per-row ``xc`` (integer cents) and
+    ``mean_c`` (the calibration mean, joined onto the stream from the
+    history table). State per user is five integers — O(keys), bounded
+    forever, no timeline retained."""
+    sel = events.select("user_id", "ts_us", "event_id", "xc", "mean_c")
+    return sel.groupBy("user_id").applyInPandasWithState(
+        make_cusum_update(mult, h),
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

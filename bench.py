@@ -103,6 +103,11 @@ HEADLINE = [
     "dq_partition_skew",          # hash-bucket load/hot-key pre-flight
     "events_cusum_alarm",         # CUSUM drift alarms via prefix-min identity
     "stream_cusum_replay",        # the same numbers from stateful streaming
+    "stream_session_replay",      # stateful sessionization vs gaps-and-islands
+    "events_mad_outliers",        # median/MAD robust outliers, exact integers
+    "graph_k_core",               # bounded-round peel of the mutual-kNN graph
+    "llm_dedup_edit_verify",      # banded Levenshtein over LSH candidates
+    "llm_logreg_train",           # full-batch GD as partial-agg shuffles
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -172,7 +177,8 @@ R8_COMPARABLE = R7_COMPARABLE | {
     "storage_compaction_plan", "llm_dedup_pipeline_star",
     "llm_repeated_span_scrub", "llm_dedup_containment",
     "join_interval_overlap", "dq_partition_skew", "events_cusum_alarm",
-    "stream_cusum_replay",
+    "stream_cusum_replay", "stream_session_replay", "events_mad_outliers",
+    "graph_k_core", "llm_dedup_edit_verify", "llm_logreg_train",
 }
 
 SMALL_OUTPUT = {

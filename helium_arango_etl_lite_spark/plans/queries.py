@@ -54,11 +54,17 @@ from . import catalog_round5b  # noqa: F401  (ANN recall, watermark replay, Z-or
 from . import catalog_round6  # noqa: F401  (repetition rules, reservoir sample, power iteration)
 from . import catalog_round7  # noqa: F401  (real PPM/WAV decode, top-2 spectral directions)
 from . import catalog_round8  # noqa: F401  (quarantine decode for malformed media)
+from . import catalog_round8b  # noqa: F401  (robust stats, k-core, edit verify, LR train)
 
 DRIVER_BATCH: list[str] = [
-    # -- new this round (13): never driver-verified --------------------
+    # -- new this round (18): never driver-verified --------------------
     "events_cusum_alarm",
     "stream_cusum_replay",
+    "stream_session_replay",
+    "events_mad_outliers",
+    "graph_k_core",
+    "llm_dedup_edit_verify",
+    "llm_logreg_train",
     "llm_repeated_span_scrub",
     "llm_dedup_containment",
     "join_interval_overlap",
@@ -75,7 +81,7 @@ DRIVER_BATCH: list[str] = [
     "events_resample_interp",
     "llm_multimodal_decode_ppm",
     "llm_multimodal_decode_wav",
-    # -- re-check slots (33): last driver row is round 4 — the stalest
+    # -- re-check slots (28): last driver row is round 4 — the stalest
     #    entries in the catalog (tools/batch_staleness.py) -------------
     "agg_cohort_retention",
     "agg_cube",
@@ -105,14 +111,11 @@ DRIVER_BATCH: list[str] = [
     "llm_repetition_score",
     "llm_sample_stratified",
     "llm_tfidf_topk",
-    "tpch_q18_large_orders",
-    "tpch_q1_pricing",
-    "tpch_q3_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_region_volume",
-    # (tpch_q6_forecast, window_moving_avg, window_running_sum + the 3
-    # stalest r5-era entries displaced to next round's rotation by the
-    # 6 new never-verified entries)
+    # (tpch_q18_large_orders, tpch_q1_pricing, tpch_q3_priority,
+    # tpch_q4_order_priority, tpch_q5_region_volume, tpch_q6_forecast,
+    # window_moving_avg, window_running_sum + the stalest r5-era entries
+    # displaced to next round's rotation by the 11 new never-verified
+    # entries)
 ]
 
 

@@ -171,3 +171,84 @@ def cusum_monitor(events: DataFrame, mult: int, h: int) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_start_us", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("total_cents", LongType(), False),
+    ]
+)
+
+SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType(), False),
+        StructField("last_us", LongType(), False),
+        StructField("n", LongType(), False),
+        StructField("cents", LongType(), False),
+    ]
+)
+
+
+def make_session_update(gap_us: int):
+    """Build the per-key sessionization update fn (gap-based windows).
+
+    The stateful analog of the native ``session_window`` operator
+    (plans/catalog_core.py:agg_session_window): a new session starts
+    when the inter-event gap is >= ``gap_us`` — the same boundary the
+    gaps-and-islands oracle uses (``ts - lag(ts) >= INTERVAL``), so the
+    recursion and the batch operator are hash-comparable.
+
+    Emission contract (update mode): each micro-batch emits every
+    session CLOSED inside it (final rows — a closed session can never
+    be touched again) plus the still-OPEN session provisionally; a later
+    batch that extends the open session re-emits the same
+    (user_id, session_start_us) key with larger n_events, so readers
+    keep the LAST emission per key (plans/catalog_round8b.py:
+    stream_session_replay takes max batch_id). State per user is four
+    integers — the open session only; closed timelines are never
+    retained.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            start, last, n, cents = state.get
+        else:
+            start = None
+            last = n = cents = 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+        out = []
+        for ts_us, xc in zip(pdf["ts_us"].values, pdf["xc"].values):
+            ts_us = int(ts_us)
+            if start is None:
+                start, last, n, cents = ts_us, ts_us, 1, int(xc)
+            elif ts_us - last >= gap_us:
+                out.append((key[0], start, n, cents))  # closed: final
+                start, last, n, cents = ts_us, ts_us, 1, int(xc)
+            else:
+                last, n, cents = ts_us, n + 1, cents + int(xc)
+        state.update((int(start), int(last), int(n), int(cents)))
+        out.append((key[0], start, n, cents))  # open: provisional
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_start_us", "n_events", "total_cents"],
+        )
+
+    return update
+
+
+def sessionize(events: DataFrame, gap_us: int) -> DataFrame:
+    """Streaming gap-based sessionization with four integers of state per
+    user (the OPEN session only); ``events`` carries ``ts_us`` micros and
+    ``xc`` integer cents."""
+    sel = events.select("user_id", "ts_us", "event_id", "xc")
+    return sel.groupBy("user_id").applyInPandasWithState(
+        make_session_update(gap_us),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

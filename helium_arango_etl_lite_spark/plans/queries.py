@@ -24,6 +24,7 @@ queries, so it was removed on advisor direction).
   on every run regardless of this ordering).
 
 Round-8 batch (applied): the brand-new round-8 entries (CUSUM alarms;
+SCD2 build, distributed skyline, trailing EWMA, ACF, PSI drift;
 repeated-span scrub; shingle containment; interval-overlap join;
 partition-skew pre-flight; quarantine decode for malformed media;
 temperature-scaled mixture weights; histogram-based per-source quality
@@ -55,6 +56,7 @@ from . import catalog_round6  # noqa: F401  (repetition rules, reservoir sample,
 from . import catalog_round7  # noqa: F401  (real PPM/WAV decode, top-2 spectral directions)
 from . import catalog_round8  # noqa: F401  (quarantine decode for malformed media)
 from . import catalog_round8b  # noqa: F401  (robust stats, k-core, edit verify, LR train)
+from . import catalog_round8c  # noqa: F401  (SCD2, skyline scan, EWMA, ACF, PSI drift)
 
 DRIVER_BATCH: list[str] = [
     # -- new this round (18): never driver-verified --------------------
@@ -76,6 +78,12 @@ DRIVER_BATCH: list[str] = [
     "llm_hard_negatives",
     "storage_compaction_plan",
     "llm_dedup_pipeline_star",
+    # -- new in session 2 (5): never driver-verified -------------------
+    "scd2_build",
+    "pareto_frontier",
+    "events_ewma",
+    "events_acf",
+    "dq_psi_drift",
     # -- changed this round (4): code touched, need fresh driver rows --
     "llm_shard_assign",
     "events_resample_interp",
@@ -106,16 +114,14 @@ DRIVER_BATCH: list[str] = [
     "llm_knn_join",
     "llm_knn_join_bucketed",
     "llm_length_histogram",
-    "llm_quantize_int8",
-    "llm_regex_scrub",
-    "llm_repetition_score",
-    "llm_sample_stratified",
-    "llm_tfidf_topk",
-    # (tpch_q18_large_orders, tpch_q1_pricing, tpch_q3_priority,
-    # tpch_q4_order_priority, tpch_q5_region_volume, tpch_q6_forecast,
-    # window_moving_avg, window_running_sum + the stalest r5-era entries
-    # displaced to next round's rotation by the 11 new never-verified
-    # entries)
+    # (llm_quantize_int8, llm_regex_scrub, llm_repetition_score,
+    # llm_sample_stratified, llm_tfidf_topk, tpch_q18_large_orders,
+    # tpch_q1_pricing, tpch_q3_priority, tpch_q4_order_priority,
+    # tpch_q5_region_volume, tpch_q6_forecast, window_moving_avg,
+    # window_running_sum + the stalest r5-era entries displaced to next
+    # round's rotation by the 23 new never-verified entries — the
+    # never-verified-first policy above; every displaced entry is still
+    # verified locally every round by tools/driver_replica.py)
 ]
 
 

@@ -25,6 +25,8 @@ queries, so it was removed on advisor direction).
 
 Round-8 batch (applied): the brand-new round-8 entries (CUSUM alarms;
 SCD2 build, distributed skyline, trailing EWMA, ACF, PSI drift;
+weighted sampling, naive-Bayes train/score, PMI collocations, seasonal
+profile;
 repeated-span scrub; shingle containment; interval-overlap join;
 partition-skew pre-flight; quarantine decode for malformed media;
 temperature-scaled mixture weights; histogram-based per-source quality
@@ -57,6 +59,7 @@ from . import catalog_round7  # noqa: F401  (real PPM/WAV decode, top-2 spectral
 from . import catalog_round8  # noqa: F401  (quarantine decode for malformed media)
 from . import catalog_round8b  # noqa: F401  (robust stats, k-core, edit verify, LR train)
 from . import catalog_round8c  # noqa: F401  (SCD2, skyline scan, EWMA, ACF, PSI drift)
+from . import catalog_round8d  # noqa: F401  (weighted sample, naive Bayes, PMI, seasonal)
 
 DRIVER_BATCH: list[str] = [
     # -- new this round (18): never driver-verified --------------------
@@ -84,6 +87,11 @@ DRIVER_BATCH: list[str] = [
     "events_ewma",
     "events_acf",
     "dq_psi_drift",
+    "llm_weighted_sample",
+    "llm_naive_bayes_train",
+    "llm_naive_bayes_score",
+    "llm_pmi_collocations",
+    "events_seasonal_profile",
     # -- changed this round (4): code touched, need fresh driver rows --
     "llm_shard_assign",
     "events_resample_interp",
@@ -109,12 +117,9 @@ DRIVER_BATCH: list[str] = [
     "llm_decontaminate",
     "llm_dedup_exact_norm",
     "llm_doc_pack",
-    "llm_frame_sample",
-    "llm_inverted_index",
-    "llm_knn_join",
-    "llm_knn_join_bucketed",
-    "llm_length_histogram",
-    # (llm_quantize_int8, llm_regex_scrub, llm_repetition_score,
+    # (llm_frame_sample, llm_inverted_index, llm_knn_join,
+    # llm_knn_join_bucketed, llm_length_histogram,
+    # llm_quantize_int8, llm_regex_scrub, llm_repetition_score,
     # llm_sample_stratified, llm_tfidf_topk, tpch_q18_large_orders,
     # tpch_q1_pricing, tpch_q3_priority, tpch_q4_order_priority,
     # tpch_q5_region_volume, tpch_q6_forecast, window_moving_avg,

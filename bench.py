@@ -108,6 +108,21 @@ HEADLINE = [
     "graph_k_core",               # bounded-round peel of the mutual-kNN graph
     "llm_dedup_edit_verify",      # banded Levenshtein over LSH candidates
     "llm_logreg_train",           # full-batch GD as partial-agg shuffles
+    # round-8 session-2 additions
+    "scd2_build",                 # SCD2 change-point compress, one shuffle
+    "pareto_frontier",            # two-level prefix-scan skyline
+    "events_ewma",                # 16-lag trailing EWMA, one fused window
+    "events_acf",                 # hourly-series autocorrelation, lags 1-6
+    "dq_psi_drift",               # fixed-point PSI per source vs corpus
+    "llm_weighted_sample",        # exponential-key weighted top-k sample
+    "llm_naive_bayes_train",      # one-shuffle multinomial NB trainer
+    "llm_naive_bayes_score",      # broadcast-model integer argmax scorer
+    "llm_pmi_collocations",       # bigram PMI, marginals from pair table
+    "events_seasonal_profile",    # hour-of-day baseline per event type
+    "agg_gini_by_group",          # rank-formula Gini, partitioned window
+    "dq_benford",                 # first-digit forensic, fixed-point chi2
+    "llm_ngram_novelty",          # per-doc first-seer novelty fraction
+    "events_trend_slope",         # trailing-8 exact least-squares slope
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -170,7 +185,7 @@ R7_COMPARABLE = R6_COMPARABLE | {
 }
 
 # The round-8 headline set frozen for round 9+ like-for-like totals:
-# the r7 set plus the eleven round-8 additions.
+# the r7 set plus the twenty-eight round-8 additions (both sessions).
 R8_COMPARABLE = R7_COMPARABLE | {
     "llm_multimodal_quarantine_ppm", "llm_multimodal_quarantine_wav",
     "llm_mixture_weights", "llm_quality_percentile", "llm_hard_negatives",
@@ -179,12 +194,18 @@ R8_COMPARABLE = R7_COMPARABLE | {
     "join_interval_overlap", "dq_partition_skew", "events_cusum_alarm",
     "stream_cusum_replay", "stream_session_replay", "events_mad_outliers",
     "graph_k_core", "llm_dedup_edit_verify", "llm_logreg_train",
+    "scd2_build", "pareto_frontier", "events_ewma", "events_acf",
+    "dq_psi_drift", "llm_weighted_sample", "llm_naive_bayes_train",
+    "llm_naive_bayes_score", "llm_pmi_collocations",
+    "events_seasonal_profile", "agg_gini_by_group", "dq_benford",
+    "llm_ngram_novelty", "events_trend_slope",
 }
 
 SMALL_OUTPUT = {
     "topk_accounts", "llm_topk_cosine", "llm_ann_lsh", "llm_ann_ivf",
     "graph_pagerank", "agg_event_funnel", "llm_bigram_topk",
-    "llm_bm25_search", "llm_ann_ivf_pq",
+    "llm_bm25_search", "llm_ann_ivf_pq", "llm_weighted_sample",
+    "events_acf", "pareto_frontier", "agg_gini_by_group", "dq_benford",
 }
 
 

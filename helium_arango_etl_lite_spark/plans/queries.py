@@ -26,7 +26,8 @@ queries, so it was removed on advisor direction).
 Round-8 batch (applied): the brand-new round-8 entries (CUSUM alarms;
 SCD2 build, distributed skyline, trailing EWMA, ACF, PSI drift;
 weighted sampling, naive-Bayes train/score, PMI collocations, seasonal
-profile;
+profile; per-group Gini, Benford forensic profile, n-gram novelty,
+trailing trend slope;
 repeated-span scrub; shingle containment; interval-overlap join;
 partition-skew pre-flight; quarantine decode for malformed media;
 temperature-scaled mixture weights; histogram-based per-source quality
@@ -60,6 +61,7 @@ from . import catalog_round8  # noqa: F401  (quarantine decode for malformed med
 from . import catalog_round8b  # noqa: F401  (robust stats, k-core, edit verify, LR train)
 from . import catalog_round8c  # noqa: F401  (SCD2, skyline scan, EWMA, ACF, PSI drift)
 from . import catalog_round8d  # noqa: F401  (weighted sample, naive Bayes, PMI, seasonal)
+from . import catalog_round8e  # noqa: F401  (Gini, Benford, n-gram novelty, trend slope)
 
 DRIVER_BATCH: list[str] = [
     # -- new this round (18): never driver-verified --------------------
@@ -92,12 +94,16 @@ DRIVER_BATCH: list[str] = [
     "llm_naive_bayes_score",
     "llm_pmi_collocations",
     "events_seasonal_profile",
+    "agg_gini_by_group",
+    "dq_benford",
+    "llm_ngram_novelty",
+    "events_trend_slope",
     # -- changed this round (4): code touched, need fresh driver rows --
     "llm_shard_assign",
     "events_resample_interp",
     "llm_multimodal_decode_ppm",
     "llm_multimodal_decode_wav",
-    # -- re-check slots (28): last driver row is round 4 — the stalest
+    # -- re-check slots (14): last driver row is round 4 — the stalest
     #    entries in the catalog (tools/batch_staleness.py) -------------
     "agg_cohort_retention",
     "agg_cube",
@@ -113,18 +119,15 @@ DRIVER_BATCH: list[str] = [
     "llm_bpe_pair_counts",
     "llm_centroid_assign",
     "llm_cross_dedup",
-    "llm_dataset_split",
-    "llm_decontaminate",
-    "llm_dedup_exact_norm",
-    "llm_doc_pack",
-    # (llm_frame_sample, llm_inverted_index, llm_knn_join,
+    # (llm_dataset_split, llm_decontaminate, llm_dedup_exact_norm,
+    # llm_doc_pack, llm_frame_sample, llm_inverted_index, llm_knn_join,
     # llm_knn_join_bucketed, llm_length_histogram,
     # llm_quantize_int8, llm_regex_scrub, llm_repetition_score,
     # llm_sample_stratified, llm_tfidf_topk, tpch_q18_large_orders,
     # tpch_q1_pricing, tpch_q3_priority, tpch_q4_order_priority,
     # tpch_q5_region_volume, tpch_q6_forecast, window_moving_avg,
     # window_running_sum + the stalest r5-era entries displaced to next
-    # round's rotation by the 23 new never-verified entries — the
+    # round's rotation by the 32 new never-verified entries — the
     # never-verified-first policy above; every displaced entry is still
     # verified locally every round by tools/driver_replica.py)
 ]

@@ -69,27 +69,55 @@ FROM s"""
         "values sorted ascending (deterministic (value, event_id) "
         "tie-break). 0 = perfectly equal, ->1 = one key carries all "
         "volume — the inequality summary behind whale/abuse detection. "
-        "PLAN: the rank window is PARTITIONED by event_type (never a "
-        "single-task global window) and the final agg reuses the same "
-        "partitioning — one shuffle end-to-end. EXACTNESS: rank*cents "
-        "products and both sums are BIGINT (rk <= n, xc <= ~50k cents: "
-        "products stay < 2^63 up to ~10^14 rows/group); the one float "
-        "expression is the final ratio, rounded 6 dp on both engines.",
+        "PLAN: the oracle SPEC ranks every row, but the engine never "
+        "does — ties at a value occupy consecutive ranks whose rank*x "
+        "total is xc*(k*r0 + k(k-1)/2) however the ties are ordered, so "
+        "sum(rank*x) collapses to one (type, value) partial-agg shuffle "
+        "plus a prefix-count window over the DISTINCT-VALUE table "
+        "(bounded by the cents domain, not the corpus — the sort that "
+        "capped parallelism at #types in the first version is gone; "
+        "x100 soak 13.2 s -> 6.6 s, SCALE_SOAK round-8s2). EXACTNESS: "
+        "every accumulator is BIGINT (products < 2^63 to ~10^14 "
+        "rows/group); the one float expression is the final ratio, "
+        "rounded 6 dp on both engines.",
     tags=("agg", "analytics", "window"),
 )
 def agg_gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The oracle SPEC ranks every row (row_number over (xc, event_id)),
+    # which as a physical plan caps parallelism at #event_types — one
+    # task sorts an entire type's rows. This computes the IDENTICAL
+    # sum(rank*x) without any per-row window: ties at value xc occupy
+    # consecutive ranks r0..r0+k-1, and their rank*x total is
+    # xc*(k*r0 + k*(k-1)/2) regardless of which tied row got which rank
+    # — so one (type, value) partial-agg shuffle + a prefix-count window
+    # over the DISTINCT-VALUE table (bounded by the value domain, ~50k
+    # cents rows per type at ANY corpus size) replaces the full-corpus
+    # sort. Cross-engine hash agreement certifies the identity.
     ev = load_events(spark, sf_dir)
     e = ev.select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("xc"),
-        "event_id",
     )
-    w = Window.partitionBy("event_type").orderBy("xc", "event_id")
-    r = e.withColumn("rk", F.row_number().over(w))
-    s = r.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("xc").alias("sx"),
-        F.sum(F.col("rk") * F.col("xc")).alias("srx"),
+    pv = e.groupBy("event_type", "xc").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("xc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pv = pv.withColumn(
+        "r0", F.coalesce(F.sum("k").over(w), F.lit(0)) + 1
+    )
+    # k*(k-1) is always even: DIV keeps the whole term in BIGINT
+    srx_term = F.col("xc") * (
+        F.col("k") * F.col("r0")
+        + F.expr("k * (k - 1) DIV 2")
+    )
+    s = pv.groupBy("event_type").agg(
+        F.sum("k").alias("n"),
+        F.sum(F.col("k") * F.col("xc")).alias("sx"),
+        F.sum(srx_term).cast("long").alias("srx"),
     )
     gini = (
         2.0 * F.col("srx") / (F.col("n") * F.col("sx"))
@@ -231,29 +259,42 @@ GROUP BY 1"""
         "this doc — the per-doc dual of llm_vocab_growth's Heaps curve, "
         "and the signal for 'this source stopped adding information' / "
         "ingest-order curation. DATAFLOW: one shingle-keyed partial-agg "
-        "shuffle assigns each gram its first-seer (min combines "
-        "map-side); the join back is gram-keyed on the SAME key — AQE "
-        "reuses the partitioning — and the per-doc fold is a second, "
-        "doc-keyed agg. No window over the corpus, no iteration; both "
-        "aggs are associative, so the shape survives any corpus size. "
+        "shuffle assigns each gram its first-seer; per-doc novel counts "
+        "then come from folding the FIRST_SEEN table by its first_doc "
+        "column (never joining the exploded corpus back — see the "
+        "in-function comment for the measured 35x super-linear trap "
+        "that join is), and per-doc gram totals from a doc-keyed "
+        "partial agg. The final join touches two n_docs-sized tables. "
         "Docs with < 3 tokens have no shingles and drop out (same "
         "contract as the shingle dedup family).",
     tags=("llm", "text", "analytics"),
 )
 def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The oracle SPEC joins the exploded gram table back to first_seen;
+    # the engine never does — that join re-shuffles the full exploded
+    # corpus on a now-skewed gram key (every duplicated gram's rows land
+    # in one reducer) and measured 35x super-linear at the x100 soak
+    # (185.1 s). Instead: n_novel(doc) = how many grams name doc as
+    # their first-seer = ONE tiny groupBy of the first_seen table
+    # itself; n_grams(doc) is a doc-keyed partial agg of the re-derived
+    # (map-only) explode. The only corpus-sized shuffle left is the
+    # gram min — the join now touches two n_docs-sized aggregates.
+    # x100: 185.1 s -> 45.1 s, identical hashes (SCALE_SOAK round-8s2).
     d = load_table(spark, sf_dir, "documents")
     g = d.select(
         "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("gram")
     )
     first_seen = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = first_seen.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    per = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     return (
-        g.join(first_seen, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).cast("long").alias("n_novel"),
+        per.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
         )
         .withColumn(
             "novel_frac",

@@ -79,10 +79,14 @@ def test_gini_bounds_and_known_values(spark):
     assert abs(gini(x_one) - 0.75) < 1e-12
 
 
-def test_gini_window_is_partitioned(spark, sf_dir):
+def test_gini_never_sorts_the_corpus(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_gini_by_group")
-    # partitioned rank window + agg reusing the partitioning: 1 shuffle
-    assert _tree_exchanges(plan) == 1, plan
+    # the spec's per-row rank is collapsed to the distinct-value table:
+    # one (type,value) hash shuffle + one tiny window repartition — and
+    # no row_number anywhere (the sort that capped parallelism at
+    # #event_types is gone)
+    assert "row_number" not in plan
+    assert _tree_exchanges(plan) <= 2, plan
 
 
 # ---------------------------------------------------------------------------
@@ -151,6 +155,17 @@ def test_novelty_matches_naive(spark, sf_dir):
         novel = sum(1 for gm in grams if first[gm] == doc_id)
         assert out.loc[doc_id, "n_grams"] == len(grams)
         assert out.loc[doc_id, "n_novel"] == novel
+
+
+def test_novelty_never_joins_the_exploded_corpus(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_ngram_novelty")
+    # the exploded gram table appears exactly twice (two map-only
+    # re-derivations feeding the two partial aggs); the join runs on
+    # n_docs-sized aggregates only — the x100 soak measured the
+    # join-back form 35x super-linear before this shape
+    assert (
+        plan.count("+- Generate") + plan.count(":- Generate") == 2
+    ), plan
 
 
 def test_novelty_first_doc_is_fully_novel(spark, sf_dir):

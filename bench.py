@@ -123,6 +123,9 @@ HEADLINE = [
     "dq_benford",                 # first-digit forensic, fixed-point chi2
     "llm_ngram_novelty",          # per-doc first-seer novelty fraction
     "events_trend_slope",         # trailing-8 exact least-squares slope
+    "join_scd2_lookup",           # point-in-time dim join, no range join
+    "graph_modularity",           # community quality vs null model
+    "agg_theil_index",            # decomposable inequality, value grid
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -198,7 +201,8 @@ R8_COMPARABLE = R7_COMPARABLE | {
     "dq_psi_drift", "llm_weighted_sample", "llm_naive_bayes_train",
     "llm_naive_bayes_score", "llm_pmi_collocations",
     "events_seasonal_profile", "agg_gini_by_group", "dq_benford",
-    "llm_ngram_novelty", "events_trend_slope",
+    "llm_ngram_novelty", "events_trend_slope", "join_scd2_lookup",
+    "graph_modularity", "agg_theil_index",
 }
 
 SMALL_OUTPUT = {
@@ -206,6 +210,7 @@ SMALL_OUTPUT = {
     "graph_pagerank", "agg_event_funnel", "llm_bigram_topk",
     "llm_bm25_search", "llm_ann_ivf_pq", "llm_weighted_sample",
     "events_acf", "pareto_frontier", "agg_gini_by_group", "dq_benford",
+    "graph_modularity", "agg_theil_index",
 }
 
 

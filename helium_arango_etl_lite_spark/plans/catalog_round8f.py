@@ -1,0 +1,319 @@
+"""Round-8 session-2 catalog, part 4: temporal-dimension lookup, graph
+quality, and a second inequality index.
+
+* ``join_scd2_lookup`` — the point-in-time dimension join every
+  warehouse runs against an SCD2 table: each event resolves to the
+  version whose [valid_from, valid_to) interval contains its
+  timestamp. The oracle states the inequality join; Spark runs the
+  union-sort-backfill form (one sorted pass, no range join) — the
+  join_asof pattern applied to the dimension scd2_build constructs,
+  closing the build->consume loop.
+* ``graph_modularity`` — Newman modularity Q of the label-propagation
+  communities on the nation money-flow graph: the quality score that
+  tells you whether a community structure is real or noise. Per-
+  community terms from integer edge/degree counts, fixed-pointed
+  before the sum.
+* ``agg_theil_index`` — Theil inequality index per event type,
+  computed (like the rewritten Gini) from the (type, value) COUNT
+  table: the distinct-value grid bounds all post-shuffle work by the
+  value domain, not the corpus.
+
+Reference parity note: the reference ETL has none of these; they
+extend the analytics families (SURVEY.md section 2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog_round8c import _SCD2_SQL, scd2_build
+from .registry import EVENTS_NORM, load_events, register
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time lookup (the consume side of scd2_build)
+# ---------------------------------------------------------------------------
+
+_SCD2_LOOKUP_SQL = f"""
+WITH dim AS ({_SCD2_SQL}),
+{EVENTS_NORM}
+SELECT e.event_id, e.user_id, e.ts, dim.attr, dim.version
+FROM events_norm e
+JOIN dim ON dim.user_id = e.user_id
+        AND dim.valid_from <= e.ts
+        AND (dim.valid_to IS NULL OR e.ts < dim.valid_to)"""
+
+
+@register(
+    "join_scd2_lookup",
+    _SCD2_LOOKUP_SQL,
+    doc="Point-in-time lookup against the SCD2 dimension scd2_build "
+        "constructs: each event resolves to the version active at its "
+        "timestamp (valid_from <= ts < valid_to) — the canonical "
+        "as-of-date dimension join. The oracle states the INEQUALITY "
+        "join; Spark never runs one: dimension change rows and event "
+        "rows union into one (user, ts)-sorted stream (dimension rows "
+        "first at equal ts, then by version, so the event that caused "
+        "a change sees the NEW version — exactly the interval "
+        "semantics) and last(ignorenulls) backfills the active "
+        "version — the join_asof pattern. ONE user-keyed shuffle "
+        "carries the scd2 window, the union, and the backfill window "
+        "(same key); no range join, no per-interval explode. Every "
+        "event matches because its user's first event IS a change "
+        "point — the oracle's inner join returns exactly one row per "
+        "event, which the row-count gate verifies.",
+    tags=("join", "etl", "temporal"),
+)
+def join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = scd2_build(spark, sf_dir).select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        "attr",
+        "version",
+        F.lit(1).alias("is_dim"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("string").alias("attr"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(0).alias("is_dim"),
+        "event_id",
+    )
+    u = dim.unionByName(ev)
+    # dim rows sort before events at the same ts (is_dim desc), and
+    # among dim rows the later version wins (version asc: last() takes
+    # the final non-null in frame order)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(),
+            F.col("is_dim").desc(),
+            F.col("version").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "user_id",
+        "ts",
+        "is_dim",
+        "event_id",
+        F.last("attr", ignorenulls=True).over(w).alias("attr"),
+        F.last("version", ignorenulls=True).over(w).alias("version"),
+    )
+    return filled.filter(F.col("is_dim") == 0).select(
+        "event_id", "user_id", "ts", "attr", "version"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of the label-propagation communities
+# ---------------------------------------------------------------------------
+
+_MODULARITY_SQL = """
+WITH edges0 AS (
+     SELECT DISTINCT c.c_nationkey::INTEGER AS src,
+                     s.s_nationkey::INTEGER AS dst
+     FROM lineitem l
+     JOIN orders o ON l.l_orderkey = o.o_orderkey
+     JOIN customer c ON o.o_custkey = c.c_custkey
+     JOIN supplier s ON l.l_suppkey = s.s_suppkey
+     WHERE c.c_nationkey <> s.s_nationkey),
+edges AS (SELECT src, dst FROM edges0
+          UNION SELECT dst, src FROM edges0),
+nodes AS (SELECT n_nationkey::INTEGER AS id FROM nation),
+l0 AS (SELECT id, id AS lbl FROM nodes),
+n1 AS (SELECT e.src AS id, min(l0.lbl) AS new_lbl
+       FROM edges e JOIN l0 ON e.dst = l0.id GROUP BY 1),
+l1 AS (SELECT nodes.id, coalesce(n1.new_lbl, l0.lbl) AS lbl
+       FROM nodes JOIN l0 USING (id)
+       LEFT JOIN n1 ON nodes.id = n1.id),
+n2 AS (SELECT e.src AS id, min(l1.lbl) AS new_lbl
+       FROM edges e JOIN l1 ON e.dst = l1.id GROUP BY 1),
+l2 AS (SELECT nodes.id, coalesce(n2.new_lbl, l1.lbl) AS lbl
+       FROM nodes JOIN l1 USING (id)
+       LEFT JOIN n2 ON nodes.id = n2.id),
+m AS (SELECT (count(*) / 2)::BIGINT AS m FROM edges),
+deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM edges GROUP BY 1),
+comm AS (SELECT l2.id, l2.lbl AS community,
+                coalesce(deg.d, 0)::BIGINT AS d
+         FROM l2 LEFT JOIN deg USING (id)),
+intra AS (SELECT a.community, (count(*) / 2)::BIGINT AS e_intra
+          FROM edges
+          JOIN comm a ON edges.src = a.id
+          JOIN comm b ON edges.dst = b.id AND a.community = b.community
+          GROUP BY 1)
+SELECT comm.community,
+       count(*)::BIGINT AS n_nodes,
+       coalesce(min(intra.e_intra), 0)::BIGINT AS e_intra,
+       sum(comm.d)::BIGINT AS d_tot,
+       floor((coalesce(min(intra.e_intra), 0) / m.m::DOUBLE
+              - (sum(comm.d) / (2.0 * m.m))
+                * (sum(comm.d) / (2.0 * m.m))) * 1000000
+             + 0.5)::BIGINT AS q_term6
+FROM comm
+CROSS JOIN m
+LEFT JOIN intra ON comm.community = intra.community
+GROUP BY comm.community, m.m"""
+
+
+@register(
+    "graph_modularity",
+    _MODULARITY_SQL,
+    doc="Newman modularity of the 2-iteration min-label communities "
+        "(the same deterministic labels as graph_label_propagation): "
+        "per community, Q_c = e_c/m - (d_c/2m)^2 over the undirected "
+        "distinct money-flow edge set — sum(q_term6)/1e6 is the global "
+        "Q that says whether detected structure beats the random-graph "
+        "null model. All inputs (intra-edge counts, degree sums, m) "
+        "are BIGINTs from edge-keyed partial aggs; each community's "
+        "term is fixed-pointed, so the readout sum is order-free. The "
+        "intra-edge count joins the label vector to the edge list "
+        "twice on node ids — O(V)-row join sides, the "
+        "graph_pagerank/label-prop shuffle discipline.",
+    tags=("graph", "analytics"),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_analytics import _money_flow_edges
+    from .registry import load_table
+
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("id")
+    )
+    e0 = _money_flow_edges(spark, sf_dir)
+    edges = (
+        e0.select("src", "dst")
+        .union(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds labels, m, deg, intra
+    )
+    labels = nodes.select("id", F.col("id").alias("lbl"))
+    for _ in range(2):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy(edges["src"].alias("nid"))
+            .agg(F.min("lbl").alias("new_lbl"))
+        )
+        labels = (
+            nodes.join(labels, "id")
+            .join(nbr, nodes["id"] == nbr["nid"], "left")
+            .select(
+                "id",
+                F.coalesce("new_lbl", "lbl").alias("lbl"),
+            )
+        )
+    comm = labels.select("id", F.col("lbl").alias("community"))
+    m_df = edges.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("m")
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    cd = comm.join(deg, "id", "left").select(
+        "id", "community", F.coalesce("d", F.lit(0)).alias("d")
+    )
+    a = cd.select(F.col("id").alias("src"), F.col("community").alias("ca"))
+    b = cd.select(F.col("id").alias("dst"), F.col("community").alias("cb"))
+    intra = (
+        edges.join(a, "src")
+        .join(b, "dst")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg((F.count(F.lit(1)) / 2).cast("long").alias("e_intra"))
+    )
+    per = (
+        cd.groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("d").alias("d_tot"),
+        )
+        .join(F.broadcast(intra), "community", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("e_intra", F.lit(0)).cast("long").alias("e_intra"),
+            F.col("d_tot").cast("long").alias("d_tot"),
+            "m",
+        )
+    )
+    frac = F.col("d_tot") / (2.0 * F.col("m"))
+    q_term = (
+        F.col("e_intra") / F.col("m").cast("double") - frac * frac
+    )
+    return per.select(
+        "community",
+        "n_nodes",
+        "e_intra",
+        "d_tot",
+        F.floor(q_term * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("q_term6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index from the distinct-value count table
+# ---------------------------------------------------------------------------
+
+_THEIL_SQL = f"""
+WITH {EVENTS_NORM},
+e AS (SELECT event_type, round(value * 100)::BIGINT AS xc
+      FROM events_norm),
+pv AS (SELECT event_type, xc, count(*)::BIGINT AS k
+       FROM e GROUP BY 1, 2),
+s AS (SELECT event_type, sum(k)::BIGINT AS n, sum(k * xc)::BIGINT AS sx
+      FROM pv GROUP BY 1)
+SELECT pv.event_type,
+       min(s.n)::BIGINT AS n,
+       sum(floor(pv.k * (pv.xc * s.n / s.sx::DOUBLE)
+                 * ln(pv.xc * s.n / s.sx::DOUBLE) * 1000000
+                 + 0.5)::BIGINT)::BIGINT AS theil_sum6
+FROM pv JOIN s USING (event_type)
+GROUP BY 1"""
+
+
+@register(
+    "agg_theil_index",
+    _THEIL_SQL,
+    doc="Theil inequality index per event type, T = (1/n) sum (x/mu) "
+        "ln(x/mu) — theil_sum6/(n*1e6) is T, 0 = equal, ln(n) = one "
+        "holder. The decomposable complement to agg_gini_by_group "
+        "(Theil splits into within/between-group terms; Gini does "
+        "not), built on the SAME distinct-value-table discipline: one "
+        "(type, value) partial-agg shuffle, totals and every term on "
+        "the cents-domain-bounded grid. Each distinct value's term is "
+        "fixed-pointed (floor(x*1e6+0.5), can be negative for x < mu — "
+        "floor(+0.5) is round-half-up on both engines), so the "
+        "per-type readout is a BIGINT sum no aggregation order can "
+        "move. Values are cents >= 1, so ln is always finite.",
+    tags=("agg", "analytics"),
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    e = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("xc"),
+    )
+    pv = e.groupBy("event_type", "xc").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    pv = pv.localCheckpoint(eager=False)  # feeds totals + the term scan
+    s = pv.groupBy("event_type").agg(
+        F.sum("k").alias("n"), F.sum(F.col("k") * F.col("xc")).alias("sx")
+    )
+    ratio = F.col("xc") * F.col("n") / F.col("sx").cast("double")
+    term6 = F.floor(
+        F.col("k") * ratio * F.log(ratio) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    return (
+        pv.join(F.broadcast(s), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("n").cast("long").alias("n"),
+            F.sum(term6).cast("long").alias("theil_sum6"),
+        )
+    )

@@ -27,7 +27,8 @@ Round-8 batch (applied): the brand-new round-8 entries (CUSUM alarms;
 SCD2 build, distributed skyline, trailing EWMA, ACF, PSI drift;
 weighted sampling, naive-Bayes train/score, PMI collocations, seasonal
 profile; per-group Gini, Benford forensic profile, n-gram novelty,
-trailing trend slope;
+trailing trend slope; SCD2 point-in-time lookup, community modularity,
+Theil index;
 repeated-span scrub; shingle containment; interval-overlap join;
 partition-skew pre-flight; quarantine decode for malformed media;
 temperature-scaled mixture weights; histogram-based per-source quality
@@ -62,6 +63,7 @@ from . import catalog_round8b  # noqa: F401  (robust stats, k-core, edit verify,
 from . import catalog_round8c  # noqa: F401  (SCD2, skyline scan, EWMA, ACF, PSI drift)
 from . import catalog_round8d  # noqa: F401  (weighted sample, naive Bayes, PMI, seasonal)
 from . import catalog_round8e  # noqa: F401  (Gini, Benford, n-gram novelty, trend slope)
+from . import catalog_round8f  # noqa: F401  (SCD2 lookup, modularity, Theil index)
 
 DRIVER_BATCH: list[str] = [
     # -- new this round (18): never driver-verified --------------------
@@ -98,12 +100,15 @@ DRIVER_BATCH: list[str] = [
     "dq_benford",
     "llm_ngram_novelty",
     "events_trend_slope",
+    "join_scd2_lookup",
+    "graph_modularity",
+    "agg_theil_index",
     # -- changed this round (4): code touched, need fresh driver rows --
     "llm_shard_assign",
     "events_resample_interp",
     "llm_multimodal_decode_ppm",
     "llm_multimodal_decode_wav",
-    # -- re-check slots (14): last driver row is round 4 — the stalest
+    # -- re-check slots (11): last driver row is round 4 — the stalest
     #    entries in the catalog (tools/batch_staleness.py) -------------
     "agg_cohort_retention",
     "agg_cube",
@@ -116,10 +121,8 @@ DRIVER_BATCH: list[str] = [
     "llm_bigram_topk",
     "llm_blocklist_filter",
     "llm_bm25_search",
-    "llm_bpe_pair_counts",
-    "llm_centroid_assign",
-    "llm_cross_dedup",
-    # (llm_dataset_split, llm_decontaminate, llm_dedup_exact_norm,
+    # (llm_bpe_pair_counts, llm_centroid_assign, llm_cross_dedup,
+    # llm_dataset_split, llm_decontaminate, llm_dedup_exact_norm,
     # llm_doc_pack, llm_frame_sample, llm_inverted_index, llm_knn_join,
     # llm_knn_join_bucketed, llm_length_histogram,
     # llm_quantize_int8, llm_regex_scrub, llm_repetition_score,
@@ -127,7 +130,7 @@ DRIVER_BATCH: list[str] = [
     # tpch_q1_pricing, tpch_q3_priority, tpch_q4_order_priority,
     # tpch_q5_region_volume, tpch_q6_forecast, window_moving_avg,
     # window_running_sum + the stalest r5-era entries displaced to next
-    # round's rotation by the 32 new never-verified entries — the
+    # round's rotation by the 35 new never-verified entries — the
     # never-verified-first policy above; every displaced entry is still
     # verified locally every round by tools/driver_replica.py)
 ]

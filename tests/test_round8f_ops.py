@@ -1,0 +1,150 @@
+"""Tests for the round-8 session-2 part-4 operators
+(plans/catalog_round8f.py): SCD2 point-in-time lookup, modularity,
+Theil index."""
+from __future__ import annotations
+
+import io
+import math
+from contextlib import redirect_stdout
+
+import duckdb
+import numpy as np
+
+from helium_arango_etl_lite_spark.plans.registry import QUERIES
+
+
+def _plan(spark, sf_dir, name):
+    df = QUERIES[name].spark_fn(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# join_scd2_lookup
+# ---------------------------------------------------------------------------
+
+def test_scd2_lookup_matches_naive_interval_scan(spark, sf_dir):
+    out = (
+        QUERIES["join_scd2_lookup"].spark_fn(spark, sf_dir)
+        .toPandas()
+        .set_index("event_id")
+    )
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type "
+        f"FROM '{sf_dir}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).df()
+    # one row per event, and the resolved attr is the event_type of the
+    # latest change point at-or-before the event (by (ts, event_id))
+    assert len(out) == len(ev)
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        prev, version = None, 0
+        for _, r in g.iterrows():
+            if prev is None or r["event_type"] != prev:
+                version += 1
+            prev = r["event_type"]
+            row = out.loc[r["event_id"]]
+            assert row["attr"] == r["event_type"]
+            assert row["version"] == version
+
+
+def test_scd2_lookup_avoids_range_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_scd2_lookup")
+    # union-sort-backfill, never an inequality join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+# ---------------------------------------------------------------------------
+# graph_modularity
+# ---------------------------------------------------------------------------
+
+def test_modularity_terms_match_naive(spark, sf_dir):
+    out = QUERIES["graph_modularity"].spark_fn(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "supplier", "nation"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    e0 = con.execute(
+        """SELECT DISTINCT c.c_nationkey::INTEGER AS src,
+                  s.s_nationkey::INTEGER AS dst
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey"""
+    ).df()
+    und = {(r["src"], r["dst"]) for _, r in e0.iterrows()}
+    und |= {(b, a) for a, b in und}
+    nodes = sorted(
+        con.execute("SELECT n_nationkey::INTEGER AS id FROM nation").df()["id"]
+    )
+    lbl = {n: n for n in nodes}
+    for _ in range(2):
+        new = dict(lbl)
+        for n in nodes:
+            nb = [lbl[b] for (a, b) in und if a == n]
+            if nb:
+                new[n] = min(nb)
+        lbl = new
+    m = len(und) // 2
+    deg = {n: sum(1 for (a, _) in und if a == n) for n in nodes}
+    comms = sorted(set(lbl.values()))
+    assert sorted(out["community"]) == comms
+    q_total = 0.0
+    for c in comms:
+        members = {n for n in nodes if lbl[n] == c}
+        e_intra = sum(1 for (a, b) in und if a in members and b in members) // 2
+        d_tot = sum(deg[n] for n in members)
+        term = e_intra / m - (d_tot / (2 * m)) ** 2
+        row = out[out["community"] == c].iloc[0]
+        assert row["n_nodes"] == len(members)
+        assert row["e_intra"] == e_intra
+        assert row["d_tot"] == d_tot
+        assert row["q_term6"] == math.floor(term * 1e6 + 0.5)
+        q_total += term
+    # single-community degenerate case: Q must be ~0 (e_c=m, d_c=2m)
+    if len(comms) == 1:
+        assert abs(q_total) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# agg_theil_index
+# ---------------------------------------------------------------------------
+
+def test_theil_matches_naive(spark, sf_dir):
+    out = (
+        QUERIES["agg_theil_index"].spark_fn(spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT event_type, value FROM '{sf_dir}/events.parquet'"
+    ).df()
+    pdf["xc"] = np.round(pdf["value"].values * 100).astype(np.int64)
+    for et, g in pdf.groupby("event_type"):
+        n = len(g)
+        sx = int(g["xc"].sum())
+        total6 = 0
+        for xc, k in g["xc"].value_counts().items():
+            ratio = xc * n / sx
+            total6 += math.floor(
+                k * ratio * math.log(ratio) * 1e6 + 0.5
+            )
+        assert out.loc[et, "n"] == n
+        assert out.loc[et, "theil_sum6"] == total6
+        # Theil bounds: 0 <= T <= ln(n) (up to fixed-point slack)
+        t = total6 / (n * 1e6)
+        assert -1e-6 <= t <= math.log(n) + 1e-6
+
+
+def test_theil_never_ranks_rows(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_theil_index")
+    assert "row_number" not in plan
+    assert "SortMergeJoin" not in plan  # stats join is broadcast

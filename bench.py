@@ -126,6 +126,7 @@ HEADLINE = [
     "join_scd2_lookup",           # point-in-time dim join, no range join
     "graph_modularity",           # community quality vs null model
     "agg_theil_index",            # decomposable inequality, value grid
+    "stream_scd2_replay",         # stateful CDC versioning = batch build
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -202,7 +203,7 @@ R8_COMPARABLE = R7_COMPARABLE | {
     "llm_naive_bayes_score", "llm_pmi_collocations",
     "events_seasonal_profile", "agg_gini_by_group", "dq_benford",
     "llm_ngram_novelty", "events_trend_slope", "join_scd2_lookup",
-    "graph_modularity", "agg_theil_index",
+    "graph_modularity", "agg_theil_index", "stream_scd2_replay",
 }
 
 SMALL_OUTPUT = {

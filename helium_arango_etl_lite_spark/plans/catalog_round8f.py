@@ -317,3 +317,97 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term6).cast("long").alias("theil_sum6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 build as a stateful stream, hash-verified against the batch form
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_scd2_replay",
+    _SCD2_SQL,
+    doc="SCD2 dimension maintenance as a STREAMING stateful operator, "
+        "hash-verified against the batch change-point build: events "
+        "replay as three event-time-split micro-batches (the "
+        "stream_cusum_replay harness), applyInPandasWithState carries "
+        "THREE fields per user (current attr, version counter, current "
+        "valid_from), a change point closes the previous version "
+        "finally and opens the new one provisionally, and the reader "
+        "keeps the last emission per (user, version). The oracle is "
+        "the IDENTICAL SQL as scd2_build, so the streaming recursion "
+        "and the declarative lag/lead form are verified byte-identical "
+        "— the CDC-ingest shape (every warehouse's dimension feed) "
+        "joining the batch=stream equivalence triangle family "
+        "(sessions, CUSUM, running totals). State is O(1) per user; "
+        "closed versions are never retained.",
+    tags=("streaming", "stateful", "etl"),
+)
+def stream_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..streaming.stateful import scd2_stream
+    from .catalog_core import _replay_dir
+
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.col("event_type").alias("attr"),
+    )
+
+    src = _replay_dir("stream_scd2/src")
+    res = _replay_dir("stream_scd2/res")
+    ckpt = _replay_dir("stream_scd2/ckpt")
+    lo, hi = base.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    c1 = lo + (hi - lo) // 3
+    c2 = lo + 2 * (hi - lo) // 3
+    for i, cond in enumerate(
+        [
+            F.col("ts_us") < c1,
+            (F.col("ts_us") >= c1) & (F.col("ts_us") < c2),
+            F.col("ts_us") >= c2,
+        ]
+    ):
+        pdf = base.filter(cond).toPandas()
+        path = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts_us long, event_id long, attr string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        scd2_stream(stream)
+        .writeStream.foreachBatch(
+            lambda df, bid: df.withColumn("batch_id", F.lit(bid))
+            .write.mode("append")
+            .parquet(res)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    outs = spark.read.parquet(res)
+    w = Window.partitionBy("user_id", "version").orderBy(F.desc("batch_id"))
+    return (
+        outs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "attr",
+            F.timestamp_micros(F.col("valid_from_us")).alias("valid_from"),
+            F.timestamp_micros(F.col("valid_to_us")).alias("valid_to"),
+            F.col("version").cast("long").alias("version"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -252,3 +252,73 @@ def sessionize(events: DataFrame, gap_us: int) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension maintenance as a stateful stream (CDC-style versioning)
+# ---------------------------------------------------------------------------
+
+SCD2_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("attr", StringType(), False),
+        StructField("valid_from_us", LongType(), False),
+        StructField("valid_to_us", LongType(), True),
+        StructField("version", LongType(), False),
+    ]
+)
+
+SCD2_STATE = StructType(
+    [
+        StructField("last_attr", StringType(), True),
+        StructField("version", LongType(), False),
+        StructField("cur_from_us", LongType(), False),
+    ]
+)
+
+
+def _scd2_update(key, pdfs, state: GroupState):
+    """Per-user SCD2 maintenance: three fields of state (current attr,
+    version counter, current valid_from). A change point CLOSES the
+    previous version (final — its valid_to can never move again) and
+    opens a new one (provisional, valid_to NULL); readers keep the last
+    emission per (user_id, version). Within a batch, later dispositions
+    of the same version overwrite earlier ones, so each batch emits at
+    most one row per touched version — the streaming dual of
+    plans/catalog_round8c.py:scd2_build's change-point compression."""
+    if state.exists:
+        last_attr, version, cur_from = state.get
+    else:
+        last_attr, version, cur_from = None, 0, 0
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+    rows: dict[int, tuple] = {}
+    for ts_us, attr in zip(pdf["ts_us"].values, pdf["attr"].values):
+        ts_us = int(ts_us)
+        if last_attr is None or attr != last_attr:
+            if last_attr is not None:
+                rows[version] = (
+                    key[0], last_attr, cur_from, ts_us, version
+                )
+            version += 1
+            cur_from = ts_us
+            last_attr = attr
+    state.update((last_attr, int(version), int(cur_from)))
+    rows[version] = (key[0], last_attr, cur_from, None, version)
+    yield pd.DataFrame(
+        list(rows.values()),
+        columns=["user_id", "attr", "valid_from_us", "valid_to_us", "version"],
+    )
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """Streaming SCD2 build; ``events`` carries ``ts_us`` micros and the
+    tracked attribute in ``attr``."""
+    sel = events.select("user_id", "ts_us", "event_id", "attr")
+    return sel.groupBy("user_id").applyInPandasWithState(
+        _scd2_update,
+        outputStructType=SCD2_SCHEMA,
+        stateStructType=SCD2_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

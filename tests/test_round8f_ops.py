@@ -148,3 +148,34 @@ def test_theil_never_ranks_rows(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_theil_index")
     assert "row_number" not in plan
     assert "SortMergeJoin" not in plan  # stats join is broadcast
+
+
+# ---------------------------------------------------------------------------
+# stream_scd2_replay
+# ---------------------------------------------------------------------------
+
+def test_stream_scd2_equals_batch_build(spark, sf_dir):
+    batch = (
+        QUERIES["scd2_build"].spark_fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "version"])
+        .reset_index(drop=True)
+    )
+    stream = (
+        QUERIES["stream_scd2_replay"].spark_fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "version"])
+        .reset_index(drop=True)
+    )
+    assert len(batch) == len(stream)
+    for col in ["user_id", "attr", "version", "is_current"]:
+        assert (batch[col].values == stream[col].values).all(), col
+    for col in ["valid_from", "valid_to"]:
+        b, s = batch[col], stream[col]
+        both_null = b.isna() & s.isna()
+        assert (both_null | (b == s)).all(), col
+
+
+def test_stream_scd2_one_open_version_per_user(spark, sf_dir):
+    out = QUERIES["stream_scd2_replay"].spark_fn(spark, sf_dir).toPandas()
+    assert (out.groupby("user_id")["is_current"].sum() == 1).all()

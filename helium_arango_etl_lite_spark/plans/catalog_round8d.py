@@ -227,16 +227,31 @@ WHERE f.rk = 1"""
         f"(M={_NB_TOPM}, the trigram-LM broadcast discipline) with a "
         "single OOV bucket per class for everything the cap drops, so "
         "the scoring join is a BROADCAST hash join against a bounded "
-        "table; the only corpus-sized shuffles are the (lang,token) "
-        "training agg and the (doc,token) count — the x|classes| "
-        "expansion happens AFTER per-doc token collapse. The composed "
+        "table; the corpus is EXPLODED ONCE — the per-doc token counts "
+        "feed the scorer directly and re-aggregate into the per-class "
+        "model (summing doc-level counts == counting occurrences), so "
+        "the only corpus-sized shuffle is the (doc,token) collapse — "
+        "and the x|classes| expansion happens AFTER it. The composed "
         "train->predict->evaluate loop in one plan.",
     tags=("llm", "text", "train", "scale"),
 )
 def llm_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
-    cnt = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    # ONE corpus explode feeds BOTH sides: the per-doc token counts the
+    # scorer consumes AND (re-aggregated — summing doc-level counts is
+    # the same as counting occurrences) the per-class model counts. The
+    # first version exploded the corpus twice (lang-keyed and
+    # doc-keyed); at 100 TB that is a second full tokenize pass for a
+    # table derivable from the first.
+    dtc = (
+        d.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    dtc = dtc.localCheckpoint(eager=False)  # feeds model + scoring
+    cnt = dtc.groupBy("lang", "token").agg(F.sum("k").alias("c"))
     cnt = cnt.localCheckpoint(eager=False)
     ct = cnt.groupBy("lang").agg(F.sum("c").alias("total"))
     ct = ct.localCheckpoint(eager=False)  # feeds model + OOV table
@@ -284,13 +299,9 @@ def llm_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prior6"),
         )
     )
-    dtc = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("k"))
-    )
     scored = (
-        dtc.crossJoin(F.broadcast(oov))
+        dtc.drop("lang")
+        .crossJoin(F.broadcast(oov))
         .join(F.broadcast(model), ["lang", "token"], "left")
         .groupBy("doc_id", "lang")
         .agg(

@@ -111,6 +111,12 @@ def join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Newman modularity of the label-propagation communities
 # ---------------------------------------------------------------------------
 
+_MOD_ITERS = 1  # ONE min-label iteration: two iterations collapse the
+# driver graph to a single community (Q identically 0 — a trivial hash
+# surface); one keeps 2 communities, so the oracle actually pins the
+# modularity arithmetic. graph_label_propagation keeps its 2-iteration
+# contract separately.
+
 _MODULARITY_SQL = """
 WITH edges0 AS (
      SELECT DISTINCT c.c_nationkey::INTEGER AS src,
@@ -129,16 +135,11 @@ n1 AS (SELECT e.src AS id, min(l0.lbl) AS new_lbl
 l1 AS (SELECT nodes.id, coalesce(n1.new_lbl, l0.lbl) AS lbl
        FROM nodes JOIN l0 USING (id)
        LEFT JOIN n1 ON nodes.id = n1.id),
-n2 AS (SELECT e.src AS id, min(l1.lbl) AS new_lbl
-       FROM edges e JOIN l1 ON e.dst = l1.id GROUP BY 1),
-l2 AS (SELECT nodes.id, coalesce(n2.new_lbl, l1.lbl) AS lbl
-       FROM nodes JOIN l1 USING (id)
-       LEFT JOIN n2 ON nodes.id = n2.id),
 m AS (SELECT (count(*) / 2)::BIGINT AS m FROM edges),
 deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM edges GROUP BY 1),
-comm AS (SELECT l2.id, l2.lbl AS community,
+comm AS (SELECT l1.id, l1.lbl AS community,
                 coalesce(deg.d, 0)::BIGINT AS d
-         FROM l2 LEFT JOIN deg USING (id)),
+         FROM l1 LEFT JOIN deg USING (id)),
 intra AS (SELECT a.community, (count(*) / 2)::BIGINT AS e_intra
           FROM edges
           JOIN comm a ON edges.src = a.id
@@ -161,8 +162,10 @@ GROUP BY comm.community, m.m"""
 @register(
     "graph_modularity",
     _MODULARITY_SQL,
-    doc="Newman modularity of the 2-iteration min-label communities "
-        "(the same deterministic labels as graph_label_propagation): "
+    doc="Newman modularity of the 1-iteration min-label communities "
+        "(graph_label_propagation's deterministic rule, one round — two "
+        "rounds collapse this graph to one community and Q degenerates "
+        "to 0, a trivial verification surface): "
         "per community, Q_c = e_c/m - (d_c/2m)^2 over the undirected "
         "distinct money-flow edge set — sum(q_term6)/1e6 is the global "
         "Q that says whether detected structure beats the random-graph "
@@ -191,7 +194,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds labels, m, deg, intra
     )
     labels = nodes.select("id", F.col("id").alias("lbl"))
-    for _ in range(2):
+    for _ in range(_MOD_ITERS):
         nbr = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy(edges["src"].alias("nid"))

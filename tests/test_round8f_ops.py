@@ -85,7 +85,7 @@ def test_modularity_terms_match_naive(spark, sf_dir):
         con.execute("SELECT n_nationkey::INTEGER AS id FROM nation").df()["id"]
     )
     lbl = {n: n for n in nodes}
-    for _ in range(2):
+    for _ in range(1):
         new = dict(lbl)
         for n in nodes:
             nb = [lbl[b] for (a, b) in und if a == n]

@@ -127,6 +127,7 @@ HEADLINE = [
     "graph_modularity",           # community quality vs null model
     "agg_theil_index",            # decomposable inequality, value grid
     "stream_scd2_replay",         # stateful CDC versioning = batch build
+    "llm_logreg_sweep",           # R models per scan, steps scans total
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -204,6 +205,7 @@ R8_COMPARABLE = R7_COMPARABLE | {
     "events_seasonal_profile", "agg_gini_by_group", "dq_benford",
     "llm_ngram_novelty", "events_trend_slope", "join_scd2_lookup",
     "graph_modularity", "agg_theil_index", "stream_scd2_replay",
+    "llm_logreg_sweep",
 }
 
 SMALL_OUTPUT = {

@@ -414,3 +414,131 @@ def stream_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# hyperparameter sweep: R models trained concurrently, one scan per step
+# ---------------------------------------------------------------------------
+
+_SWEEP_RATES = (0.2, 0.4, 0.8)  # even-final-digit rates: rate*g cannot
+# land on a decimal tie at the 6th digit (the llm_logreg_train 0.4-not-
+# 0.5 lesson applied to the whole grid)
+_SWEEP_STEPS = 3
+
+
+def _sweep_sql() -> str:
+    from .catalog_round8b import _LR_FEAT_CTE, _lr_p
+
+    parts = ["WITH " + _LR_FEAT_CTE]
+    selects = []
+    for ri, rate in enumerate(_SWEEP_RATES):
+        parts.append(f""",
+w{ri}_0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""")
+        p = _lr_p()
+        for t in range(_SWEEP_STEPS):
+            parts.append(f""",
+g{ri}_{t} AS (SELECT round(avg(({p} - y)), 6) AS g0,
+                round(avg(({p} - y) * x1), 6) AS g1,
+                round(avg(({p} - y) * x2), 6) AS g2,
+                round(avg(({p} - y) * x3), 6) AS g3
+         FROM feat, w{ri}_{t}),
+w{ri}_{t + 1} AS (SELECT round(w0 - {rate} * g0, 6) AS w0,
+                     round(w1 - {rate} * g1, 6) AS w1,
+                     round(w2 - {rate} * g2, 6) AS w2,
+                     round(w3 - {rate} * g3, 6) AS w3
+              FROM w{ri}_{t}, g{ri}_{t})""")
+        wf = f"w{ri}_{_SWEEP_STEPS}"
+        parts.append(f""",
+acc{ri} AS (SELECT round(avg(CASE WHEN ({p} >= 0.5) = (y > 0.5)
+                              THEN 1.0 ELSE 0.0 END), 6) AS a
+        FROM feat, {wf})""")
+        selects.append(
+            f"SELECT {rate!r}::DOUBLE AS rate, 0::BIGINT AS dim, w0 AS value,"
+            f" 'weight' AS kind FROM {wf}"
+        )
+        for d, c in [(1, "w1"), (2, "w2"), (3, "w3")]:
+            selects.append(
+                f"SELECT {rate!r}::DOUBLE, {d}::BIGINT, {c}, 'weight' FROM {wf}"
+            )
+        selects.append(
+            f"SELECT {rate!r}::DOUBLE, 4::BIGINT, a, 'accuracy' FROM acc{ri}"
+        )
+    parts.append("\n" + "\nUNION ALL ".join(selects))
+    return "".join(parts)
+
+
+@register(
+    "llm_logreg_sweep",
+    _sweep_sql(),
+    doc=f"Hyperparameter sweep as ONE data pass per step: logistic "
+        f"regression trained at {len(_SWEEP_RATES)} learning rates "
+        f"{_SWEEP_RATES} simultaneously — each GD step computes ALL "
+        "rates' gradients in a single partial-agg scan (12 rounded "
+        "avgs in one Aggregate, one shuffle), because the expensive "
+        "term in cluster training is the DATA PASS, not the per-row "
+        "flops; a naive sweep runs R trainings = R*steps scans, this "
+        "runs `steps` scans total regardless of grid size (the "
+        "llm_logreg_train contract lifted to a model GRID — the "
+        "driver holds R weight vectors between steps). Every rate has "
+        "an even final digit so rate*gradient never lands on the "
+        "6th-decimal round tie where Spark HALF_UP and DuckDB scaled-"
+        "binary rounding diverge. Emits weights + train accuracy per "
+        "rate; the oracle unrolls all three trajectories.",
+    tags=("llm", "training", "iterative", "scale"),
+)
+def llm_logreg_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_round8b import _lr_features, _lr_sigmoid
+    from .registry import load_table
+
+    feat = _lr_features(load_table(spark, sf_dir, "documents"))
+    feat = feat.localCheckpoint(eager=True)
+    ws = {ri: [0.0, 0.0, 0.0, 0.0] for ri in range(len(_SWEEP_RATES))}
+    for _ in range(_SWEEP_STEPS):
+        aggs = []
+        for ri in range(len(_SWEEP_RATES)):
+            p = _lr_sigmoid(ws[ri])
+            d = p - F.col("y")
+            aggs += [
+                F.round(F.avg(d), 6).alias(f"g{ri}_0"),
+                F.round(F.avg(d * F.col("x1")), 6).alias(f"g{ri}_1"),
+                F.round(F.avg(d * F.col("x2")), 6).alias(f"g{ri}_2"),
+                F.round(F.avg(d * F.col("x3")), 6).alias(f"g{ri}_3"),
+            ]
+        row = feat.agg(*aggs).collect()[0]  # ONE scan, all rates
+        for ri, rate in enumerate(_SWEEP_RATES):
+            ws[ri] = [
+                round(ws[ri][d] - rate * row[f"g{ri}_{d}"], 6)
+                for d in range(4)
+            ]
+    accs = feat.agg(
+        *[
+            F.round(
+                F.avg(
+                    F.when(
+                        (_lr_sigmoid(ws[ri]) >= 0.5) == (F.col("y") > 0.5),
+                        1.0,
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias(f"a{ri}")
+            for ri in range(len(_SWEEP_RATES))
+        ]
+    )
+    out = None
+    for ri, rate in enumerate(_SWEEP_RATES):
+        for d in range(4):
+            r = spark.range(1).select(
+                F.lit(rate).cast("double").alias("rate"),
+                F.lit(d).cast("long").alias("dim"),
+                F.lit(ws[ri][d]).cast("double").alias("value"),
+                F.lit("weight").alias("kind"),
+            )
+            out = r if out is None else out.unionAll(r)
+        a = accs.select(
+            F.lit(rate).cast("double").alias("rate"),
+            F.lit(4).cast("long").alias("dim"),
+            F.col(f"a{ri}").cast("double").alias("value"),
+            F.lit("accuracy").alias("kind"),
+        )
+        out = out.unionAll(a)
+    return out

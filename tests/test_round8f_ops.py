@@ -179,3 +179,55 @@ def test_stream_scd2_equals_batch_build(spark, sf_dir):
 def test_stream_scd2_one_open_version_per_user(spark, sf_dir):
     out = QUERIES["stream_scd2_replay"].spark_fn(spark, sf_dir).toPandas()
     assert (out.groupby("user_id")["is_current"].sum() == 1).all()
+
+
+# ---------------------------------------------------------------------------
+# llm_logreg_sweep
+# ---------------------------------------------------------------------------
+
+def test_sweep_rate_04_equals_single_train(spark, sf_dir):
+    # the swept grid must reproduce llm_logreg_train's trajectory at
+    # the shared rate exactly (same rounding contract, same features)
+    single = (
+        QUERIES["llm_logreg_train"].spark_fn(spark, sf_dir)
+        .toPandas()
+        .set_index("dim")["value"]
+    )
+    sweep = QUERIES["llm_logreg_sweep"].spark_fn(spark, sf_dir).toPandas()
+    at04 = sweep[sweep["rate"] == 0.4].set_index("dim")["value"]
+    for d in range(5):
+        assert at04[d] == single[d], d
+
+
+def test_sweep_matches_numpy_trajectories(spark, sf_dir):
+    import duckdb
+    import numpy as np
+
+    from helium_arango_etl_lite_spark.plans import catalog_round8f as r8f
+
+    sweep = QUERIES["llm_logreg_sweep"].spark_fn(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT text, lang FROM '{sf_dir}/documents.parquet'"
+    ).df()
+    y = (pdf["lang"] == "en").astype(float).values
+    ln = pdf["text"].str.len().values
+    x1 = (pdf["text"].str.count(" ").values + 1) / 100.0
+    x2 = ln / 1000.0
+    x3 = np.round(
+        pdf["text"].str.count("[aeiou]").values / ln, 4
+    )
+    X = np.column_stack([np.ones_like(x1), x1, x2, x3])
+    for rate in r8f._SWEEP_RATES:
+        w = np.zeros(4)
+        for _ in range(r8f._SWEEP_STEPS):
+            z = w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3
+            p = np.round(1 / (1 + np.exp(-z)), 6)
+            g = np.round((X * (p - y)[:, None]).mean(axis=0), 6)
+            w = np.round(w - rate * g, 6)
+        got = (
+            sweep[(sweep["rate"] == rate) & (sweep["kind"] == "weight")]
+            .sort_values("dim")["value"]
+            .values
+        )
+        assert np.allclose(got, w, atol=2e-6), (rate, got, w)

@@ -542,3 +542,99 @@ def llm_logreg_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionAll(a)
     return out
+
+
+# ---------------------------------------------------------------------------
+# association rules: per-basket co-occurrence with support/confidence/lift
+# ---------------------------------------------------------------------------
+
+_MB_MIN = 5  # minimum pair count — the output bound
+
+_MB_SQL = f"""
+WITH {EVENTS_NORM},
+b AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+      FROM events_norm),
+n AS (SELECT count(DISTINCT (user_id, day))::BIGINT AS n_baskets
+      FROM b),
+tc AS (SELECT event_type, count(*)::BIGINT AS n_t FROM b GROUP BY 1),
+p AS (SELECT a.event_type AS ta, c.event_type AS tb
+      FROM b a JOIN b c
+        ON a.user_id = c.user_id AND a.day = c.day
+       AND a.event_type < c.event_type),
+pc AS (SELECT ta, tb, count(*)::BIGINT AS n_ab FROM p GROUP BY 1, 2)
+SELECT pc.ta, pc.tb, pc.n_ab, x.n_t AS n_a, y.n_t AS n_b,
+       n.n_baskets,
+       floor(pc.n_ab * 1000000.0 / n.n_baskets + 0.5)::BIGINT
+         AS support6,
+       floor(pc.n_ab * 1000000.0 / x.n_t + 0.5)::BIGINT AS conf_ab6,
+       floor(pc.n_ab * n.n_baskets * 1000000.0 / (x.n_t * y.n_t)
+             + 0.5)::BIGINT AS lift6
+FROM pc
+JOIN tc x ON pc.ta = x.event_type
+JOIN tc y ON pc.tb = y.event_type
+CROSS JOIN n
+WHERE pc.n_ab >= {_MB_MIN}"""
+
+
+@register(
+    "agg_market_basket",
+    _MB_SQL,
+    doc="Association rules over (user, day) baskets of event types: "
+        "pair support, confidence A->B, and lift = P(AB)/(P(A)P(B)) — "
+        "the classic market-basket/co-occurrence miner (lift > 1e6 "
+        "fixed-point means the pair co-occurs above independence). "
+        "DATAFLOW: ONE (user, day, type) distinct shuffle builds the "
+        "basket table; the pair stage is a basket-keyed EQUI self-join "
+        "whose per-basket fan-out is bounded by the type-alphabet "
+        "(<= |T| choose 2 pairs per basket — never a corpus cross "
+        "product), and supports/marginals are broadcast-sized "
+        "aggregates of the basket table. EXACTNESS: counts are BIGINT; "
+        "support/confidence/lift are fixed-pointed per OUTPUT row from "
+        "integer ratios (floor(x*1e6+0.5) both engines) — no float "
+        "aggregation anywhere. The min-count filter bounds the output "
+        "at O(|T|^2).",
+    tags=("agg", "analytics", "join"),
+)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    b = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+    ).distinct()
+    b = b.localCheckpoint(eager=False)  # feeds pairs + marginals + N
+    n = b.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    tc = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = b.select("user_id", "day", F.col("event_type").alias("ta"))
+    c = b.select("user_id", "day", F.col("event_type").alias("tb"))
+    pc = (
+        a.join(c, ["user_id", "day"])
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _MB_MIN)
+    )
+    x = tc.select(F.col("event_type").alias("ta"), F.col("n_t").alias("n_a"))
+    y = tc.select(F.col("event_type").alias("tb"), F.col("n_t").alias("n_b"))
+    out = (
+        pc.join(F.broadcast(x), "ta")
+        .join(F.broadcast(y), "tb")
+        .crossJoin(F.broadcast(n))
+    )
+
+    def fp6(col):
+        return F.floor(col + F.lit(0.5)).cast("long")
+
+    return out.select(
+        "ta", "tb", "n_ab", "n_a", "n_b", "n_baskets",
+        fp6(F.col("n_ab") * 1_000_000.0 / F.col("n_baskets")).alias(
+            "support6"
+        ),
+        fp6(F.col("n_ab") * 1_000_000.0 / F.col("n_a")).alias("conf_ab6"),
+        fp6(
+            F.col("n_ab") * F.col("n_baskets") * 1_000_000.0
+            / (F.col("n_a") * F.col("n_b"))
+        ).alias("lift6"),
+    )

@@ -231,3 +231,54 @@ def test_sweep_matches_numpy_trajectories(spark, sf_dir):
             .values
         )
         assert np.allclose(got, w, atol=2e-6), (rate, got, w)
+
+
+# ---------------------------------------------------------------------------
+# agg_market_basket
+# ---------------------------------------------------------------------------
+
+def test_market_basket_matches_naive(spark, sf_dir):
+    import duckdb
+    from collections import Counter
+    from itertools import combinations
+
+    out = QUERIES["agg_market_basket"].spark_fn(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day, "
+        f"event_type FROM '{sf_dir}/events.parquet'"
+    ).df()
+    baskets = {
+        k: set(g["event_type"])
+        for k, g in pdf.groupby(["user_id", "day"])
+    }
+    N = len(baskets)
+    tc = Counter()
+    pc = Counter()
+    for types in baskets.values():
+        tc.update(types)
+        pc.update(combinations(sorted(types), 2))
+    import math as _m
+    got = {(r["ta"], r["tb"]): r for _, r in out.iterrows()}
+    expect_keys = {k for k, v in pc.items() if v >= 5}
+    assert set(got) == expect_keys
+    for (ta, tb), n_ab in pc.items():
+        if n_ab < 5:
+            continue
+        r = got[(ta, tb)]
+        assert r["n_ab"] == n_ab and r["n_baskets"] == N
+        assert r["n_a"] == tc[ta] and r["n_b"] == tc[tb]
+        assert r["lift6"] == _m.floor(
+            n_ab * N * 1e6 / (tc[ta] * tc[tb]) + 0.5
+        )
+        assert r["support6"] == _m.floor(n_ab * 1e6 / N + 0.5)
+        assert r["conf_ab6"] == _m.floor(n_ab * 1e6 / tc[ta] + 0.5)
+
+
+def test_market_basket_pair_join_is_basket_keyed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_market_basket")
+    assert "CartesianProduct" not in plan
+    # exactly ONE nested-loop join is allowed: the 1-row n_baskets
+    # scalar cross join; the pair self-join must be an equi hash join
+    assert plan.count("- BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

@@ -129,6 +129,7 @@ HEADLINE = [
     "stream_scd2_replay",         # stateful CDC versioning = batch build
     "llm_logreg_sweep",           # R models per scan, steps scans total
     "agg_market_basket",          # basket-keyed co-occurrence + lift
+    "events_forecast_backtest",   # seasonal-naive MAE/WAPE per type
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -206,7 +207,7 @@ R8_COMPARABLE = R7_COMPARABLE | {
     "events_seasonal_profile", "agg_gini_by_group", "dq_benford",
     "llm_ngram_novelty", "events_trend_slope", "join_scd2_lookup",
     "graph_modularity", "agg_theil_index", "stream_scd2_replay",
-    "llm_logreg_sweep", "agg_market_basket",
+    "llm_logreg_sweep", "agg_market_basket", "events_forecast_backtest",
 }
 
 SMALL_OUTPUT = {

@@ -638,3 +638,91 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a") * F.col("n_b"))
         ).alias("lift6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive forecast backtest (the baseline every forecaster must beat)
+# ---------------------------------------------------------------------------
+
+_FC_LAG_H = 24  # seasonal-naive: predict this hour with yesterday's hour
+
+_FC_SQL = f"""
+WITH {EVENTS_NORM},
+h AS (SELECT event_type,
+             epoch(date_trunc('hour', ts))::BIGINT AS hs,
+             count(*)::BIGINT AS c
+      FROM events_norm GROUP BY 1, 2),
+j AS (SELECT a.event_type, a.c AS actual, b.c AS fcast
+      FROM h a JOIN h b
+        ON b.event_type = a.event_type
+       AND b.hs = a.hs - {_FC_LAG_H * 3600})
+SELECT event_type,
+       count(*)::BIGINT AS n_scored,
+       sum(abs(actual - fcast))::BIGINT AS abs_err_sum,
+       sum(actual - fcast)::BIGINT AS bias_sum,
+       floor(sum(abs(actual - fcast)) * 1000000.0 / count(*) + 0.5)::BIGINT
+         AS mae6,
+       floor(sum(abs(actual - fcast)) * 1000000.0 / sum(actual) + 0.5)::BIGINT
+         AS wape6
+FROM j GROUP BY 1"""
+
+
+@register(
+    "events_forecast_backtest",
+    _FC_SQL,
+    doc=f"Seasonal-naive forecast backtest: predict each (type, hour) "
+        f"count with the value {_FC_LAG_H} h earlier and score MAE / "
+        "bias / WAPE per type — the baseline every forecasting model "
+        "must beat, and the continuous-eval job a production "
+        "forecaster runs on itself (consumes the seasonality "
+        "events_acf/events_seasonal_profile measure). DATAFLOW: ONE "
+        "time-bucket partial-agg shuffle over the fact table; the "
+        "hourly series is O(#hours x types) from then on, so the "
+        "lag self-join and per-type scores are broadcast-sized at any "
+        "corpus scale. EXACTNESS: errors are BIGINT sums of integer "
+        "count differences; MAE/WAPE are fixed-pointed at the per-type "
+        "readout — no float accumulation.",
+    tags=("temporal", "agg", "analytics"),
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    h = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hr")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "event_type", F.unix_timestamp("hr").alias("hs"), "c"
+        )
+    )
+    h = h.localCheckpoint(eager=False)  # actual + forecast sides
+    b = h.select(
+        F.col("event_type").alias("bt"),
+        (F.col("hs") + F.lit(_FC_LAG_H * 3600)).alias("bhs"),
+        F.col("c").alias("fcast"),
+    )
+    j = h.join(
+        F.broadcast(b),
+        (F.col("event_type") == F.col("bt")) & (F.col("hs") == F.col("bhs")),
+    ).select("event_type", F.col("c").alias("actual"), "fcast")
+    err = F.col("actual") - F.col("fcast")
+    s = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(F.abs(err)).alias("abs_err_sum"),
+        F.sum(err).alias("bias_sum"),
+        F.sum("actual").alias("actual_sum"),
+    )
+    return s.select(
+        "event_type",
+        "n_scored",
+        F.col("abs_err_sum").cast("long").alias("abs_err_sum"),
+        F.col("bias_sum").cast("long").alias("bias_sum"),
+        F.floor(
+            F.col("abs_err_sum") * 1_000_000.0 / F.col("n_scored")
+            + F.lit(0.5)
+        ).cast("long").alias("mae6"),
+        F.floor(
+            F.col("abs_err_sum") * 1_000_000.0 / F.col("actual_sum")
+            + F.lit(0.5)
+        ).cast("long").alias("wape6"),
+    )

@@ -282,3 +282,45 @@ def test_market_basket_pair_join_is_basket_keyed(spark, sf_dir):
     # scalar cross join; the pair self-join must be an equi hash join
     assert plan.count("- BroadcastNestedLoopJoin") <= 1
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# events_forecast_backtest
+# ---------------------------------------------------------------------------
+
+def test_forecast_backtest_matches_naive(spark, sf_dir):
+    import duckdb
+    import math as _m
+
+    out = (
+        QUERIES["events_forecast_backtest"].spark_fn(spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT event_type, ts::TIMESTAMP AS ts "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).df()
+    pdf["hs"] = (
+        pdf["ts"].dt.floor("h").astype("datetime64[ns]").astype("int64")
+        // 10**9
+    )
+    counts = pdf.groupby(["event_type", "hs"]).size()
+    for et in pdf["event_type"].unique():
+        s = counts[et]
+        idx = {h: c for h, c in s.items()}
+        pairs = [
+            (c, idx[h - 86400]) for h, c in s.items() if h - 86400 in idx
+        ]
+        if not pairs:
+            assert et not in out.index
+            continue
+        abs_err = sum(abs(a - f) for a, f in pairs)
+        actual = sum(a for a, _ in pairs)
+        row = out.loc[et]
+        assert row["n_scored"] == len(pairs)
+        assert row["abs_err_sum"] == abs_err
+        assert row["bias_sum"] == sum(a - f for a, f in pairs)
+        assert row["mae6"] == _m.floor(abs_err * 1e6 / len(pairs) + 0.5)
+        assert row["wape6"] == _m.floor(abs_err * 1e6 / actual + 0.5)

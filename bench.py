@@ -130,6 +130,7 @@ HEADLINE = [
     "llm_logreg_sweep",           # R models per scan, steps scans total
     "agg_market_basket",          # basket-keyed co-occurrence + lift
     "events_forecast_backtest",   # seasonal-naive MAE/WAPE per type
+    "llm_webdataset_index",       # tar shard pack + checksum-verified walk
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -208,6 +209,7 @@ R8_COMPARABLE = R7_COMPARABLE | {
     "llm_ngram_novelty", "events_trend_slope", "join_scd2_lookup",
     "graph_modularity", "agg_theil_index", "stream_scd2_replay",
     "llm_logreg_sweep", "agg_market_basket", "events_forecast_backtest",
+    "llm_webdataset_index",
 }
 
 SMALL_OUTPUT = {

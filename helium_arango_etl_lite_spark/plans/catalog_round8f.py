@@ -726,3 +726,55 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("long").alias("wape6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar shards: pack with the stdlib, index with a real parser
+# ---------------------------------------------------------------------------
+
+_TAR_SQL = """
+WITH d AS (SELECT source, doc_id, text, length(text)::BIGINT AS sz
+           FROM documents),
+o AS (SELECT source, doc_id, sz, md5(text) AS payload_md5,
+             512 + 512 * ((sz + 511) // 512) AS span
+      FROM d)
+SELECT source,
+       doc_id::VARCHAR || '.txt' AS member,
+       coalesce(sum(span) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0)::BIGINT AS header_offset,
+       sz AS size,
+       payload_md5
+FROM o"""
+
+
+@register(
+    "llm_webdataset_index",
+    _TAR_SQL,
+    doc="WebDataset tar-shard round-trip — the container large-scale "
+        "training data actually ships in: pack one USTAR tar per "
+        "source under applyInPandas (group = shard, the real sharding "
+        "dataflow; stdlib writer, zeroed metadata for determinism), "
+        "then index every shard with a FROM-SCRATCH 512-block header "
+        "walk (octal size decode, ustar checksum VERIFIED with the "
+        "spaces-for-checksum-field rule, truncation guard) that md5s "
+        "the payload bytes it sliced out by offset arithmetic. The "
+        "oracle never sees a tar byte: it recomputes each member's "
+        "header offset from pure arithmetic (cumulative 512-block "
+        "spans in doc_id order) and the md5 from the source text — "
+        "hash agreement certifies the writer, the parser, AND "
+        "byte-exact extraction in one check (write-with-stdlib / "
+        "read-with-own-parser cross-validation, the parse_ppm "
+        "discipline applied to the archive layer). SCALE: packing is "
+        "one shard-key shuffle; indexing is map-only over shard blobs; "
+        "member offsets make range-request streaming reads possible — "
+        "the point of a WebDataset index.",
+    tags=("llm", "multimodal", "storage", "scale"),
+)
+def llm_webdataset_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.shards import index_tar_shards, pack_tar_shards
+    from .registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    shards = pack_tar_shards(docs)
+    return index_tar_shards(shards)

@@ -30,7 +30,8 @@ profile; per-group Gini, Benford forensic profile, n-gram novelty,
 trailing trend slope; SCD2 point-in-time lookup, community modularity,
 Theil index; streaming SCD2 maintenance hash-verified against the
 batch build; one-scan-per-step learning-rate sweep; market-basket
-association rules; seasonal-naive forecast backtest;
+association rules; seasonal-naive forecast backtest; WebDataset tar
+shard pack/index round-trip;
 repeated-span scrub; shingle containment; interval-overlap join;
 partition-skew pre-flight; quarantine decode for malformed media;
 temperature-scaled mixture weights; histogram-based per-source quality
@@ -109,12 +110,13 @@ DRIVER_BATCH: list[str] = [
     "llm_logreg_sweep",
     "agg_market_basket",
     "events_forecast_backtest",
+    "llm_webdataset_index",
     # -- changed this round (4): code touched, need fresh driver rows --
     "llm_shard_assign",
     "events_resample_interp",
     "llm_multimodal_decode_ppm",
     "llm_multimodal_decode_wav",
-    # -- re-check slots (7): last driver row is round 4 — the stalest
+    # -- re-check slots (6): last driver row is round 4 — the stalest
     #    entries in the catalog (tools/batch_staleness.py) -------------
     "agg_cohort_retention",
     "agg_cube",
@@ -122,8 +124,8 @@ DRIVER_BATCH: list[str] = [
     "agg_grouped_topn",
     "graph_pagerank",
     "graph_triangle_count",
-    "join_outer_reconcile",
-    # (join_semi_urgent, llm_bigram_topk, llm_blocklist_filter,
+    # (join_outer_reconcile, join_semi_urgent, llm_bigram_topk,
+    # llm_blocklist_filter,
     # llm_bm25_search,
     # llm_bpe_pair_counts,
     # llm_centroid_assign, llm_cross_dedup,
@@ -135,7 +137,7 @@ DRIVER_BATCH: list[str] = [
     # tpch_q1_pricing, tpch_q3_priority, tpch_q4_order_priority,
     # tpch_q5_region_volume, tpch_q6_forecast, window_moving_avg,
     # window_running_sum + the stalest r5-era entries displaced to next
-    # round's rotation by the 39 new never-verified entries — the
+    # round's rotation by the 40 new never-verified entries — the
     # never-verified-first policy above; every displaced entry is still
     # verified locally every round by tools/driver_replica.py)
 ]

@@ -324,3 +324,73 @@ def test_forecast_backtest_matches_naive(spark, sf_dir):
         assert row["bias_sum"] == sum(a - f for a, f in pairs)
         assert row["mae6"] == _m.floor(abs_err * 1e6 / len(pairs) + 0.5)
         assert row["wape6"] == _m.floor(abs_err * 1e6 / actual + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# llm_webdataset_index
+# ---------------------------------------------------------------------------
+
+def test_tar_parser_agrees_with_stdlib_reader(spark, sf_dir):
+    import io
+    import tarfile
+
+    from helium_arango_etl_lite_spark.operators.llm.shards import (
+        index_tar_shards, pack_tar_shards, parse_tar_index,
+    )
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = pack_tar_shards(docs).filter("source = 'src1'").collect()[0]
+    buf = bytes(shard["shard"])
+    mine = parse_tar_index(buf)
+    with tarfile.open(fileobj=io.BytesIO(buf)) as tf:
+        theirs = [
+            (m.name, m.offset, m.size, tf.extractfile(m).read())
+            for m in tf.getmembers()
+        ]
+    assert [(n, o, s) for n, o, s, _ in mine] == [
+        (n, o, s) for n, o, s, _ in theirs
+    ]
+    assert [p for *_, p in mine] == [p for *_, p in theirs]
+
+
+def test_tar_parser_rejects_corruption(spark, sf_dir):
+    import pytest as _pt
+
+    from helium_arango_etl_lite_spark.operators.llm.shards import (
+        pack_tar_shards, parse_tar_index,
+    )
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    buf = bytearray(
+        bytes(pack_tar_shards(docs).filter("source = 'src1'")
+              .collect()[0]["shard"])
+    )
+    # flip one byte inside the first member NAME: checksum must fire
+    bad = bytearray(buf)
+    bad[1] ^= 0xFF
+    with _pt.raises(ValueError, match="checksum"):
+        parse_tar_index(bytes(bad))
+    # declare a size beyond the buffer: truncation guard must fire
+    ok = parse_tar_index(bytes(buf))
+    first_size = ok[0][2]
+    trunc = bytes(buf[: 512 + first_size - 10])
+    with _pt.raises(ValueError, match="truncated"):
+        parse_tar_index(trunc)
+
+
+def test_webdataset_index_covers_every_doc(spark, sf_dir):
+    import duckdb
+
+    out = QUERIES["llm_webdataset_index"].spark_fn(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(out) == n
+    # offsets are 512-aligned and strictly increasing within a shard
+    assert (out["header_offset"] % 512 == 0).all()
+    for _, g in out.groupby("source"):
+        offs = g.sort_values("header_offset")["header_offset"].values
+        assert (offs[1:] > offs[:-1]).all()

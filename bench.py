@@ -131,6 +131,7 @@ HEADLINE = [
     "agg_market_basket",          # basket-keyed co-occurrence + lift
     "events_forecast_backtest",   # seasonal-naive MAE/WAPE per type
     "llm_webdataset_index",       # tar shard pack + checksum-verified walk
+    "llm_webdataset_fetch",       # JVM range-reads off the shard index
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -209,7 +210,7 @@ R8_COMPARABLE = R7_COMPARABLE | {
     "llm_ngram_novelty", "events_trend_slope", "join_scd2_lookup",
     "graph_modularity", "agg_theil_index", "stream_scd2_replay",
     "llm_logreg_sweep", "agg_market_basket", "events_forecast_backtest",
-    "llm_webdataset_index",
+    "llm_webdataset_index", "llm_webdataset_fetch",
 }
 
 SMALL_OUTPUT = {

@@ -778,3 +778,49 @@ def llm_webdataset_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     shards = pack_tar_shards(docs)
     return index_tar_shards(shards)
+
+
+_TAR_FETCH_SQL = """
+WITH d AS (SELECT source, doc_id, text FROM documents)
+SELECT source,
+       doc_id::VARCHAR || '.txt' AS member,
+       length(text)::BIGINT AS size,
+       md5(text) AS payload_md5
+FROM d"""
+
+
+@register(
+    "llm_webdataset_fetch",
+    _TAR_FETCH_SQL,
+    doc="The CONSUME side of llm_webdataset_index: range-read every "
+        "member back out of its shard blob with pure JVM byte slicing "
+        "— substring(shard, header_offset + 513, size) — and md5 the "
+        "slice; the oracle md5s the original text, so hash agreement "
+        "proves the (offset, size) index supports exact range-request "
+        "reads with NO decoder in the read path (what a WebDataset "
+        "loader does against object storage: GET bytes=offset..., "
+        "never parse). The parser runs once to BUILD the index; every "
+        "subsequent read is codegen'd JVM substring+md5. The "
+        "index->shard join is keyed on the shard id (broadcast at this "
+        "shard count; co-partitioned by shard id at fleet scale).",
+    tags=("llm", "multimodal", "storage"),
+)
+def llm_webdataset_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.shards import index_tar_shards, pack_tar_shards
+    from .registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    shards = pack_tar_shards(docs)
+    shards = shards.localCheckpoint(eager=False)  # feeds index + fetch
+    idx = index_tar_shards(shards)
+    fetched = idx.join(
+        F.broadcast(shards.select("source", "shard")), "source"
+    ).select(
+        "source",
+        "member",
+        "size",
+        F.md5(
+            F.expr("substring(shard, header_offset + 513, size)")
+        ).alias("payload_md5"),
+    )
+    return fetched

@@ -111,20 +111,21 @@ DRIVER_BATCH: list[str] = [
     "agg_market_basket",
     "events_forecast_backtest",
     "llm_webdataset_index",
+    "llm_webdataset_fetch",
     # -- changed this round (4): code touched, need fresh driver rows --
     "llm_shard_assign",
     "events_resample_interp",
     "llm_multimodal_decode_ppm",
     "llm_multimodal_decode_wav",
-    # -- re-check slots (6): last driver row is round 4 — the stalest
+    # -- re-check slots (5): last driver row is round 4 — the stalest
     #    entries in the catalog (tools/batch_staleness.py) -------------
     "agg_cohort_retention",
     "agg_cube",
     "agg_event_funnel",
     "agg_grouped_topn",
     "graph_pagerank",
-    "graph_triangle_count",
-    # (join_outer_reconcile, join_semi_urgent, llm_bigram_topk,
+    # (graph_triangle_count, join_outer_reconcile, join_semi_urgent,
+    # llm_bigram_topk,
     # llm_blocklist_filter,
     # llm_bm25_search,
     # llm_bpe_pair_counts,
@@ -137,7 +138,7 @@ DRIVER_BATCH: list[str] = [
     # tpch_q1_pricing, tpch_q3_priority, tpch_q4_order_priority,
     # tpch_q5_region_volume, tpch_q6_forecast, window_moving_avg,
     # window_running_sum + the stalest r5-era entries displaced to next
-    # round's rotation by the 40 new never-verified entries — the
+    # round's rotation by the 41 new never-verified entries — the
     # never-verified-first policy above; every displaced entry is still
     # verified locally every round by tools/driver_replica.py)
 ]

@@ -394,3 +394,19 @@ def test_webdataset_index_covers_every_doc(spark, sf_dir):
     for _, g in out.groupby("source"):
         offs = g.sort_values("header_offset")["header_offset"].values
         assert (offs[1:] > offs[:-1]).all()
+
+
+def test_webdataset_fetch_is_jvm_only_read_path(spark, sf_dir):
+    # the read path after the index build must be substring+md5 in the
+    # JVM — no second mapInPandas over the shards for fetching
+    plan = _plan(spark, sf_dir, "llm_webdataset_fetch")
+    # at most 2 Python evals — pack (applyInPandas, usually hidden
+    # behind the shard checkpoint) + index (mapInPandas); the FETCH
+    # branch itself must add none (it is substring+md5 in the JVM)
+    n_py = (
+        plan.count("+- MapInPandas") + plan.count(":- MapInPandas")
+        + plan.count("+- FlatMapGroupsInPandas")
+        + plan.count(":- FlatMapGroupsInPandas")
+    )
+    assert 1 <= n_py <= 2, plan
+    assert "md5" in plan  # the JVM read path

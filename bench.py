@@ -132,6 +132,7 @@ HEADLINE = [
     "events_forecast_backtest",   # seasonal-naive MAE/WAPE per type
     "llm_webdataset_index",       # tar shard pack + checksum-verified walk
     "llm_webdataset_fetch",       # JVM range-reads off the shard index
+    "llm_curation_end_to_end",    # filter->dedup->shard->pack, one plan
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -211,6 +212,7 @@ R8_COMPARABLE = R7_COMPARABLE | {
     "graph_modularity", "agg_theil_index", "stream_scd2_replay",
     "llm_logreg_sweep", "agg_market_basket", "events_forecast_backtest",
     "llm_webdataset_index", "llm_webdataset_fetch",
+    "llm_curation_end_to_end",
 }
 
 SMALL_OUTPUT = {

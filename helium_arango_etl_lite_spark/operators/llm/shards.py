@@ -54,11 +54,15 @@ INDEX_SCHEMA = StructType(
 )
 
 
-def pack_tar_shards(docs: DataFrame) -> DataFrame:
-    """One USTAR tar per source: members are ``{doc_id}.txt`` in doc_id
-    order with zeroed metadata (mtime/uid/gid, fixed mode) so the bytes
-    are deterministic. Group = shard is the real sharding dataflow —
-    the group key IS the shard assignment (cf. llm_shard_assign)."""
+def pack_tar_shards(docs: DataFrame, key_col: str = "source") -> DataFrame:
+    """One USTAR tar per ``key_col`` group: members are ``{doc_id}.txt``
+    in doc_id order with zeroed metadata (mtime/uid/gid, fixed mode) so
+    the bytes are deterministic. Group = shard is the real sharding
+    dataflow — the group key IS the shard assignment (cf.
+    llm_shard_assign, whose rendezvous output feeds this directly in
+    llm_curation_end_to_end)."""
+    if key_col != "source":
+        docs = docs.withColumnRenamed(key_col, "source")
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")

@@ -36,17 +36,17 @@ repeated-span scrub; shingle containment; interval-overlap join;
 partition-skew pre-flight; quarantine decode for malformed media;
 temperature-scaled mixture weights; histogram-based per-source quality
 percentile; hard-negative mining from the exact sampled shortlist;
-compaction planner; star-candidate dedup pipeline — never
-driver-verified), then the entries
+compaction planner; star-candidate dedup pipeline; shard fetch and the
+end-to-end curation chain — never driver-verified), then the entries
 whose CODE changed this round and therefore need a fresh independent row
 (llm_shard_assign's moved column is now derived from the actual
 reassignment; events_resample_interp shares one events scan via
 localCheckpoint; both decode entries gained parser guards and the WAV
-encoder an empty-doc filter), then the 36 entries whose last driver row
-is round 4 (the stalest in the catalog — tools/batch_staleness.py), then
-the 3 stalest r5-era entries to fill 50. After this round no catalog
-entry's latest driver row predates round 5 (the full catalog is also
-locally replicated green every round — tools/driver_replica.py).
+encoder an empty-doc filter), then the 4 stalest r4-era re-checks that
+fit in the remaining slots (the round produced 42 never-verified
+entries, so most of the r4-era backlog rotates to round 9 under the
+never-verified-first policy; the full catalog is still locally
+replicated green every round — tools/driver_replica.py).
 """
 
 from __future__ import annotations
@@ -88,7 +88,7 @@ DRIVER_BATCH: list[str] = [
     "llm_hard_negatives",
     "storage_compaction_plan",
     "llm_dedup_pipeline_star",
-    # -- new in session 2 (5): never driver-verified -------------------
+    # -- new in session 2 (24): never driver-verified ------------------
     "scd2_build",
     "pareto_frontier",
     "events_ewma",
@@ -112,19 +112,20 @@ DRIVER_BATCH: list[str] = [
     "events_forecast_backtest",
     "llm_webdataset_index",
     "llm_webdataset_fetch",
+    "llm_curation_end_to_end",
     # -- changed this round (4): code touched, need fresh driver rows --
     "llm_shard_assign",
     "events_resample_interp",
     "llm_multimodal_decode_ppm",
     "llm_multimodal_decode_wav",
-    # -- re-check slots (5): last driver row is round 4 — the stalest
+    # -- re-check slots (4): last driver row is round 4 — the stalest
     #    entries in the catalog (tools/batch_staleness.py) -------------
     "agg_cohort_retention",
     "agg_cube",
     "agg_event_funnel",
     "agg_grouped_topn",
-    "graph_pagerank",
-    # (graph_triangle_count, join_outer_reconcile, join_semi_urgent,
+    # (graph_pagerank, graph_triangle_count, join_outer_reconcile,
+    # join_semi_urgent,
     # llm_bigram_topk,
     # llm_blocklist_filter,
     # llm_bm25_search,
@@ -138,7 +139,7 @@ DRIVER_BATCH: list[str] = [
     # tpch_q1_pricing, tpch_q3_priority, tpch_q4_order_priority,
     # tpch_q5_region_volume, tpch_q6_forecast, window_moving_avg,
     # window_running_sum + the stalest r5-era entries displaced to next
-    # round's rotation by the 41 new never-verified entries — the
+    # round's rotation by the 42 new never-verified entries — the
     # never-verified-first policy above; every displaced entry is still
     # verified locally every round by tools/driver_replica.py)
 ]

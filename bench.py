@@ -133,6 +133,7 @@ HEADLINE = [
     "llm_webdataset_index",       # tar shard pack + checksum-verified walk
     "llm_webdataset_fetch",       # JVM range-reads off the shard index
     "llm_curation_end_to_end",    # filter->dedup->shard->pack, one plan
+    "llm_shard_quarantine",       # corrupt-archive failure isolation
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -212,7 +213,7 @@ R8_COMPARABLE = R7_COMPARABLE | {
     "graph_modularity", "agg_theil_index", "stream_scd2_replay",
     "llm_logreg_sweep", "agg_market_basket", "events_forecast_backtest",
     "llm_webdataset_index", "llm_webdataset_fetch",
-    "llm_curation_end_to_end",
+    "llm_curation_end_to_end", "llm_shard_quarantine",
 }
 
 SMALL_OUTPUT = {

@@ -154,3 +154,80 @@ def index_tar_shards(shards: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=INDEX_SCHEMA.fieldNames())
 
     return shards.mapInPandas(batches, INDEX_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# corrupt-shard quarantine (the archive twin of decode_ppm_quarantine)
+# ---------------------------------------------------------------------------
+
+QUARANTINE_SHARD_SCHEMA = StructType(
+    [
+        StructField("source", StringType(), False),
+        StructField("status", StringType(), False),
+        StructField("reason", StringType(), False),
+        StructField("n_members", LongType(), True),
+    ]
+)
+
+
+def corrupt_shards(shards: DataFrame, cls_col: str) -> DataFrame:
+    """Apply DETERMINISTIC corruption classes to shard blobs (the
+    llm_multimodal_quarantine fixture discipline lifted to archives):
+    class 0 = intact, 1 = one name byte flipped in the first header
+    (checksum guard), 2 = blob cut 10 bytes into the first member's
+    payload (truncation guard). ``cls_col`` holds the class per row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for src, buf, cls in zip(
+                pdf["source"], pdf["shard"], pdf[cls_col]
+            ):
+                b = bytearray(bytes(buf))
+                if cls == 1:
+                    b[1] ^= 0xFF
+                elif cls == 2:
+                    b = b[: 512 + 10]
+                out.append((src, bytes(b)))
+            yield pd.DataFrame(out, columns=["source", "shard"])
+
+    return shards.mapInPandas(
+        batches,
+        StructType(
+            [
+                StructField("source", StringType(), False),
+                StructField("shard", BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def index_tar_shards_quarantine(shards: DataFrame) -> DataFrame:
+    """Shard indexing that SPLITS corrupt archives into quarantine rows
+    instead of failing the job: one row per shard — 'ok' with the member
+    count, or 'quarantined' with a reason naming the parser guard that
+    fired ('checksum' / 'truncated'). At fleet scale one rotted shard
+    must cost one quarantine row, never the nightly indexing job."""
+
+    def reason(e: Exception) -> str:
+        msg = str(e)
+        if "checksum" in msg:
+            return "checksum"
+        if "truncated" in msg:
+            return "truncated"
+        return "parse_error"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for src, buf in zip(pdf["source"], pdf["shard"]):
+                try:
+                    members = parse_tar_index(bytes(buf))
+                    rows.append((src, "ok", "ok", len(members)))
+                except ValueError as e:
+                    rows.append((src, "quarantined", reason(e), None))
+            yield pd.DataFrame(
+                rows, columns=QUARANTINE_SHARD_SCHEMA.fieldNames()
+            )
+
+    return shards.mapInPandas(batches, QUARANTINE_SHARD_SCHEMA)

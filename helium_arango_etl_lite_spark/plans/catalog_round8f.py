@@ -918,3 +918,56 @@ def llm_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("shard").cast("long").alias("shard_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corrupt-shard quarantine split
+# ---------------------------------------------------------------------------
+
+def _shard_quarantine_sql() -> str:
+    from ..functions.hashing import hash32_oracle_sql
+
+    h = hash32_oracle_sql("'q:' || source")
+    return f"""
+WITH s AS (SELECT source, count(*)::BIGINT AS n_docs
+           FROM documents GROUP BY 1)
+SELECT source,
+       CASE WHEN {h} % 3 = 0 THEN 'ok' ELSE 'quarantined' END AS status,
+       CASE {h} % 3 WHEN 0 THEN 'ok'
+                    WHEN 1 THEN 'checksum'
+                    ELSE 'truncated' END AS reason,
+       CASE WHEN {h} % 3 = 0 THEN n_docs ELSE NULL END AS n_members
+FROM s"""
+
+
+@register(
+    "llm_shard_quarantine",
+    _shard_quarantine_sql(),
+    doc="Corrupt-shard quarantine: pack real tar shards, corrupt a "
+        "deterministic hash-keyed subset (one flipped header byte -> "
+        "the ustar checksum guard; a blob cut mid-member -> the "
+        "truncation guard), and index through the quarantining walker "
+        "— one row per shard, 'ok' with the member count or "
+        "'quarantined' with the reason naming the exact parser guard "
+        "that fired. The oracle pins the reason PER CORRUPTION CLASS "
+        "from the same hash arithmetic, so the entry verifies WHICH "
+        "error path rejected each shard, not just that something "
+        "failed — the archive-layer member of the failure-isolation "
+        "family (JSONL PERMISSIVE split, PPM/WAV quarantine): at fleet "
+        "scale one rotted shard costs one quarantine row, never the "
+        "nightly indexing job.",
+    tags=("llm", "multimodal", "storage", "dq"),
+)
+def llm_shard_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash32
+    from ..operators.llm.shards import (
+        corrupt_shards, index_tar_shards_quarantine, pack_tar_shards,
+    )
+    from .registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    shards = pack_tar_shards(docs).withColumn(
+        "cls",
+        (hash32(F.concat(F.lit("q:"), F.col("source"))) % 3).cast("int"),
+    )
+    return index_tar_shards_quarantine(corrupt_shards(shards, "cls"))

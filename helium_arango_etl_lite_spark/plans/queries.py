@@ -42,8 +42,8 @@ whose CODE changed this round and therefore need a fresh independent row
 (llm_shard_assign's moved column is now derived from the actual
 reassignment; events_resample_interp shares one events scan via
 localCheckpoint; both decode entries gained parser guards and the WAV
-encoder an empty-doc filter), then the 4 stalest r4-era re-checks that
-fit in the remaining slots (the round produced 42 never-verified
+encoder an empty-doc filter), then the 3 stalest r4-era re-checks that
+fit in the remaining slots (the round produced 43 never-verified
 entries, so most of the r4-era backlog rotates to round 9 under the
 never-verified-first policy; the full catalog is still locally
 replicated green every round — tools/driver_replica.py).
@@ -113,18 +113,19 @@ DRIVER_BATCH: list[str] = [
     "llm_webdataset_index",
     "llm_webdataset_fetch",
     "llm_curation_end_to_end",
+    "llm_shard_quarantine",
     # -- changed this round (4): code touched, need fresh driver rows --
     "llm_shard_assign",
     "events_resample_interp",
     "llm_multimodal_decode_ppm",
     "llm_multimodal_decode_wav",
-    # -- re-check slots (4): last driver row is round 4 — the stalest
+    # -- re-check slots (3): last driver row is round 4 — the stalest
     #    entries in the catalog (tools/batch_staleness.py) -------------
     "agg_cohort_retention",
     "agg_cube",
     "agg_event_funnel",
-    "agg_grouped_topn",
-    # (graph_pagerank, graph_triangle_count, join_outer_reconcile,
+    # (agg_grouped_topn, graph_pagerank, graph_triangle_count,
+    # join_outer_reconcile,
     # join_semi_urgent,
     # llm_bigram_topk,
     # llm_blocklist_filter,
@@ -139,7 +140,7 @@ DRIVER_BATCH: list[str] = [
     # tpch_q1_pricing, tpch_q3_priority, tpch_q4_order_priority,
     # tpch_q5_region_volume, tpch_q6_forecast, window_moving_avg,
     # window_running_sum + the stalest r5-era entries displaced to next
-    # round's rotation by the 42 new never-verified entries — the
+    # round's rotation by the 43 new never-verified entries — the
     # never-verified-first policy above; every displaced entry is still
     # verified locally every round by tools/driver_replica.py)
 ]

@@ -443,3 +443,16 @@ def test_curation_e2e_members_match_manual_chain(spark, sf_dir):
     # grouping here is python-hash exact-text, same equivalence classes
     # as md5)
     assert out["n_members"].sum() == len(keep)
+
+
+def test_shard_quarantine_reasons_match_corruption_classes(spark, sf_dir):
+    import hashlib as _h
+
+    out = QUERIES["llm_shard_quarantine"].spark_fn(spark, sf_dir).toPandas()
+    for _, r in out.iterrows():
+        cls = int(
+            _h.md5(f"q:{r['source']}".encode()).hexdigest()[:8], 16
+        ) % 3
+        expect = ["ok", "checksum", "truncated"][cls]
+        assert r["reason"] == expect, (r["source"], cls)
+        assert (r["status"] == "ok") == (cls == 0)

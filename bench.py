@@ -196,7 +196,7 @@ R7_COMPARABLE = R6_COMPARABLE | {
 }
 
 # The round-8 headline set frozen for round 9+ like-for-like totals:
-# the r7 set plus the twenty-eight round-8 additions (both sessions).
+# the r7 set plus the forty-three round-8 additions (both sessions).
 R8_COMPARABLE = R7_COMPARABLE | {
     "llm_multimodal_quarantine_ppm", "llm_multimodal_quarantine_wav",
     "llm_mixture_weights", "llm_quality_percentile", "llm_hard_negatives",

@@ -102,9 +102,11 @@ def parse_tar_index(buf: bytes) -> list[tuple[str, int, int, bytes]]:
     the same quarantine-upstream contract as parse_ppm/parse_wav."""
     out = []
     pos = 0
+    terminated = False
     while pos + 512 <= len(buf):
         hdr = buf[pos: pos + 512]
         if hdr == b"\0" * 512:
+            terminated = True
             break
         # checksum FIRST: no field is interpreted (octal parse, utf-8
         # name decode) until the header proves intact — a corrupt name
@@ -131,6 +133,12 @@ def parse_tar_index(buf: bytes) -> list[tuple[str, int, int, bytes]]:
         payload = buf[pos + 512: pos + 512 + size]
         out.append((name, pos, size, payload))
         pos += 512 + ((size + 511) // 512) * 512
+    # a tar that ends without the zero terminator AND whose last
+    # member's padded span runs past (or short of) the buffer was cut
+    # mid-archive — a trailing partial (<512B) block must surface as
+    # truncation, not silent success
+    if not terminated and pos != len(buf):
+        raise ValueError("truncated tar: trailing partial block")
     return out
 
 
@@ -174,8 +182,10 @@ def corrupt_shards(shards: DataFrame, cls_col: str) -> DataFrame:
     """Apply DETERMINISTIC corruption classes to shard blobs (the
     llm_multimodal_quarantine fixture discipline lifted to archives):
     class 0 = intact, 1 = one name byte flipped in the first header
-    (checksum guard), 2 = blob cut 10 bytes into the first member's
-    payload (truncation guard). ``cls_col`` holds the class per row."""
+    (checksum guard), 2 = blob cut one byte short of the first member's
+    payload end — derived from the member's ACTUAL header size so even
+    a tiny (or empty) first member cannot slip through as 'ok'
+    (truncation guard). ``cls_col`` holds the class per row."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -187,7 +197,11 @@ def corrupt_shards(shards: DataFrame, cls_col: str) -> DataFrame:
                 if cls == 1:
                     b[1] ^= 0xFF
                 elif cls == 2:
-                    b = b[: 512 + 10]
+                    # cut one byte before the first member's payload end
+                    # (or into the header itself for an empty member) so
+                    # the cut ALWAYS lands mid-member regardless of size
+                    size = int(b[124:136].split(b"\0")[0].strip(), 8)
+                    b = b[: 512 + size - 1] if size >= 1 else b[:511]
                 out.append((src, bytes(b)))
             yield pd.DataFrame(out, columns=["source", "shard"])
 

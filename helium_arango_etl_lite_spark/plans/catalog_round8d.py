@@ -56,9 +56,12 @@ WITH k AS (
   SELECT doc_id, source, n_chars,
          -ln((({hash32_oracle_sql("doc_id::VARCHAR || ':ws'")} % {_WS_RES})
               + 1) / {_WS_RES}.0) / n_chars AS key
-  FROM documents)
-SELECT doc_id, source, n_chars, round(key, 6) AS key6
-FROM k ORDER BY key, doc_id LIMIT {_WS_K}"""
+  FROM documents),
+i AS (SELECT doc_id, source, n_chars,
+             floor(key * 1000000 + 0.5)::BIGINT AS key6
+      FROM k)
+SELECT doc_id, source, n_chars, key6
+FROM i ORDER BY key6, doc_id LIMIT {_WS_K}"""
 
 
 @register(
@@ -75,7 +78,11 @@ FROM k ORDER BY key, doc_id LIMIT {_WS_K}"""
         "top-k = TakeOrderedAndProject (plan test) — each partition "
         "keeps k candidates and the driver merges, the same shape as "
         "topk_accounts; nothing here is sequential, which is the whole "
-        "point vs the textbook one-pass reservoir.",
+        "point vs the textbook one-pass reservoir. The selection key is "
+        "FIXED-POINTED to micro-units BEFORE the order-by/limit so the "
+        "rank-k boundary is integer-deterministic across engines (JVM "
+        "Math.log vs libm can differ by 1 ulp; rounding only after "
+        "selection would let that flip the boundary).",
     tags=("llm", "sampling", "scale"),
 )
 def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,13 +92,11 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
          % _WS_RES) + 1
     ) / F.lit(float(_WS_RES))
     key = -F.log(u) / F.col("n_chars")
+    key6 = F.floor(key * 1_000_000 + F.lit(0.5)).cast("long")
     return (
-        d.select("doc_id", "source", "n_chars", key.alias("key"))
-        .orderBy("key", "doc_id")
+        d.select("doc_id", "source", "n_chars", key6.alias("key6"))
+        .orderBy("key6", "doc_id")
         .limit(_WS_K)
-        .select(
-            "doc_id", "source", "n_chars", F.round("key", 6).alias("key6")
-        )
     )
 
 

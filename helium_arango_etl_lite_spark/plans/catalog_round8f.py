@@ -733,7 +733,7 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TAR_SQL = """
-WITH d AS (SELECT source, doc_id, text, length(text)::BIGINT AS sz
+WITH d AS (SELECT source, doc_id, text, strlen(text)::BIGINT AS sz
            FROM documents),
 o AS (SELECT source, doc_id, sz, md5(text) AS payload_md5,
              512 + 512 * ((sz + 511) // 512) AS span
@@ -784,7 +784,7 @@ _TAR_FETCH_SQL = """
 WITH d AS (SELECT source, doc_id, text FROM documents)
 SELECT source,
        doc_id::VARCHAR || '.txt' AS member,
-       length(text)::BIGINT AS size,
+       strlen(text)::BIGINT AS size,
        md5(text) AS payload_md5
 FROM d"""
 
@@ -847,8 +847,8 @@ s AS (SELECT doc_id, text,
              (list_position(hs, list_max(hs)) - 1)::BIGINT AS shard
       FROM h),
 per AS (SELECT shard, count(*)::BIGINT AS n_members,
-               sum(length(text))::BIGINT AS payload_bytes,
-               sum(512 + 512 * ((length(text) + 511) // 512))::BIGINT
+               sum(strlen(text))::BIGINT AS payload_bytes,
+               sum(512 + 512 * ((strlen(text) + 511) // 512))::BIGINT
                  AS content
         FROM s GROUP BY 1)
 SELECT shard, n_members, payload_bytes,
@@ -908,7 +908,7 @@ def llm_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards = pack_tar_shards(assigned, key_col="shard_id")
     payload = assigned.groupBy(
         F.col("shard_id").alias("source")
-    ).agg(F.sum(F.length("text")).alias("payload_bytes"))
+    ).agg(F.sum(F.octet_length("text")).alias("payload_bytes"))
     return (
         shards.join(payload, "source")
         .select(

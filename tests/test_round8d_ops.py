@@ -52,12 +52,15 @@ def test_weighted_sample_is_k_smallest_exponential_keys(spark, sf_dir):
         u = ((_hash32(str(r["doc_id"]) + ":ws") % r8d._WS_RES) + 1) / float(
             r8d._WS_RES
         )
-        keys.append((-math.log(u) / r["n_chars"], r["doc_id"]))
+        key = -math.log(u) / r["n_chars"]
+        # selection happens on the fixed-point micro-key (integer-
+        # deterministic across engines), not the raw double
+        keys.append((math.floor(key * 1_000_000 + 0.5), r["doc_id"]))
     expect = sorted(keys)[: r8d._WS_K]
     assert sorted(out["doc_id"]) == sorted(d for _, d in expect)
     got = out.set_index("doc_id")["key6"]
     for k, d in expect:
-        assert math.isclose(got[d], round(k, 6), abs_tol=2e-6)
+        assert int(got[d]) == k
 
 
 def test_weighted_sample_favors_heavy_docs(spark, sf_dir):

@@ -456,3 +456,69 @@ def test_shard_quarantine_reasons_match_corruption_classes(spark, sf_dir):
         expect = ["ok", "checksum", "truncated"][cls]
         assert r["reason"] == expect, (r["source"], cls)
         assert (r["status"] == "ok") == (cls == 0)
+
+
+def test_tar_layout_is_byte_based_for_non_ascii_text(spark):
+    """Regression (r8 advice): member sizes/offsets must be UTF-8 BYTE
+    counts, not character counts — a non-ASCII doc must still satisfy
+    the pure-arithmetic offset prediction the SQL oracle uses."""
+    from helium_arango_etl_lite_spark.operators.llm.shards import (
+        pack_tar_shards, parse_tar_index,
+    )
+
+    rows = [
+        (1, "héllo wörld"),          # 2 two-byte chars
+        (2, "naïve café résumé"),    # mixed
+        (3, "日本語テキスト"),         # 3-byte chars throughout
+        (4, "plain ascii"),
+    ]
+    docs = spark.createDataFrame(
+        [("s0", d, t) for d, t in rows], "source string, doc_id long, text string"
+    )
+    buf = bytes(pack_tar_shards(docs).collect()[0]["shard"])
+    members = parse_tar_index(buf)
+    off = 0
+    for (name, hdr_off, size, payload), (doc_id, text) in zip(members, rows):
+        data = text.encode("utf-8")
+        assert name == f"{doc_id}.txt"
+        assert size == len(data)  # byte count, never character count
+        if doc_id != 4:
+            assert len(data) != len(text)  # the rows where they differ
+        assert payload == data
+        assert hdr_off == off  # cumulative 512-block arithmetic holds
+        off += 512 + ((size + 511) // 512) * 512
+    # last row is pure ASCII: bytes == chars there
+    assert members[-1][2] == len(rows[-1][1])
+
+
+def test_shard_truncation_cut_lands_mid_member_even_for_tiny_docs(spark):
+    """Regression (r8 advice): class-2 corruption must quarantine as
+    'truncated' even when the first member's payload is tiny or empty
+    (the old fixed 522-byte cut let <=10-byte members parse clean), and
+    a trailing partial block must never read as success."""
+    from helium_arango_etl_lite_spark.operators.llm.shards import (
+        corrupt_shards, index_tar_shards_quarantine, pack_tar_shards,
+        parse_tar_index,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [("tiny", 1, "hi"), ("tiny", 2, "x" * 600),
+         ("empty", 3, ""), ("empty", 4, "y" * 40)],
+        "source string, doc_id long, text string",
+    )
+    shards = pack_tar_shards(docs).withColumn("cls", F.lit(2).cast("int"))
+    out = (
+        index_tar_shards_quarantine(corrupt_shards(shards, "cls"))
+        .toPandas().set_index("source")
+    )
+    assert set(out["reason"]) == {"truncated"}
+    assert set(out["status"]) == {"quarantined"}
+    # and the parser itself flags a bare trailing partial block
+    full = bytes(pack_tar_shards(docs).filter("source='tiny'")
+                 .collect()[0]["shard"])
+    first_size = parse_tar_index(full)[0][2]
+    padded_span = 512 + ((first_size + 511) // 512) * 512
+    import pytest as _pt
+    with _pt.raises(ValueError, match="truncated"):
+        parse_tar_index(full[: padded_span + 100])  # partial 2nd header

@@ -134,6 +134,10 @@ HEADLINE = [
     "llm_webdataset_fetch",       # JVM range-reads off the shard index
     "llm_curation_end_to_end",    # filter->dedup->shard->pack, one plan
     "llm_shard_quarantine",       # corrupt-archive failure isolation
+    # round-9 additions
+    "llm_multimodal_decode_png",  # stdlib-zlib PNG inflate + unfilter
+    "llm_multimodal_quarantine_png",  # PNG corrupt-container split
+    "llm_webdataset_index_capped",    # member-capped shard policy
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow

@@ -3,12 +3,13 @@
 Image/audio/video ride through the engine as opaque ``binary`` columns with
 a typed metadata struct. The Spark-side plumbing — schema, batch iteration,
 partition sizing — is real and tested. Since round 7 the decode interior is
-real too for uncompressed containers: :func:`parse_ppm` (binary PPM P6
-images) and :func:`parse_wav` (RIFF/WAVE PCM audio) parse the actual byte
-layouts with no codec library, and :func:`real_decode` dispatches on the
-container magic. Compressed codecs (JPEG/PNG/MP3/H.264) still raise
-``NotImplementedError`` honestly — they need libraries (PIL/ffmpeg/
-torchaudio) not present in this container.
+real too: :func:`parse_ppm` (binary PPM P6 images) and :func:`parse_wav`
+(RIFF/WAVE PCM audio) parse the actual byte layouts with no codec
+library, :func:`parse_png` (round 9) decodes real PNGs with stdlib
+``zlib`` alone (chunk walk + CRC verify + inflate + all five scanline
+unfilters incl. Paeth), and :func:`real_decode` dispatches on the
+container magic. Codecs that genuinely need external libraries
+(JPEG/MP3/H.264) still raise ``NotImplementedError`` honestly.
 
 Scale notes: binary payloads make row groups huge — the readers of such
 tables must drop ``spark.sql.files.maxPartitionBytes`` and use
@@ -68,10 +69,12 @@ def real_decode(payload: bytes, kind: str):
         return parse_ppm(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return parse_wav(payload)
+    if payload[:8] == PNG_SIG:
+        return parse_png(payload)
     raise NotImplementedError(
-        "compressed codec decode (JPEG/PNG/MP3/...) requires media "
-        "libraries not present in this container; raw PPM and WAV PCM "
-        "containers are decoded natively"
+        "compressed codec decode (JPEG/MP3/H.264/...) requires media "
+        "libraries not present in this container; PPM, WAV PCM, and "
+        "PNG (stdlib zlib, round 9) containers are decoded natively"
     )
 
 
@@ -452,11 +455,16 @@ def decode_wav(media: DataFrame) -> DataFrame:
 _REASON_PREFIXES: list[tuple[str, str]] = [
     ("bad_magic", "not a P6 PPM"),
     ("bad_maxval", "PPM maxval"),
-    ("truncated", "truncated"),  # PPM header/raster, WAV chunk
+    ("truncated", "truncated"),  # PPM header/raster, WAV chunk, PNG chunk
     ("not_riff", "not a RIFF/WAVE"),
     ("empty_data", "empty data chunk"),
     ("missing_chunk", "missing fmt/data"),
     ("non_pcm", "non-PCM WAV"),
+    ("not_png", "not a PNG"),
+    ("bad_crc", "PNG crc mismatch"),
+    ("interlaced", "PNG interlace"),
+    ("unsupported", "PNG bit depth"),
+    ("unsupported", "PNG color type"),
 ]
 
 
@@ -688,3 +696,376 @@ def frame_sample(
             F.expr("substring(content, cast(_off + 1 as int), 16)")
         ).alias("frame_sig"),
     )
+
+
+# ---------------------------------------------------------------------------
+# real PNG decode (round 9): pure-stdlib zlib inflate + scanline unfilter
+# ---------------------------------------------------------------------------
+#
+# PNG is the one compressed image container decodable with the stdlib
+# alone: the pixel stream is zlib-deflated (zlib module) and the only
+# image-specific logic is the per-scanline predictive filter (None /
+# Sub / Up / Average / Paeth). 8-bit gray (color type 0) and RGB (2)
+# are fully decoded; 16-bit, palette, alpha, and Adam7 interlace raise
+# honestly — they are format features, not codec dependencies, and can
+# be added behind the same parser without new libraries.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+PNG_WIDTH = 8
+PNG_MAX_H = 8
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _png_filter_scanlines(px: np.ndarray) -> bytes:
+    """Forward-filter an (h, w, ch) uint8 raster with filter type
+    row % 5 — deliberately cycling through ALL five PNG filters so a
+    decoder that gets any one unfilter algorithm wrong (including
+    Paeth's tie-breaking order) cannot round-trip the raster."""
+    h, w, ch = px.shape
+    out = bytearray()
+    prior = np.zeros(w * ch, dtype=np.int16)
+    for r in range(h):
+        raw = px[r].reshape(-1).astype(np.int16)
+        f = r % 5
+        out.append(f)
+        if f == 0:
+            filt = raw
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, np.int16), raw[:-ch]])
+            filt = (raw - left) % 256
+        elif f == 2:  # Up
+            filt = (raw - prior) % 256
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(ch, np.int16), raw[:-ch]])
+            filt = (raw - (left + prior) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate([np.zeros(ch, np.int16), raw[:-ch]])
+            upleft = np.concatenate([np.zeros(ch, np.int16), prior[:-ch]])
+            p = left + prior - upleft
+            pa, pb, pc = (
+                np.abs(p - left), np.abs(p - prior), np.abs(p - upleft)
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left,
+                np.where(pb <= pc, prior, upleft),
+            )
+            filt = (raw - pred) % 256
+        out.extend(filt.astype(np.uint8).tobytes())
+        prior = raw
+    return bytes(out)
+
+
+def build_png(px: np.ndarray) -> bytes:
+    """Assemble a real, spec-valid PNG from an (h, w, 3) or (h, w, 1)
+    uint8 raster: signature, IHDR, one zlib-deflated IDAT of filtered
+    scanlines, IEND — every chunk CRC'd. The writer parse_png is
+    certified against (write-our-own / read-our-own would be circular,
+    so tests ALSO verify fidelity against the raw input raster, and the
+    SQL oracle pins the decoded stats to the source bytes)."""
+    import struct
+    import zlib
+
+    h, w, ch = px.shape
+    color_type = 2 if ch == 3 else 0
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(_png_filter_scanlines(px), 6)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png(buf: bytes) -> tuple[dict, np.ndarray]:
+    """Real PNG decode, stdlib only: validate the 8-byte signature, walk
+    the chunk list verifying EVERY chunk's CRC32 (a flipped payload byte
+    must surface as the crc guard, not as garbled pixels), read IHDR,
+    concatenate IDAT, zlib-inflate, then reverse the per-scanline filter
+    (None/Sub/Up/Average/Paeth — Paeth with the spec's exact <= tie
+    order). Supports 8-bit gray and RGB; palette/alpha/16-bit/Adam7
+    raise NotImplementedError honestly. ValueError on malformed input —
+    quarantine upstream, same contract as parse_ppm/parse_wav."""
+    import struct
+    import zlib
+
+    if buf[:8] != PNG_SIG:
+        raise ValueError(f"not a PNG (signature {buf[:8]!r})")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    seen_end = False
+    while pos < len(buf) and not seen_end:
+        if pos + 8 > len(buf):
+            raise ValueError(f"truncated PNG chunk header at {pos}")
+        (length,) = struct.unpack(">I", buf[pos: pos + 4])
+        ctype = buf[pos + 4: pos + 8]
+        if pos + 12 + length > len(buf):
+            raise ValueError(
+                f"truncated PNG chunk {ctype!r}: declares {length} bytes, "
+                f"{len(buf) - pos - 12} remain"
+            )
+        data = buf[pos + 8: pos + 8 + length]
+        (stored,) = struct.unpack(
+            ">I", buf[pos + 8 + length: pos + 12 + length]
+        )
+        calc = zlib.crc32(ctype + data)
+        if stored != calc:
+            raise ValueError(
+                f"PNG crc mismatch in {ctype!r}: stored {stored:#x}, "
+                f"computed {calc:#x}"
+            )
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            seen_end = True
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR chunk")
+    if not seen_end:
+        raise ValueError("truncated PNG: no IEND chunk")
+    w, h, depth, color_type, comp, filt_method, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if interlace != 0:
+        raise NotImplementedError("PNG interlace (Adam7) not supported")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} not supported")
+    if color_type not in (0, 2):
+        raise NotImplementedError(
+            f"PNG color type {color_type} not supported (gray/RGB only)"
+        )
+    if comp != 0 or filt_method != 0:
+        raise ValueError("PNG nonzero compression/filter method")
+    ch = 3 if color_type == 2 else 1
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"truncated PNG stream: {e}") from e
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG raster size mismatch: {len(raw)} != {h * (1 + stride)}"
+        )
+    px = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int16)
+    for r in range(h):
+        line = raw[r * (1 + stride): (r + 1) * (1 + stride)]
+        f = line[0]
+        filt = np.frombuffer(line, dtype=np.uint8, offset=1).astype(np.int16)
+        if f == 0:
+            rec = filt
+        elif f == 2:  # Up
+            rec = (filt + prior) % 256
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
+            rec = np.empty(stride, dtype=np.int16)
+            for i in range(stride):
+                left = rec[i - ch] if i >= ch else 0
+                up = prior[i]
+                upleft = prior[i - ch] if i >= ch else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = (
+                        left if pa <= pb and pa <= pc
+                        else up if pb <= pc else upleft
+                    )
+                rec[i] = (filt[i] + pred) % 256
+        else:
+            raise ValueError(f"PNG unknown filter type {f} in row {r}")
+        px[r] = rec.astype(np.uint8)
+        prior = rec
+    meta = {
+        "kind": "image", "width": w, "height": h,
+        "depth": depth, "channels": ch,
+    }
+    return meta, px.reshape(h, w, ch)
+
+
+def encode_png_from_text(
+    docs: DataFrame, width: int = PNG_WIDTH, max_h: int = PNG_MAX_H
+) -> DataFrame:
+    """Build a REAL PNG per document: the first width*h*3 text bytes are
+    the RGB raster (documents are pure ASCII, so utf-8 bytes == the
+    ord() values the oracle computes), scanlines filtered row%5 through
+    all five PNG filter types, zlib-deflated, CRC'd. Runs in
+    mapInPandas (zlib + CRC need Python — unlike the PPM/WAV fixtures
+    there is no JVM string-build form of deflate); the oracle never
+    sees a PNG byte, it predicts the decoded stats from the text."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = str(text).encode("utf-8")
+                h = min(max_h, len(data) // (3 * width))
+                if h < 1:
+                    continue
+                px = np.frombuffer(
+                    data, dtype=np.uint8, count=3 * width * h
+                ).reshape(h, width, 3)
+                rows.append((int(doc_id), build_png(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches,
+        StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("content", BinaryType(), False),
+            ]
+        ),
+    )
+
+
+PNG_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("depth", LongType(), True),
+        StructField("n_pixels", LongType(), True),
+        StructField("sum_r", LongType(), True),
+        StructField("sum_g", LongType(), True),
+        StructField("sum_b", LongType(), True),
+        StructField("min_byte", LongType(), True),
+        StructField("max_byte", LongType(), True),
+    ]
+)
+
+
+def decode_png(media: DataFrame) -> DataFrame:
+    """mapInPandas over binary payloads -> per-image stats via the REAL
+    PNG parser (:func:`parse_png`): the raster survives deflate +
+    filter round-trips byte-exactly, so the stats are integer-exact and
+    a SQL oracle reproduces them from the source text with ord() — any
+    error in CRC handling, inflate framing, or any of the five unfilter
+    algorithms mismatches immediately. Per-scanline unfilter is
+    sequential BY SPEC (each row predicts from the row above), but
+    rows of different images decode independently — the stage is
+    map-only Arrow batches, embarrassing parallelism across images,
+    same as every production PNG pipeline."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                meta, px = parse_png(bytes(buf))
+                csum = px.sum(axis=(0, 1), dtype=np.int64)
+                rows.append(
+                    (
+                        int(mid), meta["width"], meta["height"],
+                        meta["depth"], meta["width"] * meta["height"],
+                        int(csum[0]), int(csum[1]), int(csum[2]),
+                        int(px.min()), int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=PNG_STATS_SCHEMA.fieldNames())
+
+    return media.mapInPandas(batches, PNG_STATS_SCHEMA)
+
+
+QUARANTINE_PNG_SCHEMA = QUARANTINE_PPM_SCHEMA
+
+
+def encode_png_corrupted(
+    docs: DataFrame, width: int = PNG_WIDTH, max_h: int = PNG_MAX_H
+) -> DataFrame:
+    """The PNG fixture with DETERMINISTIC corruption classes keyed on
+    doc_id % 10: 3 -> first signature byte flipped (signature guard),
+    5 -> IHDR declares Adam7 interlace WITH a recomputed CRC (the
+    honest NotImplementedError path — the chunk is intact, the feature
+    is unsupported), 7 -> one IDAT payload byte flipped with the CRC
+    left stale (crc guard — this is what bit rot looks like), 9 -> blob
+    cut 10 bytes short (truncated-chunk guard). Each class exercises a
+    DIFFERENT parse_png guard."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = str(text).encode("utf-8")
+                h = min(max_h, len(data) // (3 * width))
+                if h < 1:
+                    continue
+                px = np.frombuffer(
+                    data, dtype=np.uint8, count=3 * width * h
+                ).reshape(h, width, 3)
+                png = bytearray(build_png(px))
+                cls = int(doc_id) % 10
+                if cls == 3:
+                    png[0] ^= 0x01
+                elif cls == 5:
+                    ihdr = struct.pack(
+                        ">IIBBBBB", width, h, 8, 2, 0, 0, 1  # interlace=1
+                    )
+                    png = bytearray(
+                        PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                        + bytes(png[8 + 25:])  # keep original IDAT/IEND
+                    )
+                elif cls == 7:
+                    # first IDAT payload byte: sig(8) + IHDR chunk(25)
+                    # + IDAT len/type(8)
+                    png[8 + 25 + 8] ^= 0xFF
+                elif cls == 9:
+                    png = png[:-10]
+                rows.append((int(doc_id), bytes(png)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches,
+        StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("content", BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def decode_png_quarantine(media: DataFrame) -> DataFrame:
+    """PNG decode with the decode_ppm_quarantine split: one row per
+    payload — 'ok' with integer-exact raster stats, or 'quarantined'
+    with the reason code of the guard that rejected it (signature, crc,
+    truncation, or the honest unsupported-feature refusal)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    meta, px = parse_png(bytes(buf))
+                    rows.append(
+                        (
+                            int(mid), "ok", "ok",
+                            meta["width"] * meta["height"],
+                            int(px.sum(dtype=np.int64)),
+                        )
+                    )
+                except (ValueError, NotImplementedError) as e:
+                    rows.append(
+                        (int(mid), "quarantined", quarantine_reason(e),
+                         None, None)
+                    )
+            yield pd.DataFrame(
+                rows, columns=QUARANTINE_PNG_SCHEMA.fieldNames()
+            )
+
+    return media.mapInPandas(batches, QUARANTINE_PNG_SCHEMA)

@@ -23,30 +23,23 @@ queries, so it was removed on advisor direction).
   pytest replica ``tests/test_oracle_parity.py`` covers the whole catalog
   on every run regardless of this ordering).
 
-Round-8 batch (applied): the brand-new round-8 entries (CUSUM alarms;
-SCD2 build, distributed skyline, trailing EWMA, ACF, PSI drift;
-weighted sampling, naive-Bayes train/score, PMI collocations, seasonal
-profile; per-group Gini, Benford forensic profile, n-gram novelty,
-trailing trend slope; SCD2 point-in-time lookup, community modularity,
-Theil index; streaming SCD2 maintenance hash-verified against the
-batch build; one-scan-per-step learning-rate sweep; market-basket
-association rules; seasonal-naive forecast backtest; WebDataset tar
-shard pack/index round-trip;
-repeated-span scrub; shingle containment; interval-overlap join;
-partition-skew pre-flight; quarantine decode for malformed media;
-temperature-scaled mixture weights; histogram-based per-source quality
-percentile; hard-negative mining from the exact sampled shortlist;
-compaction planner; star-candidate dedup pipeline; shard fetch and the
-end-to-end curation chain — never driver-verified), then the entries
-whose CODE changed this round and therefore need a fresh independent row
-(llm_shard_assign's moved column is now derived from the actual
-reassignment; events_resample_interp shares one events scan via
-localCheckpoint; both decode entries gained parser guards and the WAV
-encoder an empty-doc filter), then the 3 stalest r4-era re-checks that
-fit in the remaining slots (the round produced 43 never-verified
-entries, so most of the r4-era backlog rotates to round 9 under the
-never-verified-first policy; the full catalog is still locally
-replicated green every round — tools/driver_replica.py).
+Round-9 batch (applied): THE RE-VERIFICATION ROUND the r8 verdict
+ordered — never-verified hit zero in round 8, so the batch is spent on
+the independent-oracle backlog. Composition: the 3 brand-new round-9
+entries (stdlib-zlib PNG decode, its corrupt-container quarantine twin,
+member-capped WebDataset sharding — never driver-verified), then the 5
+entries whose CODE or ORACLE changed this round and need a fresh
+independent row (the four tar-shard entries moved to byte-based
+strlen()/octet_length() oracles and gained the trailing-partial-block
+truncation guard; llm_weighted_sample now fixed-points its selection
+key before the top-k), then ALL 33 r4-era re-checks (the entries whose
+newest driver row was 5 rounds old — llm_knn_join, llm_decontaminate,
+llm_bm25_search, graph_pagerank, the six TPC-H shapes, both window
+entries, and the rest), then the 9 alphabetically-first r5-era entries
+that fit the remaining slots (the other 40 r5-era entries rotate to
+round 10). After this batch lands, zero catalog entries have a newest
+driver row older than r5. The full catalog is still locally replicated
+green every round — tools/driver_replica.py.
 """
 
 from __future__ import annotations
@@ -67,82 +60,65 @@ from . import catalog_round8c  # noqa: F401  (SCD2, skyline scan, EWMA, ACF, PSI
 from . import catalog_round8d  # noqa: F401  (weighted sample, naive Bayes, PMI, seasonal)
 from . import catalog_round8e  # noqa: F401  (Gini, Benford, n-gram novelty, trend slope)
 from . import catalog_round8f  # noqa: F401  (SCD2 lookup, modularity, Theil index)
+from . import catalog_round9  # noqa: F401  (stdlib PNG decode, capped shards)
 
 DRIVER_BATCH: list[str] = [
-    # -- new this round (18): never driver-verified --------------------
-    "events_cusum_alarm",
-    "stream_cusum_replay",
-    "stream_session_replay",
-    "events_mad_outliers",
-    "graph_k_core",
-    "llm_dedup_edit_verify",
-    "llm_logreg_train",
-    "llm_repeated_span_scrub",
-    "llm_dedup_containment",
-    "join_interval_overlap",
-    "dq_partition_skew",
-    "llm_multimodal_quarantine_ppm",
-    "llm_multimodal_quarantine_wav",
-    "llm_mixture_weights",
-    "llm_quality_percentile",
-    "llm_hard_negatives",
-    "storage_compaction_plan",
-    "llm_dedup_pipeline_star",
-    # -- new in session 2 (24): never driver-verified ------------------
-    "scd2_build",
-    "pareto_frontier",
-    "events_ewma",
-    "events_acf",
-    "dq_psi_drift",
-    "llm_weighted_sample",
-    "llm_naive_bayes_train",
-    "llm_naive_bayes_score",
-    "llm_pmi_collocations",
-    "events_seasonal_profile",
-    "agg_gini_by_group",
-    "dq_benford",
-    "llm_ngram_novelty",
-    "events_trend_slope",
-    "join_scd2_lookup",
-    "graph_modularity",
-    "agg_theil_index",
-    "stream_scd2_replay",
-    "llm_logreg_sweep",
-    "agg_market_basket",
-    "events_forecast_backtest",
+    # -- new this round (3): never driver-verified ----------------------
+    "llm_multimodal_decode_png",
+    "llm_multimodal_quarantine_png",
+    "llm_webdataset_index_capped",
+    # -- changed this round (5): byte-based tar oracles + truncation
+    #    guard; fixed-point weighted-sample selection key ---------------
     "llm_webdataset_index",
     "llm_webdataset_fetch",
     "llm_curation_end_to_end",
     "llm_shard_quarantine",
-    # -- changed this round (4): code touched, need fresh driver rows --
-    "llm_shard_assign",
-    "events_resample_interp",
-    "llm_multimodal_decode_ppm",
-    "llm_multimodal_decode_wav",
-    # -- re-check slots (3): last driver row is round 4 — the stalest
-    #    entries in the catalog (tools/batch_staleness.py) -------------
-    "agg_cohort_retention",
-    "agg_cube",
-    "agg_event_funnel",
-    # (agg_grouped_topn, graph_pagerank, graph_triangle_count,
-    # join_outer_reconcile,
-    # join_semi_urgent,
-    # llm_bigram_topk,
-    # llm_blocklist_filter,
-    # llm_bm25_search,
-    # llm_bpe_pair_counts,
-    # llm_centroid_assign, llm_cross_dedup,
-    # llm_dataset_split, llm_decontaminate, llm_dedup_exact_norm,
-    # llm_doc_pack, llm_frame_sample, llm_inverted_index, llm_knn_join,
-    # llm_knn_join_bucketed, llm_length_histogram,
-    # llm_quantize_int8, llm_regex_scrub, llm_repetition_score,
-    # llm_sample_stratified, llm_tfidf_topk, tpch_q18_large_orders,
-    # tpch_q1_pricing, tpch_q3_priority, tpch_q4_order_priority,
-    # tpch_q5_region_volume, tpch_q6_forecast, window_moving_avg,
-    # window_running_sum + the stalest r5-era entries displaced to next
-    # round's rotation by the 43 new never-verified entries — the
-    # never-verified-first policy above; every displaced entry is still
-    # verified locally every round by tools/driver_replica.py)
+    "llm_weighted_sample",
+    # -- re-checks (33): every entry whose newest driver row is r4 ------
+    "agg_grouped_topn",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "join_outer_reconcile",
+    "join_semi_urgent",
+    "llm_bigram_topk",
+    "llm_blocklist_filter",
+    "llm_bm25_search",
+    "llm_bpe_pair_counts",
+    "llm_centroid_assign",
+    "llm_cross_dedup",
+    "llm_dataset_split",
+    "llm_decontaminate",
+    "llm_dedup_exact_norm",
+    "llm_doc_pack",
+    "llm_frame_sample",
+    "llm_inverted_index",
+    "llm_knn_join",
+    "llm_knn_join_bucketed",
+    "llm_length_histogram",
+    "llm_quantize_int8",
+    "llm_regex_scrub",
+    "llm_repetition_score",
+    "llm_sample_stratified",
+    "llm_tfidf_topk",
+    "tpch_q18_large_orders",
+    "tpch_q1_pricing",
+    "tpch_q3_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_region_volume",
+    "tpch_q6_forecast",
+    "window_moving_avg",
+    "window_running_sum",
+    # -- re-checks (9): the alphabetically-first r5-era entries;
+    #    the remaining 40 rotate to round 10 (tools/batch_staleness.py) -
+    "agg_grouping_sets",
+    "agg_payment_volume",
+    "agg_stats_profile",
+    "agg_string_agg",
+    "argmin_cheapest_supplier",
+    "events_anomaly_zscore",
+    "follow_replay",
+    "graph_common_neighbors",
+    "graph_degree_distribution",
 ]
 
 

@@ -1,0 +1,222 @@
+"""Tests for the round-9 operators (plans/catalog_round9.py): stdlib
+PNG decode (zlib inflate + all five scanline unfilters), its corrupt-
+container quarantine twin, and member-capped WebDataset sharding.
+
+The PNG filter tests use HAND-COMPUTED golden vectors straight from the
+PNG spec's filter definitions — the round-trip test alone would be
+circular (a matching bug in the forward filter and the unfilter would
+cancel), so each unfilter algorithm is certified against arithmetic done
+by hand, and the catalog entry's SQL oracle independently pins the
+decoded stats to the source text.
+"""
+from __future__ import annotations
+
+import io
+import math
+import struct
+import zlib
+from contextlib import redirect_stdout
+
+import duckdb
+import numpy as np
+import pytest
+
+from helium_arango_etl_lite_spark.operators.llm import multimodal as mm
+from helium_arango_etl_lite_spark.plans.registry import QUERIES
+
+
+def _plan(spark, sf_dir, name):
+    df = QUERIES[name].spark_fn(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# PNG codec unit tests
+# ---------------------------------------------------------------------------
+
+def _raw_png(scanlines: bytes, w: int, h: int, color_type: int = 2) -> bytes:
+    """Hand-assemble a PNG from pre-filtered scanline bytes."""
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        mm.PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(scanlines))
+        + mm._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_unfilter_golden_vectors():
+    """Each filter type decoded against hand-computed spec arithmetic
+    (grayscale, w=3, so bpp=1 and the 'left' neighbour is 1 byte back).
+
+    Row 0 (Up, no prior -> prior=0): filt 5,6,7 -> raw 5,6,7.
+    Row 1 (Sub):  filt 10,20,30 -> raw 10, 10+20=30, 30+30=60.
+    Row 2 (Avg, prior=10,30,60): filt 1,2,3 ->
+        raw[0]=1+(0+10)//2=6; raw[1]=2+(6+30)//2=20; raw[2]=3+(20+60)//2=43.
+    Row 3 (Paeth, prior=6,20,43): filt 1,1,1 ->
+        i0: left=0,up=6,ul=0 -> p=6 -> pa=6,pb=0,pc=6 -> pred=up=6 -> 7.
+        i1: left=7,up=20,ul=6 -> p=21 -> pa=14,pb=1,pc=15 -> pred=up=20 -> 21.
+        i2: left=21,up=43,ul=20 -> p=44 -> pa=23,pb=1,pc=24 -> pred=43 -> 44.
+    """
+    scan = bytes(
+        [2, 5, 6, 7]          # Up
+        + [1, 10, 20, 30]     # Sub
+        + [3, 1, 2, 3]        # Average
+        + [4, 1, 1, 1]        # Paeth
+    )
+    meta, px = mm.parse_png(_raw_png(scan, 3, 4, color_type=0))
+    assert meta["channels"] == 1 and meta["width"] == 3
+    expect = np.array(
+        [[5, 6, 7], [10, 30, 60], [6, 20, 43], [7, 21, 44]], dtype=np.uint8
+    )
+    assert (px.reshape(4, 3) == expect).all()
+
+
+def test_png_paeth_tie_order_left_wins():
+    """Spec: pa <= pb and pa <= pc -> LEFT (ties prefer left over up).
+    With prior row all 10 and left=10: p=10, pa=pb=pc=0 -> pred=left."""
+    scan = bytes([0, 10, 10, 10] + [4, 10, 5, 5])
+    _, px = mm.parse_png(_raw_png(scan, 3, 2, color_type=0))
+    # row1: i0 left=0,up=10,ul=0 -> p=10, pa=10,pb=0,pc=10 -> pred=up=10 -> 20
+    # i1: left=20,up=10,ul=10 -> p=20, pa=0,pb=10,pc=10 -> pred=LEFT -> 25
+    # i2: left=25,up=10,ul=10 -> p=25, pa=0,pb=15,pc=15 -> pred=LEFT -> 30
+    assert px.reshape(2, 3)[1].tolist() == [20, 25, 30]
+
+
+def test_png_roundtrip_all_shapes_and_filters():
+    rng = np.random.default_rng(7)
+    for h, w, ch in [(8, 8, 3), (1, 8, 3), (7, 5, 3), (8, 8, 1), (6, 1, 1)]:
+        px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        meta, out = mm.parse_png(mm.build_png(px))
+        assert (out == px).all(), (h, w, ch)
+        assert (meta["width"], meta["height"]) == (w, h)
+    # multi-row images exercise every filter type (row % 5)
+
+
+def test_png_idat_split_across_chunks_concatenates():
+    """The spec allows the zlib stream to span many IDAT chunks; the
+    parser must concatenate before inflating."""
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3) % 251
+    idat = zlib.compress(mm._png_filter_scanlines(px))
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0)
+    blob = mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+    for i in range(0, len(idat), 7):  # awkward split sizes
+        blob += mm._png_chunk(b"IDAT", idat[i: i + 7])
+    blob += mm._png_chunk(b"IEND", b"")
+    _, out = mm.parse_png(blob)
+    assert (out == px).all()
+
+
+def test_png_guards_fire_with_stable_reasons():
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3) % 256
+    png = bytearray(mm.build_png(px))
+    cases = []
+    bad = bytearray(png); bad[0] ^= 1
+    cases.append((bytes(bad), "not_png"))
+    bad = bytearray(png); bad[8 + 25 + 8] ^= 0xFF  # IDAT payload, stale CRC
+    cases.append((bytes(bad), "bad_crc"))
+    cases.append((bytes(png[:-10]), "truncated"))
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 1)  # Adam7
+    cases.append(
+        (mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr) + bytes(png[8 + 25:]),
+         "interlaced"),
+    )
+    ihdr16 = struct.pack(">IIBBBBB", 8, 8, 16, 2, 0, 0, 0)  # 16-bit
+    cases.append(
+        (mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr16) + bytes(png[8 + 25:]),
+         "unsupported"),
+    )
+    for blob, code in cases:
+        with pytest.raises((ValueError, NotImplementedError)) as ei:
+            mm.parse_png(blob)
+        assert mm.quarantine_reason(ei.value) == code, code
+
+
+def test_real_decode_dispatches_png():
+    px = np.full((2, 2, 3), 9, dtype=np.uint8)
+    meta, out = mm.real_decode(mm.build_png(px), "image")
+    assert meta["width"] == 2 and (out == 9).all()
+
+
+# ---------------------------------------------------------------------------
+# catalog entries vs their oracles (the driver comparison, sf0.001)
+# ---------------------------------------------------------------------------
+
+def _oracle(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    res = con.execute(sql)
+    return [d[0] for d in res.description], res.fetchall()
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def render(v):
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else repr(v)
+        return "NULL" if v is None else str(v)
+
+    return sorted(tuple(render(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "llm_multimodal_decode_png",
+        "llm_multimodal_quarantine_png",
+        "llm_webdataset_index_capped",
+    ],
+)
+def test_round9_entries_match_oracle(spark, sf_dir, name):
+    sdf = QUERIES[name].spark_fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = _normalize([tuple(r) for r in sdf.collect()], scols)
+    dcols, drows = _oracle(sf_dir, QUERIES[name].oracle)
+    assert sorted(scols) == sorted(dcols)
+    assert srows == _normalize(drows, dcols)
+
+
+def test_png_decode_plan_is_map_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_multimodal_decode_png")
+    # no KEYED shuffle: scan -> (round-robin fan-out from load_table's
+    # small-scan repartition, absent at real scale) -> mapInPandas x2
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("MapInPandas (") == 2  # tree nodes: encode, decode
+
+
+def test_capped_shards_bound_members_per_shard(spark, sf_dir):
+    from helium_arango_etl_lite_spark.plans.catalog_round9 import (
+        _CAP_MEMBERS,
+    )
+
+    idx = (
+        QUERIES["llm_webdataset_index_capped"].spark_fn(spark, sf_dir)
+        .toPandas()
+    )
+    per = idx.groupby("shard_key").size()
+    assert per.max() <= _CAP_MEMBERS
+    # the cap must BIND at fixture scale (a never-splitting cap tests
+    # nothing) and every doc must appear exactly once
+    assert (per == _CAP_MEMBERS).any()
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(idx) == n_docs and idx["member"].nunique() == n_docs
+    # sequence buckets: shard 'src/1' exists only where 'src/0' is full
+    import collections
+
+    by_src = collections.defaultdict(dict)
+    for key, n in per.items():
+        src, _, bucket = key.rpartition("/")
+        by_src[src][int(bucket)] = n
+    for src, buckets in by_src.items():
+        top = max(buckets)
+        for b, n in buckets.items():
+            assert n == _CAP_MEMBERS or b == top, (src, b)

@@ -17,6 +17,7 @@ DuckDB oracle (which computes in double) matches to ~1e-15.
 
 from __future__ import annotations
 
+import logging
 import random
 import warnings
 
@@ -24,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ...functions.hashing import hash32
+
+_LOG = logging.getLogger(__name__)
 
 
 def _as_double(col: Column | str) -> Column:
@@ -466,7 +469,8 @@ def knn_join(
     emb: DataFrame, k: int = 3,
     id_col: str = "vec_id", vec_col: str = "embedding",
     round_dp: int = 4, engine: str = "auto",
-    max_broadcast_rows: int = 10_000_000,
+    max_broadcast_rows: int | None = None,
+    broadcast_budget_bytes: int = 2 << 30,
     num_planes: int | None = None, seed: int = 7, dim: int | None = None,
 ) -> DataFrame:
     """All-pairs k-NN self-join: for EVERY vector, its ``k`` nearest
@@ -478,9 +482,19 @@ def knn_join(
 
     ``engine="auto"`` (default): route WITHOUT a full corpus scan — use
     the optimizer's row-count estimate when the catalog has one, else a
-    bounded ``limit(max_broadcast_rows + 1)`` probe on the pruned id
-    column (stops as soon as the threshold is exceeded; never pays a
-    second full pass over the vectors). At or below the threshold run
+    bounded ``limit(threshold + 1)`` probe on the pruned id column
+    (stops as soon as the threshold is exceeded; never pays a second
+    full pass over the vectors). The threshold is a MEMORY budget, not
+    a bare row count: when ``max_broadcast_rows`` is None (default) it
+    is derived as ``broadcast_budget_bytes // (dim * 8 + 16)`` — dim
+    float64s plus id + rank-penalty per corpus row — because the
+    failure the guard prevents (a corpus matrix that doesn't fit the
+    driver/executor broadcast) happens in BYTES: a 4096-dim corpus
+    exhausts a 2 GiB budget at ~65k rows, a 64-dim one at ~4M (r8
+    verdict item 4). dim comes from the ``dim`` param or a one-row
+    probe. The routing decision and its byte math are logged; pass
+    ``max_broadcast_rows`` explicitly to pin a row threshold.
+    At or below the threshold run
     the exact arrow GEMM; above it route to :func:`knn_join_bucketed` —
     the LSH-candidate approximate form whose joins are all bucket
     equi-joins (no driver collect, no cross join). The exact form CANNOT
@@ -508,6 +522,22 @@ def knn_join(
 
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
     if engine == "auto":
+        if max_broadcast_rows is None:
+            d = dim
+            if d is None:
+                first = e.select(F.size("v").alias("d")).first()
+                d = int(first["d"]) if first and first["d"] else 1
+            # bytes per broadcast corpus row: dim float64s + int64 id
+            # + float64 rank penalty
+            row_bytes = d * 8 + 16
+            max_broadcast_rows = max(1, broadcast_budget_bytes // row_bytes)
+            budget_msg = (
+                f"{max_broadcast_rows} rows = budget "
+                f"{broadcast_budget_bytes} B / {row_bytes} B-per-row "
+                f"(dim={d})"
+            )
+        else:
+            budget_msg = f"{max_broadcast_rows} rows (explicit)"
         est = _estimated_row_count(e)
         if est is None:
             # bounded probe: pruned id column, stops at threshold + 1
@@ -516,14 +546,19 @@ def knn_join(
             )
         if est > max_broadcast_rows:
             warnings.warn(
-                f"knn_join: corpus exceeds max_broadcast_rows="
-                f"{max_broadcast_rows}; routing exact->approximate "
-                "(LSH-bucketed): neighbour lists may be shorter than k",
+                f"knn_join: corpus (>{est - 1} rows) exceeds the "
+                f"broadcast threshold [{budget_msg}]; routing "
+                "exact->approximate (LSH-bucketed): neighbour lists "
+                "may be shorter than k",
                 UserWarning,
                 stacklevel=2,
             )
             engine = "bucketed"
         else:
+            _LOG.info(
+                "knn_join auto-route: exact arrow GEMM (corpus %d rows "
+                "<= threshold [%s])", est, budget_msg,
+            )
             engine = "arrow"
     if engine == "bucketed":
         return knn_join_bucketed(

@@ -341,3 +341,39 @@ def test_kmeans_centroids_injection(spark, sf_dir):
 
     sd = semdedup(emb, threshold=0.35, centroids=cents, max_cell_size=16)
     assert sd.count() == emb.count()
+
+
+def test_knn_join_broadcast_threshold_is_byte_budget(spark, sf_dir):
+    """The auto-route threshold must be derived in BYTES (r8 verdict
+    item 4): a high-dim corpus with few rows must route approximate
+    under a small byte budget — the unit the broadcast actually fails
+    in — while the same rows at default budget route exact."""
+    import warnings as _w
+
+    from helium_arango_etl_lite_spark.operators.llm.similarity import (
+        knn_join,
+    )
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    dim = len(emb.first()["embedding"])
+    # a budget that admits fewer rows than the corpus at this dim:
+    # row_bytes = dim*8 + 16, so (n-1) rows' worth of budget must route
+    # approximate even though the ROW count is tiny
+    small_budget = (dim * 8 + 16) * (n - 1)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        knn_join(emb, k=3, engine="auto",
+                 broadcast_budget_bytes=small_budget)
+    msgs = [str(w.message) for w in rec]
+    assert any("exact->approximate" in m for m in msgs)
+    # the decision surfaces its byte math: budget and per-row bytes
+    assert any(f"{small_budget} B" in m and "B-per-row" in m
+               for m in msgs), msgs
+
+    # same corpus, default 2 GiB budget: routes exact, no warning
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        knn_join(emb, k=3, engine="auto")
+    assert not any("exact->approximate" in str(w.message) for w in rec)

@@ -286,6 +286,55 @@ def main() -> None:
 
     calib_py = round(min(run_calib_py(), run_calib_py()), 3)
 
+    # Third calibration axis: the STATE-STORE / checkpoint-I/O path.
+    # r7/r8 both measured the streaming-replay walls moving 1.8-2.1x
+    # with ZERO code changes — checkpoint commits and HDFS-backed state
+    # I/O drift independently of both the JVM (calib_sec) and the
+    # Python-worker (calib_py_sec) axes, and the replay family is now
+    # 6 of the top-10 bench entries. A fixed 3-micro-batch stateful agg
+    # (150k rows, 2000 keys, availableNow file source, real checkpoint
+    # dir) measures exactly that work and nothing else.
+    def run_calib_state() -> float:
+        import shutil
+        import tempfile
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = tempfile.mkdtemp(prefix="bench_calib_state_")
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        try:
+            for i in range(3):
+                ids = np.arange(50_000, dtype=np.int64) + i * 50_000
+                p = os.path.join(src, f"b{i}.parquet")
+                pq.write_table(pa.table({"k": ids % 2000, "v": ids}), p)
+                os.utime(p, (1_000_000 + i, 1_000_000 + i))
+            t0 = time.time()
+            stream = (
+                spark.readStream.schema("k long, v long")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            q = (
+                stream.groupBy("k").agg({"v": "sum"})
+                .writeStream.foreachBatch(
+                    lambda df, bid: df.write.format("noop")
+                    .mode("overwrite").save()
+                )
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(base, f"ckpt{time.time_ns()}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return time.time() - t0
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    calib_state = round(min(run_calib_state(), run_calib_state()), 3)
+
     def run_once(name: str) -> float:
         fn = QUERIES[name].spark_fn
         t0 = time.time()
@@ -420,6 +469,10 @@ def main() -> None:
         # calib_py_sec is the same idea for the Arrow/pandas worker path
         "calib_sec": calib,
         "calib_py_sec": calib_py,
+        # fixed stateful-streaming job: normalize the *_replay family's
+        # deltas by this, not by calib_sec (checkpoint/state-store I/O
+        # is its own drift axis — measured 1.8-2.1x across r7/r8)
+        "calib_state_sec": calib_state,
         "n_ok": len(timings),
         "n_errors": len(errors),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

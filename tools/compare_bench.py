@@ -28,8 +28,8 @@ _SCALAR_KEYS = {
     "value", "warm_total", "cold_total", "warm_total_r4_subset",
     "warm_total_r5_subset", "warm_total_r6_subset", "warm_total_r7_subset",
     "warm_total_r8_subset",
-    "calib_sec", "calib_py_sec", "n_ok", "n_errors", "sf", "partial_total",
-    "queries_truncated_to",
+    "calib_sec", "calib_py_sec", "calib_state_sec", "n_ok", "n_errors",
+    "sf", "partial_total", "queries_truncated_to",
 }
 
 
@@ -92,6 +92,15 @@ def main() -> None:
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
     calib_ratio = None
+    state_ratio = None
+    if old.get("calib_state_sec") and new.get("calib_state_sec"):
+        state_ratio = new["calib_state_sec"] / old["calib_state_sec"]
+        print(
+            f"calib_state: {old['calib_state_sec']:.2f}s -> "
+            f"{new['calib_state_sec']:.2f}s (checkpoint/state-store "
+            f"ratio {state_ratio:.2f}x — *_replay queries below are "
+            f"divided by this, not the JVM ratio)"
+        )
     if old.get("calib_sec") and new.get("calib_sec"):
         calib_ratio = new["calib_sec"] / old["calib_sec"]
         print(
@@ -120,8 +129,12 @@ def main() -> None:
         if oq[q] <= 0:
             continue
         ratio = nq[q] / oq[q]
-        if calib_ratio:
-            ratio /= calib_ratio
+        # the replay family's wall is dominated by checkpoint/state-store
+        # I/O (its own drift axis); normalize it by calib_state_sec when
+        # both sides carry one, else fall back to the JVM axis
+        axis = state_ratio if ("_replay" in q and state_ratio) else calib_ratio
+        if axis:
+            ratio /= axis
         rows.append((ratio, q, oq[q], nq[q]))
 
     o_tot = sum(oq[q] for _, q, _, _ in rows)

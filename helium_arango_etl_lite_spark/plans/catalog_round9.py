@@ -179,11 +179,15 @@ FROM g"""
         f"no shard ever holds more than {_CAP_MEMBERS} members "
         "REGARDLESS of corpus size — growth adds shards, never "
         "members-per-shard, which is what keeps loader-side range "
-        "reads and shard-level parallelism flat at 100 TB. The "
-        "sequence number is a row_number() window per source (one "
-        "shuffle, the same key the pack group-by needs anyway, so the "
-        "cap adds ZERO extra shuffles — AQE coalesces the shared "
-        "exchange). Certified by the same never-sees-a-tar-byte "
+        "reads and shard-level parallelism flat at 100 TB. PLAN: two "
+        "exchanges (PLAN_AUDIT) — the sequence window shuffles by "
+        "source, the pack re-shuffles by the refined (source, bucket) "
+        "key — ONE more than the uncapped index, and worth it: the "
+        "pack exchange's groups are cap-bounded, so a source of ANY "
+        "size packs as thousands of parallel bounded tasks where the "
+        "uncapped form serializes it into one giant applyInPandas "
+        "group (measured: 73 s vs 20 s on the same 500k docs, "
+        "SCALE_SOAK round 9). Certified by the same never-sees-a-tar-byte "
         "oracle as llm_webdataset_index: DuckDB predicts every "
         "member's header offset from pure 512-block arithmetic and "
         "the md5 from the source text; Spark packs REAL tars per "

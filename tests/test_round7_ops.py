@@ -106,8 +106,14 @@ def test_real_decode_dispatches_and_stays_honest():
     assert meta["kind"] == "image"
     meta, _ = mm.real_decode(_wav_bytes(b"ab"), "audio")
     assert meta["kind"] == "audio"
+    # PNG dispatches to the real stdlib-zlib decoder since round 9 (the
+    # garbage after the signature surfaces as a typed parse error, not a
+    # NotImplementedError refusal)
+    with pytest.raises(ValueError):
+        mm.real_decode(b"\x89PNG\r\n\x1a\n....", "image")
+    # codecs that genuinely need external libraries still refuse honestly
     with pytest.raises(NotImplementedError):
-        mm.real_decode(b"\x89PNG\r\n\x1a\n....", "image")  # compressed codec
+        mm.real_decode(b"\xff\xd8\xff\xe0....", "image")  # JPEG/JFIF
 
 
 def test_decode_entries_cover_every_document(spark, sf_dir):

@@ -138,6 +138,7 @@ HEADLINE = [
     "llm_multimodal_decode_png",  # stdlib-zlib PNG inflate + unfilter
     "llm_multimodal_quarantine_png",  # PNG corrupt-container split
     "llm_webdataset_index_capped",    # member-capped shard policy
+    "llm_ann_graph_route",            # beam search over a kNN graph
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow

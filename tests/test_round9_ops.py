@@ -220,3 +220,62 @@ def test_capped_shards_bound_members_per_shard(spark, sf_dir):
         top = max(buckets)
         for b, n in buckets.items():
             assert n == _CAP_MEMBERS or b == top, (src, b)
+
+
+# ---------------------------------------------------------------------------
+# graph-routed ANN
+# ---------------------------------------------------------------------------
+
+def test_graph_route_matches_oracle(spark, sf_dir):
+    name = "llm_ann_graph_route"
+    sdf = QUERIES[name].spark_fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = _normalize([tuple(r) for r in sdf.collect()], scols)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf_dir}/embeddings.parquet'"
+    )
+    res = con.execute(QUERIES[name].oracle)
+    dcols = [d[0] for d in res.description]
+    assert sorted(scols) == sorted(dcols)
+    assert srows == _normalize(res.fetchall(), dcols)
+
+
+def test_graph_route_recall_on_clustered_corpus(spark):
+    """On a corpus with actual neighbourhood structure (8 well-separated
+    clusters) the routed walk must find nearly all true neighbours —
+    the three design decisions (two plane tables, coarse entry layer,
+    visited exclusion) were each measured as necessary to get here
+    (0.13 / 0.52-ceiling / stalls without them; docstrings)."""
+    from helium_arango_etl_lite_spark.operators.llm.similarity import (
+        graph_route_topk, knn_join,
+    )
+
+    rng = np.random.default_rng(3)
+    cents = rng.normal(size=(8, 64))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs = cents[np.arange(500) % 8] + 0.25 * rng.normal(size=(500, 64))
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    route = graph_route_topk(
+        emb, k=5, hops=4, beam=12, n_entries=6, entry_mod=16,
+        query_mod=25, edge_k=8, num_planes=3, seeds=(7, 11), dim=64,
+    ).toPandas()
+    exact = knn_join(emb, k=5, engine="arrow").toPandas()
+    qset = set(route["query_id"])
+    ex = exact[exact["qid"].isin(qset)].groupby("qid")["nid"].apply(set)
+    got = route.groupby("query_id")["nid"].apply(set)
+    hits = sum(len(ex[q] & got.get(q, set())) for q in qset)
+    total = sum(len(ex[q]) for q in qset)
+    assert hits / total >= 0.9, f"recall@5 {hits}/{total}"
+    # structural contract: never returns the query itself, ranks dense
+    assert (route["query_id"] != route["nid"]).all()
+    assert set(route.groupby("query_id")["rank"].min()) == {1}
+
+
+def test_graph_route_plan_has_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_ann_graph_route")
+    assert "CartesianProduct" not in plan

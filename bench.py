@@ -139,6 +139,7 @@ HEADLINE = [
     "llm_multimodal_quarantine_png",  # PNG corrupt-container split
     "llm_webdataset_index_capped",    # member-capped shard policy
     "llm_ann_graph_route",            # beam search over a kNN graph
+    "llm_gzip_jsonl_roundtrip",       # multi-member .jsonl.gz round-trip
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow

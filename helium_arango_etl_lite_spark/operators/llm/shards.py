@@ -245,3 +245,116 @@ def index_tar_shards_quarantine(shards: DataFrame) -> DataFrame:
             )
 
     return shards.mapInPandas(batches, QUARANTINE_SHARD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# compressed JSONL shards (.jsonl.gz): the other container corpora ship in
+# ---------------------------------------------------------------------------
+
+GZ_SHARD_SCHEMA = StructType(
+    [
+        StructField("source", StringType(), False),
+        StructField("blob", BinaryType(), False),
+        StructField("n_members", LongType(), False),
+    ]
+)
+
+GZ_DOC_SCHEMA = StructType(
+    [
+        StructField("source", StringType(), False),
+        StructField("member_idx", LongType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("text_md5", StringType(), False),
+    ]
+)
+
+
+def pack_gzip_jsonl(docs: DataFrame, key_col: str = "source") -> DataFrame:
+    """One ``.jsonl.gz`` blob per group, built under ``applyInPandas``:
+    each document is its OWN gzip member (one JSON line, ``mtime=0`` for
+    byte determinism), members concatenated — the multi-member form the
+    gzip spec guarantees readers must accept, and the layout parallel
+    writers actually produce (every worker gzips its slice, the blobs
+    concatenate without recompression). Members in doc_id order."""
+    import gzip
+    import json
+
+    if key_col != "source":
+        docs = docs.withColumnRenamed(key_col, "source")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        parts = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            line = json.dumps(
+                {"doc_id": int(doc_id), "text": str(text)},
+                ensure_ascii=False, separators=(", ", ": "),
+            ) + "\n"
+            parts.append(gzip.compress(line.encode("utf-8"), mtime=0))
+        return pd.DataFrame(
+            [
+                {
+                    "source": pdf["source"].iloc[0],
+                    "blob": b"".join(parts),
+                    "n_members": len(parts),
+                }
+            ]
+        )
+
+    return docs.select("source", "doc_id", "text").groupBy(
+        "source"
+    ).applyInPandas(build, GZ_SHARD_SCHEMA)
+
+
+def parse_gzip_members(buf: bytes) -> list[bytes]:
+    """Walk a concatenated-member gzip blob MEMBER BY MEMBER with
+    ``zlib.decompressobj(wbits=31)`` — each member's end is found via
+    ``unused_data``, so the walk verifies the member framing (and each
+    member's CRC32 + length trailer, which zlib checks on ``flush``)
+    rather than blind-decompressing the whole stream. ValueError on a
+    truncated or corrupt member — quarantine upstream, the same
+    contract as parse_tar_index/parse_png."""
+    import zlib
+
+    out = []
+    rest = buf
+    while rest:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            data = d.decompress(rest)
+            data += d.flush()
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member {len(out)}: {e}") from e
+        if not d.eof:
+            raise ValueError(
+                f"truncated gzip member {len(out)}: stream ended mid-member"
+            )
+        out.append(data)
+        rest = d.unused_data
+    return out
+
+
+def read_gzip_jsonl(shards: DataFrame) -> DataFrame:
+    """mapInPandas over ``.jsonl.gz`` blobs -> one row per document with
+    the md5 and byte length of the PARSED text (json-decoded, so the
+    check is container -> member -> line -> field, end to end)."""
+    import hashlib
+    import json
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for src, buf in zip(pdf["source"], pdf["blob"]):
+                for i, member in enumerate(parse_gzip_members(bytes(buf))):
+                    rec = json.loads(member)
+                    data = rec["text"].encode("utf-8")
+                    rows.append(
+                        (
+                            src, i, int(rec["doc_id"]), len(data),
+                            hashlib.md5(data).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=GZ_DOC_SCHEMA.fieldNames())
+
+    return shards.mapInPandas(batches, GZ_DOC_SCHEMA)

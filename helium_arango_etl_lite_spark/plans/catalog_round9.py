@@ -25,10 +25,16 @@ policy the round-8 scale soak called for.
   under the uncapped per-source policy; this is the policy a real
   100 TB packing job ships. Certified by the same never-sees-a-tar-
   byte offset/md5 oracle as llm_webdataset_index.
+* ``llm_ann_graph_route`` — graph-routed (HNSW-class) ANN: beam search
+  over a two-table bucketed-LSH neighbour graph with a coarse entry
+  layer and visited exclusion; the oracle unrolls the whole walk.
+* ``llm_gzip_jsonl_roundtrip`` — multi-member ``.jsonl.gz`` pack +
+  member-walking read (zlib.decompressobj framing, per-member CRC),
+  certifying the compressed-JSONL container end to end.
 
 Reference parity note: the reference ETL (helium-arango-etl-lite) has
-none of these; they extend the north-star multimodal + storage
-families (SURVEY.md section 2.8).
+none of these; they extend the north-star multimodal + storage +
+similarity families (SURVEY.md section 2.8).
 """
 
 from __future__ import annotations
@@ -349,3 +355,50 @@ def llm_ann_graph_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         entry_mod=_GR_EMOD, query_mod=_GR_QMOD, edge_k=_GR_EDGE_K,
         num_planes=NEAR_DUP_PLANES, seeds=_GR_SEEDS, dim=EMB_DIM,
     )
+
+
+# ---------------------------------------------------------------------------
+# compressed JSONL shards: the .jsonl.gz container real corpora ship in
+# ---------------------------------------------------------------------------
+
+_GZ_SQL = """
+WITH d AS (SELECT source, doc_id, text,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                    - 1 AS member_idx
+           FROM documents)
+SELECT source, member_idx, doc_id,
+       strlen(text)::BIGINT AS n_bytes,
+       md5(text) AS text_md5
+FROM d"""
+
+
+@register(
+    "llm_gzip_jsonl_roundtrip",
+    _GZ_SQL,
+    doc="The OTHER container training corpora ship in (next to tar "
+        "shards): compressed JSONL. Each source's docs become one "
+        ".jsonl.gz blob where every document is its OWN gzip member "
+        "(mtime=0, members concatenated in doc_id order) — the "
+        "multi-member form the gzip spec requires readers to accept "
+        "and the layout parallel writers actually produce: every "
+        "worker gzips its slice and the blobs concatenate WITHOUT "
+        "recompression. The read side walks the blob MEMBER BY MEMBER "
+        "with zlib.decompressobj (member boundaries found via "
+        "unused_data, each member's CRC32+ISIZE trailer verified by "
+        "the inflate itself), json-parses each line, and emits the md5 "
+        "+ byte length of the PARSED text field — so hash agreement "
+        "with the oracle (straight off the documents table, "
+        "member_idx = per-source doc_id rank) certifies container "
+        "framing, compression round-trip, line framing, AND the JSON "
+        "escaping/unescaping of every document in one check. SCALE: "
+        "pack is one source-keyed group pass, read is map-only over "
+        "blobs; per-doc members mean a reader can also fan out WITHIN "
+        "a blob by member offsets (operators/llm/shards.py:"
+        "pack_gzip_jsonl/parse_gzip_members).",
+    tags=("llm", "storage", "multimodal"),
+)
+def llm_gzip_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.shards import pack_gzip_jsonl, read_gzip_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    return read_gzip_jsonl(pack_gzip_jsonl(docs))

@@ -279,3 +279,63 @@ def test_graph_route_recall_on_clustered_corpus(spark):
 def test_graph_route_plan_has_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_ann_graph_route")
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# gzip JSONL shards
+# ---------------------------------------------------------------------------
+
+def test_gzip_jsonl_matches_oracle(spark, sf_dir):
+    name = "llm_gzip_jsonl_roundtrip"
+    sdf = QUERIES[name].spark_fn(spark, sf_dir)
+    srows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+    dcols, drows = _oracle(sf_dir, QUERIES[name].oracle)
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert srows == _normalize(drows, dcols)
+
+
+def test_gzip_member_walk_verifies_framing():
+    """parse_gzip_members must find member boundaries (not blind-
+    decompress), reject a truncated member, and reject bit rot inside
+    a member's deflate stream."""
+    import gzip
+
+    from helium_arango_etl_lite_spark.operators.llm.shards import (
+        parse_gzip_members,
+    )
+
+    members = [b"hello\n", b"", b"x" * 10_000, "café\n".encode()]
+    blob = b"".join(gzip.compress(m, mtime=0) for m in members)
+    assert parse_gzip_members(blob) == members
+    # truncation mid-member (cut inside the last member's stream)
+    with pytest.raises(ValueError, match="truncated gzip member 3"):
+        parse_gzip_members(blob[:-5])
+    # bit rot in the middle member's compressed bytes -> zlib error
+    # (or, if the flip lands in a recoverable spot, the CRC trailer)
+    rotten = bytearray(blob)
+    first_len = len(gzip.compress(members[0], mtime=0))
+    rotten[first_len + 15] ^= 0xFF
+    with pytest.raises(ValueError, match="gzip member"):
+        parse_gzip_members(bytes(rotten))
+
+
+def test_gzip_pack_is_deterministic_and_concat_readable(spark, sf_dir):
+    """Two packs of the same docs are byte-identical (mtime pinned), and
+    gzip itself can read our multi-member blob (stdlib cross-check)."""
+    import gzip
+
+    from helium_arango_etl_lite_spark.operators.llm.shards import (
+        pack_gzip_jsonl,
+    )
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["source"]: bytes(r["blob"])
+         for r in pack_gzip_jsonl(docs).collect()}
+    b = {r["source"]: bytes(r["blob"])
+         for r in pack_gzip_jsonl(docs).collect()}
+    assert a == b
+    blob = next(iter(a.values()))
+    lines = gzip.decompress(blob).decode().splitlines()
+    import json
+    assert all("doc_id" in json.loads(ln) for ln in lines)

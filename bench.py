@@ -140,6 +140,7 @@ HEADLINE = [
     "llm_webdataset_index_capped",    # member-capped shard policy
     "llm_ann_graph_route",            # beam search over a kNN graph
     "llm_gzip_jsonl_roundtrip",       # multi-member .jsonl.gz round-trip
+    "llm_gzip_quarantine",            # corrupt-blob failure isolation
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow

@@ -358,3 +358,67 @@ def read_gzip_jsonl(shards: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=GZ_DOC_SCHEMA.fieldNames())
 
     return shards.mapInPandas(batches, GZ_DOC_SCHEMA)
+
+
+def corrupt_gzip_shards(shards: DataFrame, cls_col: str) -> DataFrame:
+    """Deterministic corruption classes for ``.jsonl.gz`` blobs (the
+    corrupt_shards discipline applied to the gzip container): class
+    0 = intact, 1 = one byte flipped inside the first member's deflate
+    stream (surfaces as a zlib inflate error or the member's CRC32
+    check — bit rot), 2 = blob cut 5 bytes short (truncated final
+    member)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for src, buf, cls in zip(
+                pdf["source"], pdf["blob"], pdf[cls_col]
+            ):
+                b = bytearray(bytes(buf))
+                if cls == 1:
+                    b[15] ^= 0xFF  # past the 10-byte member header
+                elif cls == 2:
+                    b = b[:-5]
+                out.append((src, bytes(b)))
+            yield pd.DataFrame(out, columns=["source", "blob"])
+
+    return shards.mapInPandas(
+        batches,
+        StructType(
+            [
+                StructField("source", StringType(), False),
+                StructField("blob", BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def read_gzip_jsonl_quarantine(shards: DataFrame) -> DataFrame:
+    """Member-walking gzip read that SPLITS corrupt blobs into
+    quarantine rows: one row per blob — 'ok' with the member count, or
+    'quarantined' with the reason naming the guard that fired
+    ('corrupt' = inflate/CRC failure, 'truncated' = stream cut
+    mid-member). Same schema/contract as index_tar_shards_quarantine."""
+
+    def reason(e: Exception) -> str:
+        msg = str(e)
+        if msg.startswith("truncated gzip member"):
+            return "truncated"
+        if msg.startswith("corrupt gzip member"):
+            return "corrupt"
+        return "parse_error"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for src, buf in zip(pdf["source"], pdf["blob"]):
+                try:
+                    members = parse_gzip_members(bytes(buf))
+                    rows.append((src, "ok", "ok", len(members)))
+                except ValueError as e:
+                    rows.append((src, "quarantined", reason(e), None))
+            yield pd.DataFrame(
+                rows, columns=QUARANTINE_SHARD_SCHEMA.fieldNames()
+            )
+
+    return shards.mapInPandas(batches, QUARANTINE_SHARD_SCHEMA)

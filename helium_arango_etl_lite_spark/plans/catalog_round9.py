@@ -402,3 +402,51 @@ def llm_gzip_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return read_gzip_jsonl(pack_gzip_jsonl(docs))
+
+
+def _gzip_quarantine_sql() -> str:
+    from ..functions.hashing import hash32_oracle_sql
+
+    h = hash32_oracle_sql("'gq:' || source")
+    return f"""
+WITH s AS (SELECT source, count(*)::BIGINT AS n_docs
+           FROM documents GROUP BY 1)
+SELECT source,
+       CASE WHEN {h} % 3 = 0 THEN 'ok' ELSE 'quarantined' END AS status,
+       CASE {h} % 3 WHEN 0 THEN 'ok'
+                    WHEN 1 THEN 'corrupt'
+                    ELSE 'truncated' END AS reason,
+       CASE WHEN {h} % 3 = 0 THEN n_docs ELSE NULL END AS n_members
+FROM s"""
+
+
+@register(
+    "llm_gzip_quarantine",
+    _gzip_quarantine_sql(),
+    doc="Corrupt-blob quarantine for compressed JSONL — completes the "
+        "failure-isolation family (every container the engine packs "
+        "now has a quarantine twin: PPM, WAV, PNG, tar, gzip): a "
+        "hash-keyed subset of .jsonl.gz blobs is corrupted (one byte "
+        "flipped inside the first member's deflate stream -> the "
+        "inflate/CRC32 guard; the blob cut 5 bytes short -> the "
+        "mid-member truncation guard) and the member-walking reader "
+        "emits one row per blob, 'ok' with the member count or "
+        "'quarantined' with the reason naming the guard that fired. "
+        "The oracle pins the reason PER CORRUPTION CLASS from the same "
+        "hash arithmetic. Map-only, no shuffle; at fleet scale one "
+        "rotted blob costs one quarantine row, never the ingest job "
+        "(operators/llm/shards.py:read_gzip_jsonl_quarantine).",
+    tags=("llm", "storage", "dq"),
+)
+def llm_gzip_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash32
+    from ..operators.llm.shards import (
+        corrupt_gzip_shards, pack_gzip_jsonl, read_gzip_jsonl_quarantine,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    shards = pack_gzip_jsonl(docs).withColumn(
+        "cls",
+        (hash32(F.concat(F.lit("gq:"), F.col("source"))) % 3).cast("int"),
+    )
+    return read_gzip_jsonl_quarantine(corrupt_gzip_shards(shards, "cls"))

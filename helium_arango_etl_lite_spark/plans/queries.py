@@ -25,11 +25,11 @@ queries, so it was removed on advisor direction).
 
 Round-9 batch (applied): THE RE-VERIFICATION ROUND the r8 verdict
 ordered — never-verified hit zero in round 8, so the batch is spent on
-the independent-oracle backlog. Composition: the 5 brand-new round-9
+the independent-oracle backlog. Composition: the 6 brand-new round-9
 entries (stdlib-zlib PNG decode, its corrupt-container quarantine twin,
 member-capped WebDataset sharding, graph-routed ANN whose oracle
-unrolls the beam-search walk, multi-member gzip JSONL round-trip —
-never driver-verified), then the 5
+unrolls the beam-search walk, multi-member gzip JSONL round-trip and
+its quarantine twin — never driver-verified), then the 5
 entries whose CODE or ORACLE changed this round and need a fresh
 independent row (the four tar-shard entries moved to byte-based
 strlen()/octet_length() oracles and gained the trailing-partial-block
@@ -37,8 +37,8 @@ truncation guard; llm_weighted_sample now fixed-points its selection
 key before the top-k), then ALL 33 r4-era re-checks (the entries whose
 newest driver row was 5 rounds old — llm_knn_join, llm_decontaminate,
 llm_bm25_search, graph_pagerank, the six TPC-H shapes, both window
-entries, and the rest), then the 7 alphabetically-first r5-era entries
-that fit the remaining slots (the other 42 r5-era entries rotate to
+entries, and the rest), then the 6 alphabetically-first r5-era entries
+that fit the remaining slots (the other 43 r5-era entries rotate to
 round 10). After this batch lands, zero catalog entries have a newest
 driver row older than r5. The full catalog is still locally replicated
 green every round — tools/driver_replica.py.
@@ -65,12 +65,13 @@ from . import catalog_round8f  # noqa: F401  (SCD2 lookup, modularity, Theil ind
 from . import catalog_round9  # noqa: F401  (PNG decode, capped shards, graph ANN)
 
 DRIVER_BATCH: list[str] = [
-    # -- new this round (5): never driver-verified ----------------------
+    # -- new this round (6): never driver-verified ----------------------
     "llm_multimodal_decode_png",
     "llm_multimodal_quarantine_png",
     "llm_webdataset_index_capped",
     "llm_ann_graph_route",
     "llm_gzip_jsonl_roundtrip",
+    "llm_gzip_quarantine",
     # -- changed this round (5): byte-based tar oracles + truncation
     #    guard; fixed-point weighted-sample selection key ---------------
     "llm_webdataset_index",
@@ -112,15 +113,14 @@ DRIVER_BATCH: list[str] = [
     "tpch_q6_forecast",
     "window_moving_avg",
     "window_running_sum",
-    # -- re-checks (7): the alphabetically-first r5-era entries;
-    #    the remaining 42 rotate to round 10 (tools/batch_staleness.py) -
+    # -- re-checks (6): the alphabetically-first r5-era entries;
+    #    the remaining 43 rotate to round 10 (tools/batch_staleness.py) -
     "agg_grouping_sets",
     "agg_payment_volume",
     "agg_stats_profile",
     "agg_string_agg",
     "argmin_cheapest_supplier",
     "events_anomaly_zscore",
-    "follow_replay",
 ]
 
 

@@ -339,3 +339,20 @@ def test_gzip_pack_is_deterministic_and_concat_readable(spark, sf_dir):
     lines = gzip.decompress(blob).decode().splitlines()
     import json
     assert all("doc_id" in json.loads(ln) for ln in lines)
+
+
+def test_gzip_quarantine_reasons_match_corruption_classes(spark, sf_dir):
+    import hashlib as _h
+
+    out = QUERIES["llm_gzip_quarantine"].spark_fn(spark, sf_dir).toPandas()
+    n_src = duckdb.sql(
+        f"SELECT count(DISTINCT source) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(out) == n_src
+    for _, r in out.iterrows():
+        cls = int(
+            _h.md5(f"gq:{r['source']}".encode()).hexdigest()[:8], 16
+        ) % 3
+        expect = ["ok", "corrupt", "truncated"][cls]
+        assert r["reason"] == expect, (r["source"], cls)
+        assert (r["status"] == "ok") == (cls == 0)

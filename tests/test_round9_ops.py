@@ -356,3 +356,68 @@ def test_gzip_quarantine_reasons_match_corruption_classes(spark, sf_dir):
         expect = ["ok", "corrupt", "truncated"][cls]
         assert r["reason"] == expect, (r["source"], cls)
         assert (r["status"] == "ok") == (cls == 0)
+
+
+# ---------------------------------------------------------------------------
+# property tests for the round-9 parsers (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 12), st.integers(1, 12), st.sampled_from([1, 3]),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_property(h, w, ch, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    meta, out = mm.parse_png(mm.build_png(px))
+    assert (out == px).all()
+    assert (meta["width"], meta["height"], meta["channels"]) == (w, h, ch)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.binary(min_size=0, max_size=300), min_size=1, max_size=8),
+    st.integers(1, 40),
+)
+def test_gzip_member_walk_property(members, cut):
+    """Any member list round-trips; any strict-prefix cut of the blob
+    raises (gzip members always end in an 8-byte trailer, so a cut blob
+    can never parse as complete)."""
+    import gzip
+
+    from helium_arango_etl_lite_spark.operators.llm.shards import (
+        parse_gzip_members,
+    )
+
+    blob = b"".join(gzip.compress(m, mtime=0) for m in members)
+    assert parse_gzip_members(blob) == members
+    cut = min(cut, len(blob) - 1)
+    if cut > 0:
+        with pytest.raises(ValueError):
+            parse_gzip_members(blob[:-cut])
+
+
+def test_graph_route_is_partitioning_invariant(spark, sf_dir):
+    """The routed result must not depend on how the input is
+    partitioned — reshuffling the embeddings table arbitrarily yields
+    the identical neighbour set (guards against any partition-order
+    dependence sneaking into the iterative state)."""
+    from helium_arango_etl_lite_spark.operators.llm.similarity import (
+        graph_route_topk,
+    )
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(k=5, hops=4, beam=12, n_entries=6, entry_mod=16,
+              query_mod=25, edge_k=8, num_planes=3, seeds=(7, 11), dim=64)
+    base = sorted(tuple(r) for r in graph_route_topk(emb, **kw).collect())
+    shuffled = sorted(
+        tuple(r)
+        for r in graph_route_topk(emb.repartition(17), **kw).collect()
+    )
+    assert base == shuffled

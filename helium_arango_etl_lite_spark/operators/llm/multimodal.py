@@ -967,6 +967,13 @@ def decode_png(media: DataFrame) -> DataFrame:
             for mid, buf in zip(pdf["media_id"], pdf["content"]):
                 meta, px = parse_png(bytes(buf))
                 csum = px.sum(axis=(0, 1), dtype=np.int64)
+                # grayscale (color type 0) has one channel; report its
+                # sum in all three slots so a gray PNG never indexes
+                # past the end of csum (sum_r == sum_g == sum_b holds
+                # for a gray raster expanded to RGB, so the contract
+                # stays oracle-checkable)
+                if meta["channels"] == 1:
+                    csum = np.repeat(csum, 3)
                 rows.append(
                     (
                         int(mid), meta["width"], meta["height"],

@@ -133,12 +133,16 @@ def parse_tar_index(buf: bytes) -> list[tuple[str, int, int, bytes]]:
         payload = buf[pos + 512: pos + 512 + size]
         out.append((name, pos, size, payload))
         pos += 512 + ((size + 511) // 512) * 512
-    # a tar that ends without the zero terminator AND whose last
-    # member's padded span runs past (or short of) the buffer was cut
-    # mid-archive — a trailing partial (<512B) block must surface as
-    # truncation, not silent success
-    if not terminated and pos != len(buf):
-        raise ValueError("truncated tar: trailing partial block")
+    # real tars END with two all-zero blocks: a blob that runs out of
+    # bytes before a zero terminator was cut — even when the cut lands
+    # exactly on a 512-block member boundary (terminator and any
+    # subsequent members lost). Unconditional, so boundary cuts surface
+    # as truncation instead of silently parsing as a shorter archive.
+    if not terminated:
+        raise ValueError(
+            "truncated tar: missing zero terminator"
+            + ("" if pos == len(buf) else " (trailing partial block)")
+        )
     return out
 
 
@@ -398,7 +402,15 @@ def read_gzip_jsonl_quarantine(shards: DataFrame) -> DataFrame:
     quarantine rows: one row per blob — 'ok' with the member count, or
     'quarantined' with the reason naming the guard that fired
     ('corrupt' = inflate/CRC failure, 'truncated' = stream cut
-    mid-member). Same schema/contract as index_tar_shards_quarantine."""
+    mid-member). Same schema/contract as index_tar_shards_quarantine.
+
+    LIMIT (container-layer): a truncation that lands exactly on a
+    member boundary leaves a valid, complete, SHORTER blob — CRC32 and
+    ISIZE both verify, so no container-level framing can reject it.
+    Whole-member loss is therefore invisible here; the production
+    completeness check is the EXPECTED member count per blob, which the
+    capped shard index provides (pack with ``key_col`` and compare
+    ``n_members`` against the index — see llm_gzip_quarantine_capped)."""
 
     def reason(e: Exception) -> str:
         msg = str(e)

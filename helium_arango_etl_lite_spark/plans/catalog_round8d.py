@@ -80,9 +80,14 @@ FROM i ORDER BY key6, doc_id LIMIT {_WS_K}"""
         "topk_accounts; nothing here is sequential, which is the whole "
         "point vs the textbook one-pass reservoir. The selection key is "
         "FIXED-POINTED to micro-units BEFORE the order-by/limit so the "
-        "rank-k boundary is integer-deterministic across engines (JVM "
-        "Math.log vs libm can differ by 1 ulp; rounding only after "
-        "selection would let that flip the boundary).",
+        "rank-k boundary compares integers, not doubles. Caveat kept "
+        "honest: key6 still quantizes a double computed via log(), so "
+        "a 1-ulp JVM-vs-libm difference landing EXACTLY on a .5 "
+        "quantization boundary could in principle still flip key6 by "
+        "one — boundary flips are made vanishingly unlikely (~1e-10 "
+        "per row), not impossible; a fully engine-proof key would use "
+        "pure integer hash arithmetic at the cost of the E-S "
+        "exponential-key distribution.",
     tags=("llm", "sampling", "scale"),
 )
 def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

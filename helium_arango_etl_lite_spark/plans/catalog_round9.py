@@ -51,10 +51,16 @@ from .registry import load_table, register
 
 _PNG_ROW = 3 * mm.PNG_WIDTH
 
+# PNG fixture docs must be ASCII so ord(char) == utf-8 byte and
+# length(chars) == strlen(bytes); both sides filter on the same
+# byte==char predicate (the tar-oracle strlen discipline).
+_PNG_ASCII = "strlen(text) = length(text)"
+
 _PNG_SQL = f"""
 WITH d AS (SELECT doc_id, text,
                   least({mm.PNG_MAX_H}, length(text) // {_PNG_ROW}) AS h
-           FROM documents WHERE length(text) >= {_PNG_ROW}),
+           FROM documents
+           WHERE length(text) >= {_PNG_ROW} AND {_PNG_ASCII}),
 b AS (SELECT doc_id, h, i, ord(substr(text, i, 1)) AS v
       FROM (SELECT doc_id, text, h,
                    unnest(generate_series(1, {_PNG_ROW} * h)) AS i
@@ -96,14 +102,17 @@ FROM b GROUP BY doc_id, h"""
     tags=("llm", "multimodal"),
 )
 def llm_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")  # ASCII: byte == char
+    )
     return mm.decode_png(mm.encode_png_from_text(docs))
 
 
 _PNG_QUAR_SQL = f"""
 WITH d AS (SELECT doc_id, text, doc_id % 10 AS cls,
                   least({mm.PNG_MAX_H}, length(text) // {_PNG_ROW}) AS h
-           FROM documents WHERE length(text) >= {_PNG_ROW}),
+           FROM documents
+           WHERE length(text) >= {_PNG_ROW} AND {_PNG_ASCII}),
 ok AS (SELECT doc_id, ({mm.PNG_WIDTH} * h)::BIGINT AS n_pixels,
               sum(ord(substr(text, i, 1)))::BIGINT AS sum_rgb
        FROM (SELECT doc_id, text, h,
@@ -143,7 +152,9 @@ FROM d LEFT JOIN ok ON d.doc_id = ok.doc_id"""
 def llm_multimodal_quarantine_png(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")  # ASCII: byte == char
+    )
     return mm.decode_png_quarantine(mm.encode_png_corrupted(docs))
 
 

@@ -1,0 +1,147 @@
+"""Round-10 regression tests for the r9 ADVICE items:
+
+* ``decode_png`` must handle grayscale (1-channel) PNGs — the catalog
+  fixture only ever emits RGB, so the IndexError on ``csum[1]`` was
+  latent; gray rasters now report the single channel's sum in all
+  three slots.
+* the PNG catalog oracles were character-based (``length``/``ord``)
+  while the encoder works in UTF-8 bytes; both sides now filter to
+  ASCII-only docs (``strlen(text) = length(text)`` /
+  ``octet_length == length``) — the tar-oracle byte discipline.
+* a tar cut exactly ON a 512-block member boundary (zero terminator
+  and any later members lost) must surface as truncation, not parse
+  as a shorter valid archive: real tars end with two zero blocks.
+"""
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pytest
+
+from helium_arango_etl_lite_spark.operators.llm import multimodal as mm
+from helium_arango_etl_lite_spark.plans.registry import QUERIES
+
+
+def test_decode_png_handles_grayscale(spark):
+    """ADVICE r9 (medium): a color-type-0 PNG has ONE channel sum; the
+    stats operator must not index csum[1]/csum[2] off the end. Contract:
+    gray reports its sum in all three slots (what the gray raster
+    expanded to RGB would sum to), so downstream schema is unchanged."""
+    rng = np.random.default_rng(42)
+    gray = rng.integers(0, 256, (4, 8, 1), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (4, 8, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(mm.build_png(gray))), (2, bytearray(mm.build_png(rgb)))],
+        "media_id long, content binary",
+    )
+    out = {r["media_id"]: r for r in mm.decode_png(media).collect()}
+    g = int(gray.sum())
+    assert (out[1]["sum_r"], out[1]["sum_g"], out[1]["sum_b"]) == (g, g, g)
+    assert out[1]["n_pixels"] == 32
+    assert out[1]["min_byte"] == int(gray.min())
+    assert out[1]["max_byte"] == int(gray.max())
+    csum = rgb.sum(axis=(0, 1))
+    assert (out[2]["sum_r"], out[2]["sum_g"], out[2]["sum_b"]) == tuple(
+        int(c) for c in csum
+    )
+
+
+def _oracle_docs(path: str, sql: str):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    res = con.execute(sql)
+    return [d[0] for d in res.description], res.fetchall()
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def render(v):
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else repr(v)
+        return "NULL" if v is None else str(v)
+
+    return sorted(tuple(render(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize(
+    "name", ["llm_multimodal_decode_png", "llm_multimodal_quarantine_png"]
+)
+def test_png_entries_agree_on_non_ascii_docs(spark, tmp_path, name):
+    """Regression (r9 advice): the PNG fixtures work in UTF-8 bytes but
+    the oracles in characters — with a non-ASCII doc in the table the
+    two diverged (byte length 3*W reached before char length). Both
+    sides now exclude non-ASCII docs with the same byte==char
+    predicate, so Spark and DuckDB must agree on a corpus that
+    CONTAINS such docs."""
+    row_bytes = 3 * mm.PNG_WIDTH  # 24
+    rows = [
+        # ascii, long enough: included
+        (0, "The quick brown fox jumps over the lazy dog again and again.",
+         "en", "s0"),
+        # non-ascii, char length >= 24 but byte semantics differ: excluded
+        (1, "héllo wörld café résumé naïve déjà vu über älter größer",
+         "fr", "s0"),
+        # 3-byte chars: 30 chars / 90 bytes — chars barely over one row,
+        # bytes nearly four rows; the divergence case
+        (2, "日本語テキストの行がここに続いています、確認のためです。三行目。", "ja", "s1"),
+        # ascii, too short for one row: excluded by the length guard
+        (3, "short ascii", "en", "s1"),
+        # ascii, several rows (class 3 -> signature corruption in the
+        # quarantine fixture)
+        (13, "x" * 100, "en", "s1"),
+        # ascii, class 7 -> bit-rot corruption
+        (17, "abcdefghij" * 8, "en", "s0"),
+    ]
+    pdf = duckdb.connect()
+    path = os.path.join(tmp_path, "documents.parquet")
+    pdf.execute(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({d}, '{t}', '{lang}', '{src}', {len(t)})"
+            for d, t, lang, src in rows
+        )
+        + ") AS t(doc_id, text, lang, source, n_chars)) TO '"
+        + path + "' (FORMAT PARQUET)"
+    )
+    sdf = QUERIES[name].spark_fn(spark, str(tmp_path))
+    scols = sdf.columns
+    srows = _normalize([tuple(r) for r in sdf.collect()], scols)
+    dcols, drows = _oracle_docs(path, QUERIES[name].oracle)
+    assert sorted(scols) == sorted(dcols)
+    assert srows == _normalize(drows, dcols)
+    ids = {int(r[0]) for r in drows}
+    assert 1 not in ids and 2 not in ids  # non-ascii excluded...
+    assert 0 in ids and 13 in ids and 17 in ids  # ...ascii kept
+
+
+def test_tar_boundary_cut_surfaces_as_truncation(spark):
+    """ADVICE r9 (low): a cut exactly on a padded member boundary used
+    to parse as a shorter VALID archive (the zero terminator and every
+    later member silently lost). parse_tar_index now requires the zero
+    terminator unconditionally."""
+    from helium_arango_etl_lite_spark.operators.llm.shards import (
+        index_tar_shards_quarantine, pack_tar_shards, parse_tar_index,
+    )
+
+    docs = spark.createDataFrame(
+        [("s", 1, "first doc"), ("s", 2, "second doc"), ("s", 3, "third")],
+        "source string, doc_id long, text string",
+    )
+    full = bytes(pack_tar_shards(docs).collect()[0]["shard"])
+    members = parse_tar_index(full)
+    assert len(members) == 3
+    # cut exactly after member 2's padded span: headers+payloads intact,
+    # terminator + member 3 gone
+    _, off3, _, _ = members[2]
+    with pytest.raises(ValueError, match="missing zero terminator"):
+        parse_tar_index(full[:off3])
+    # and through the quarantine operator it is one 'truncated' row
+    cut = spark.createDataFrame(
+        [("s", bytearray(full[:off3]))], "source string, shard binary"
+    )
+    row = index_tar_shards_quarantine(cut).collect()[0]
+    assert (row["status"], row["reason"]) == ("quarantined", "truncated")

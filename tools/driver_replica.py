@@ -1,6 +1,10 @@
 """Full driver replica at sf0.01 on a vanilla session: runs entry() then
 every queries() entry (first 50 = the driver's batch, then the rest),
-comparing against oracle_sql() via DuckDB exactly like the driver."""
+comparing against oracle_sql() via DuckDB exactly like the driver.
+
+Usage: python tools/driver_replica.py [N | name1 name2 ...]
+(a numeric arg limits to the first N entries; non-numeric args select
+entries by name)."""
 import importlib.util
 import math
 import sys
@@ -25,7 +29,14 @@ qs, oracles = m.queries(), m.oracle_sql()
 SF = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-limit = int(sys.argv[1]) if len(sys.argv) > 1 else len(qs)
+if len(sys.argv) > 1 and not sys.argv[1].isdigit():
+    unknown = [a for a in sys.argv[1:] if a not in qs]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
+    selected = sys.argv[1:]
+else:
+    limit = int(sys.argv[1]) if len(sys.argv) > 1 else len(qs)
+    selected = list(qs)[:limit]
 
 
 def normalize(rows, columns):
@@ -44,7 +55,7 @@ def normalize(rows, columns):
 
 
 bad = []
-for i, name in enumerate(list(qs)[:limit]):
+for i, name in enumerate(selected):
     t0 = time.time()
     try:
         sdf = qs[name](spark, SF)

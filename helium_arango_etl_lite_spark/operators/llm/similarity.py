@@ -1174,9 +1174,32 @@ def graph_route_topk(
     against exact kNN in tests; cost is hops x beam x edge_k — the
     standard beam-search ANN trade-off dial.
     """
-    from pyspark.sql import Window
+    edges = build_route_graph(
+        emb, edge_k=edge_k, seeds=seeds, id_col=id_col, vec_col=vec_col,
+        round_dp=round_dp, num_planes=num_planes, dim=dim,
+    )
+    return route_on_graph(
+        emb, edges, k=k, hops=hops, beam=beam, n_entries=n_entries,
+        entry_mod=entry_mod, query_mod=query_mod, id_col=id_col,
+        vec_col=vec_col, round_dp=round_dp,
+    )
 
-    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+
+def build_route_graph(
+    emb: DataFrame, edge_k: int = 3, seeds: tuple[int, ...] = (7, 11),
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    round_dp: int = 4, num_planes: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """BUILD half of the graph-routed ANN: the (src, dst) neighbour
+    graph — the union over ``seeds`` of each node's top-``edge_k``
+    bucketed-LSH neighbours. This is the expensive side (the r9 scale
+    soak measured build ~412 s vs search ~free at 500k vectors), so it
+    is exposed separately: build once, ``persist()`` / eager-checkpoint
+    the result, and route MANY query batches against it with
+    :func:`route_on_graph` — the second batch pays search cost only
+    (the amortization the r9 verdict asked for; certified by
+    llm_ann_graph_route_reuse)."""
     per_table = [
         knn_join_bucketed(
             emb, k=edge_k, id_col=id_col, vec_col=vec_col,
@@ -1188,13 +1211,29 @@ def graph_route_topk(
     for t in per_table[1:]:
         edges = edges.unionByName(t)
     edges = edges.distinct()
-    edges = edges.localCheckpoint(eager=False)  # scanned once per hop
+    return edges.localCheckpoint(eager=False)  # scanned once per hop
 
+
+def route_on_graph(
+    emb: DataFrame, edges: DataFrame, k: int = 5,
+    hops: int = 3, beam: int = 8, n_entries: int = 4, entry_mod: int = 16,
+    query_mod: int = 25, query_rem: int = 0,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """SEARCH half of the graph-routed ANN: coarse entry layer + beam
+    walk over a prebuilt ``edges`` graph (see :func:`build_route_graph`
+    and :func:`graph_route_topk` for semantics). ``query_rem`` selects
+    the query batch (``id % query_mod == query_rem``) so successive
+    batches can replay over ONE build."""
+    from pyspark.sql import Window
+
+    e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
     nodes = e.select(
         F.col(id_col).alias("nid"), F.col("v").alias("nv"),
         norm(F.col("v")).alias("nn"),
     )
-    queries = e.filter(F.col(id_col) % query_mod == 0).select(
+    queries = e.filter(F.col(id_col) % query_mod == query_rem).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
         norm(F.col("v")).alias("qn"),
     )

@@ -247,7 +247,10 @@ _GR_EDGE_K = 8    # graph out-degree per plane table (bucketed top-k)
 _GR_SEEDS = (7, 11)  # two independent LSH plane tables (see docstring)
 
 
-def _graph_route_sql() -> str:
+def _gr_shared_ctes() -> str:
+    """The CTEs every walk shares: embeddings, the two LSH plane
+    tables, the union-distinct edge graph, the node table, and the
+    coarse-layer sample."""
     from ..operators.llm.similarity import hyperplanes
     from .catalog_llm import EMB_DIM, NEAR_DUP_PLANES
 
@@ -259,35 +262,7 @@ def _graph_route_sql() -> str:
             f"THEN {1 << j} ELSE 0 END)"
             for j, p in enumerate(lits)
         )
-    cos = ("round(list_dot_product(q.qv, n.nv) / (q.qn * n.nn), 4)")
-    hop_ctes = []
-    for i in range(_GR_HOPS):
-        # frontier = best unexpanded nodes: excluding already-expanded
-        # nodes is what makes each hop explore new ground (see the
-        # Spark twin's comment — without it the walk stalls one hop out)
-        excl = "" if i == 0 else f"""
-          WHERE NOT EXISTS (SELECT 1 FROM ex{i - 1} e
-                            WHERE e.query_id = s{i}.query_id
-                              AND e.nid = s{i}.nid)"""
-        ex = (
-            f"ex{i} AS (SELECT query_id, nid FROM f{i})" if i == 0 else
-            f"ex{i} AS (SELECT query_id, nid FROM ex{i - 1}\n"
-            f"           UNION ALL SELECT query_id, nid FROM f{i})"
-        )
-        hop_ctes.append(f"""
-f{i} AS (SELECT query_id, nid FROM (
-          SELECT query_id, nid, row_number() OVER (
-              PARTITION BY query_id ORDER BY cos_sim DESC, nid) AS rk
-          FROM s{i}{excl}) WHERE rk <= {_GR_BEAM}),
-{ex},
-x{i} AS (SELECT DISTINCT f.query_id, ed.dst AS nid
-         FROM f{i} f JOIN edges ed ON ed.src = f.nid),
-c{i} AS (SELECT x.query_id, x.nid, {cos} AS cos_sim
-         FROM x{i} x JOIN nodes n ON n.nid = x.nid
-                     JOIN q ON q.query_id = x.query_id
-         WHERE x.nid <> x.query_id),
-s{i + 1} AS (SELECT DISTINCT query_id, nid, cos_sim FROM (
-              SELECT * FROM s{i} UNION ALL SELECT * FROM c{i}))""")
+
     table_ctes, table_sels = [], []
     for t, seed in enumerate(_GR_SEEDS):
         table_ctes.append(f"""
@@ -309,22 +284,68 @@ edges AS (SELECT DISTINCT src, dst FROM (
            {" UNION ALL ".join(table_sels)})),
 nodes AS (SELECT vec_id AS nid, v AS nv,
                  sqrt(list_dot_product(v, v)) AS nn FROM e),
-q AS (SELECT vec_id AS query_id, v AS qv,
+ent AS (SELECT vec_id AS nid FROM e WHERE vec_id % {_GR_EMOD} = 0)"""
+
+
+def _gr_walk_ctes(rem: int, p: str) -> str:
+    """One batch's walk unrolled as CTEs (prefix ``p``): query table
+    (vec_id % _GR_QMOD == rem), coarse entry layer, _GR_HOPS rounds of
+    beam cut / visited exclusion / expansion / scoring / merge. The
+    final merged-seen CTE is ``{p}s{_GR_HOPS}``."""
+    cos = (f"round(list_dot_product({p}q.qv, n.nv) / ({p}q.qn * n.nn), 4)")
+    hop_ctes = []
+    for i in range(_GR_HOPS):
+        # frontier = best unexpanded nodes: excluding already-expanded
+        # nodes is what makes each hop explore new ground (see the
+        # Spark twin's comment — without it the walk stalls one hop out)
+        excl = "" if i == 0 else f"""
+          WHERE NOT EXISTS (SELECT 1 FROM {p}ex{i - 1} e
+                            WHERE e.query_id = {p}s{i}.query_id
+                              AND e.nid = {p}s{i}.nid)"""
+        ex = (
+            f"{p}ex{i} AS (SELECT query_id, nid FROM {p}f{i})" if i == 0
+            else
+            f"{p}ex{i} AS (SELECT query_id, nid FROM {p}ex{i - 1}\n"
+            f"           UNION ALL SELECT query_id, nid FROM {p}f{i})"
+        )
+        hop_ctes.append(f"""
+{p}f{i} AS (SELECT query_id, nid FROM (
+          SELECT query_id, nid, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, nid) AS rk
+          FROM {p}s{i}{excl}) WHERE rk <= {_GR_BEAM}),
+{ex},
+{p}x{i} AS (SELECT DISTINCT f.query_id, ed.dst AS nid
+         FROM {p}f{i} f JOIN edges ed ON ed.src = f.nid),
+{p}c{i} AS (SELECT x.query_id, x.nid, {cos} AS cos_sim
+         FROM {p}x{i} x JOIN nodes n ON n.nid = x.nid
+                     JOIN {p}q ON {p}q.query_id = x.query_id
+         WHERE x.nid <> x.query_id),
+{p}s{i + 1} AS (SELECT DISTINCT query_id, nid, cos_sim FROM (
+              SELECT * FROM {p}s{i} UNION ALL SELECT * FROM {p}c{i}))""")
+    return f"""
+{p}q AS (SELECT vec_id AS query_id, v AS qv,
              sqrt(list_dot_product(v, v)) AS qn
-      FROM e WHERE vec_id % {_GR_QMOD} = 0),
-ent AS (SELECT vec_id AS nid FROM e WHERE vec_id % {_GR_EMOD} = 0),
-sp AS (SELECT q.query_id, ent.nid, {cos} AS cos_sim
-       FROM q CROSS JOIN ent JOIN nodes n ON n.nid = ent.nid
-       WHERE ent.nid <> q.query_id),
-s0 AS (SELECT query_id, nid, cos_sim FROM (
+      FROM e WHERE vec_id % {_GR_QMOD} = {rem}),
+{p}sp AS (SELECT {p}q.query_id, ent.nid, {cos} AS cos_sim
+       FROM {p}q CROSS JOIN ent JOIN nodes n ON n.nid = ent.nid
+       WHERE ent.nid <> {p}q.query_id),
+{p}s0 AS (SELECT query_id, nid, cos_sim FROM (
         SELECT query_id, nid, cos_sim, row_number() OVER (
             PARTITION BY query_id ORDER BY cos_sim DESC, nid) AS rk
-        FROM sp) WHERE rk <= {_GR_ENTRIES}),{",".join(hop_ctes)}
-SELECT query_id, nid, cos_sim, rank FROM (
+        FROM {p}sp) WHERE rk <= {_GR_ENTRIES}),{",".join(hop_ctes)}"""
+
+
+def _gr_final_select(p: str, extra_cols: str = "") -> str:
+    return f"""
+SELECT {extra_cols}query_id, nid, cos_sim, rank FROM (
   SELECT query_id, nid, cos_sim, row_number() OVER (
       PARTITION BY query_id ORDER BY cos_sim DESC, nid) AS rank
-  FROM s{_GR_HOPS})
+  FROM {p}s{_GR_HOPS})
 WHERE rank <= {_GR_K}"""
+
+
+def _graph_route_sql() -> str:
+    return _gr_shared_ctes() + "," + _gr_walk_ctes(0, "") + _gr_final_select("")
 
 
 @register(

@@ -23,25 +23,19 @@ queries, so it was removed on advisor direction).
   pytest replica ``tests/test_oracle_parity.py`` covers the whole catalog
   on every run regardless of this ordering).
 
-Round-9 batch (applied): THE RE-VERIFICATION ROUND the r8 verdict
-ordered — never-verified hit zero in round 8, so the batch is spent on
-the independent-oracle backlog. Composition: the 6 brand-new round-9
-entries (stdlib-zlib PNG decode, its corrupt-container quarantine twin,
-member-capped WebDataset sharding, graph-routed ANN whose oracle
-unrolls the beam-search walk, multi-member gzip JSONL round-trip and
-its quarantine twin — never driver-verified), then the 5
-entries whose CODE or ORACLE changed this round and need a fresh
-independent row (the four tar-shard entries moved to byte-based
-strlen()/octet_length() oracles and gained the trailing-partial-block
-truncation guard; llm_weighted_sample now fixed-points its selection
-key before the top-k), then ALL 33 r4-era re-checks (the entries whose
-newest driver row was 5 rounds old — llm_knn_join, llm_decontaminate,
-llm_bm25_search, graph_pagerank, the six TPC-H shapes, both window
-entries, and the rest), then the 6 alphabetically-first r5-era entries
-that fit the remaining slots (the other 43 r5-era entries rotate to
-round 10). After this batch lands, zero catalog entries have a newest
-driver row older than r5. The full catalog is still locally replicated
-green every round — tools/driver_replica.py.
+Round-10 batch (applied): exactly what the r9 verdict ordered — the 4
+brand-new round-10 entries first (the graph-ANN build/search split
+whose oracle unrolls two beam walks over ONE shared edge graph, the
+member-capped gzip-JSONL pack + its quarantine twin, and the
+salt-capped interval-overlap join), then the 3 round-9 entries whose
+ORACLE/CODE changed this round (the PNG pair moved to byte==char
+ASCII-filtered oracles per the r9 advice; llm_shard_quarantine's
+parser now rejects boundary-cut tars missing the zero terminator),
+then ALL 43 r5-stale entries (the 16 extended TPC-H shapes, the window
+family, semdedup, doc-pack-scalable, kmeans, label propagation,
+follow_replay, and the rest — tools/batch_staleness.py lists them).
+After this batch lands the staleness floor is r6. The full catalog is
+still locally replicated green every round — tools/driver_replica.py.
 """
 
 from __future__ import annotations
@@ -63,64 +57,63 @@ from . import catalog_round8d  # noqa: F401  (weighted sample, naive Bayes, PMI,
 from . import catalog_round8e  # noqa: F401  (Gini, Benford, n-gram novelty, trend slope)
 from . import catalog_round8f  # noqa: F401  (SCD2 lookup, modularity, Theil index)
 from . import catalog_round9  # noqa: F401  (PNG decode, capped shards, graph ANN)
+from . import catalog_round10  # noqa: F401  (ANN build reuse, capped gzip, salted interval join)
 
 DRIVER_BATCH: list[str] = [
-    # -- new this round (6): never driver-verified ----------------------
+    # -- new this round (4): never driver-verified ----------------------
+    "llm_ann_graph_route_reuse",
+    "llm_gzip_jsonl_capped",
+    "llm_gzip_quarantine_capped",
+    "join_interval_overlap_capped",
+    # -- changed this round (3): PNG oracles moved to byte==char ASCII
+    #    filtering; tar parser now requires the zero terminator ---------
     "llm_multimodal_decode_png",
     "llm_multimodal_quarantine_png",
-    "llm_webdataset_index_capped",
-    "llm_ann_graph_route",
-    "llm_gzip_jsonl_roundtrip",
-    "llm_gzip_quarantine",
-    # -- changed this round (5): byte-based tar oracles + truncation
-    #    guard; fixed-point weighted-sample selection key ---------------
-    "llm_webdataset_index",
-    "llm_webdataset_fetch",
-    "llm_curation_end_to_end",
     "llm_shard_quarantine",
-    "llm_weighted_sample",
-    # -- re-checks (33): every entry whose newest driver row is r4 ------
-    "agg_grouped_topn",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "join_outer_reconcile",
-    "join_semi_urgent",
-    "llm_bigram_topk",
-    "llm_blocklist_filter",
-    "llm_bm25_search",
-    "llm_bpe_pair_counts",
-    "llm_centroid_assign",
-    "llm_cross_dedup",
-    "llm_dataset_split",
-    "llm_decontaminate",
-    "llm_dedup_exact_norm",
-    "llm_doc_pack",
-    "llm_frame_sample",
-    "llm_inverted_index",
-    "llm_knn_join",
-    "llm_knn_join_bucketed",
-    "llm_length_histogram",
-    "llm_quantize_int8",
-    "llm_regex_scrub",
-    "llm_repetition_score",
-    "llm_sample_stratified",
-    "llm_tfidf_topk",
-    "tpch_q18_large_orders",
-    "tpch_q1_pricing",
-    "tpch_q3_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_region_volume",
-    "tpch_q6_forecast",
-    "window_moving_avg",
-    "window_running_sum",
-    # -- re-checks (6): the alphabetically-first r5-era entries;
-    #    the remaining 43 rotate to round 10 (tools/batch_staleness.py) -
-    "agg_grouping_sets",
-    "agg_payment_volume",
-    "agg_stats_profile",
-    "agg_string_agg",
-    "argmin_cheapest_supplier",
-    "events_anomaly_zscore",
+    # -- re-checks (43): every entry whose newest driver row is r5 ------
+    "follow_replay",
+    "graph_common_neighbors",
+    "graph_degree_distribution",
+    "graph_label_propagation",
+    "join_salted_skew",
+    "json_extract_props",
+    "llm_ccnet_buckets",
+    "llm_char_entropy",
+    "llm_dedup_ngram_jaccard_capped",
+    "llm_doc_pack_scalable",
+    "llm_importance_sample",
+    "llm_kmeans_iter",
+    "llm_mix_rebalance",
+    "llm_ngram_lm_score",
+    "llm_oov_rate",
+    "llm_paragraph_dedup",
+    "llm_semdedup",
+    "llm_semdedup_capped",
+    "llm_seq_len_buckets",
+    "set_ops_customers",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_priority",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_bilateral_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "window_first_last",
+    "window_gap_islands",
+    "window_ntile_decile",
+    "window_ntile_decile_scalable",
+    "window_rank_distribution",
+    "window_sliding_time",
+    "window_time_range_sum",
 ]
 
 

@@ -118,6 +118,60 @@ def test_png_entries_agree_on_non_ascii_docs(spark, tmp_path, name):
     assert 0 in ids and 13 in ids and 17 in ids  # ...ascii kept
 
 
+def test_graph_route_reuse_batch0_equals_single_build(spark, sf_dir):
+    """The build/search split must be a pure refactor: batch 0 of the
+    reuse entry (routed over the ONE materialized graph) is exactly the
+    single-shot llm_ann_graph_route result."""
+    single = sorted(
+        tuple(r)
+        for r in QUERIES["llm_ann_graph_route"].spark_fn(spark, sf_dir)
+        .select("query_id", "nid", "cos_sim", "rank").collect()
+    )
+    reuse = QUERIES["llm_ann_graph_route_reuse"].spark_fn(spark, sf_dir)
+    batch0 = sorted(
+        tuple(r)
+        for r in reuse.filter("batch = 0")
+        .select("query_id", "nid", "cos_sim", "rank").collect()
+    )
+    assert batch0 == single
+    # batch 1 exists and is a different query set
+    b1 = {r["query_id"] for r in reuse.filter("batch = 1").collect()}
+    assert b1 and all(q % 25 == 1 for q in b1)
+
+
+def test_capped_gzip_bounds_members_per_blob(spark, sf_dir):
+    from helium_arango_etl_lite_spark.plans.catalog_round9 import (
+        _CAP_MEMBERS,
+    )
+
+    out = (
+        QUERIES["llm_gzip_jsonl_capped"].spark_fn(spark, sf_dir)
+        .groupBy("shard_key").count().toPandas()
+    )
+    assert out["count"].max() <= _CAP_MEMBERS
+    # the cap BINDS on the fixture: more blobs than sources
+    n_sources = len({k.rsplit("/", 1)[0] for k in out["shard_key"]})
+    assert len(out) > n_sources
+
+
+def test_interval_overlap_capped_is_strict_subset(spark, sf_dir):
+    """The salt cap is a recall-only approximation: every emitted pair
+    must exist in the uncapped result, and at the fixture cap the split
+    must actually DROP pairs (value-visible to the driver hash)."""
+    full = {
+        tuple(r)
+        for r in QUERIES["join_interval_overlap"].spark_fn(spark, sf_dir)
+        .collect()
+    }
+    capped = {
+        tuple(r)
+        for r in QUERIES["join_interval_overlap_capped"]
+        .spark_fn(spark, sf_dir).collect()
+    }
+    assert capped <= full
+    assert len(capped) < len(full)
+
+
 def test_tar_boundary_cut_surfaces_as_truncation(spark):
     """ADVICE r9 (low): a cut exactly on a padded member boundary used
     to parse as a shorter VALID archive (the zero terminator and every

@@ -141,6 +141,11 @@ HEADLINE = [
     "llm_ann_graph_route",            # beam search over a kNN graph
     "llm_gzip_jsonl_roundtrip",       # multi-member .jsonl.gz round-trip
     "llm_gzip_quarantine",            # corrupt-blob failure isolation
+    # round-10 additions
+    "llm_ann_graph_route_reuse",      # one graph build, two query batches
+    "llm_gzip_jsonl_capped",          # member-capped .jsonl.gz packing
+    "llm_gzip_quarantine_capped",     # capped-blob failure isolation
+    "join_interval_overlap_capped",   # cell-level salt-capped range join
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -221,6 +226,31 @@ R8_COMPARABLE = R7_COMPARABLE | {
     "llm_logreg_sweep", "agg_market_basket", "events_forecast_backtest",
     "llm_webdataset_index", "llm_webdataset_fetch",
     "llm_curation_end_to_end", "llm_shard_quarantine",
+}
+
+# The round-9 headline set frozen for round 10+ like-for-like totals
+# (r9 measured warm 185.9 s over these 113 at calib 3.607 / calib_state
+# 3.791). CAVEAT: the two PNG entries gained an ASCII-only doc filter in
+# round 10 (oracle-correctness fix; ~no-op on the ASCII fixture).
+R9_COMPARABLE = R8_COMPARABLE | {
+    "llm_multimodal_decode_png", "llm_multimodal_quarantine_png",
+    "llm_webdataset_index_capped", "llm_ann_graph_route",
+    "llm_gzip_jsonl_roundtrip", "llm_gzip_quarantine",
+}
+
+# Queries whose wall is dominated by Arrow/pandas Python workers — their
+# cross-round deltas are normalized by calib_py_sec, not the JVM
+# calib_sec (the r8 lesson: the JVM axis over-corrects them).
+PY_BOUND = {
+    "llm_multimodal_features", "llm_multimodal_decode_ppm",
+    "llm_multimodal_decode_wav", "llm_multimodal_decode_png",
+    "llm_multimodal_quarantine_ppm", "llm_multimodal_quarantine_wav",
+    "llm_multimodal_quarantine_png", "llm_webdataset_index",
+    "llm_webdataset_index_capped", "llm_webdataset_fetch",
+    "llm_curation_end_to_end", "llm_shard_quarantine",
+    "llm_gzip_jsonl_roundtrip", "llm_gzip_quarantine",
+    "llm_gzip_jsonl_capped", "llm_gzip_quarantine_capped",
+    "agg_reservoir_per_group",
 }
 
 SMALL_OUTPUT = {
@@ -442,7 +472,85 @@ def main() -> None:
         "warm_total_r8_subset": round(
             sum(v for q, v in timings.items() if q in R8_COMPARABLE), 3
         ),
+        "warm_total_r9_subset": round(
+            sum(v for q, v in timings.items() if q in R9_COMPARABLE), 3
+        ),
     }
+
+    # Calib-normalized per-query ratios vs the PREVIOUS round's committed
+    # BENCH_DETAIL.json (r9 verdict task 6): each query's raw ratio is
+    # divided by its family's calibration axis — calib_state_sec for the
+    # *_replay family, calib_py_sec for PY_BOUND (Arrow/pandas-worker-
+    # dominated), calib_sec for the rest — so a raw-tail outlier like
+    # r9's llm_topk_cosine 1.70x is adjudicated by artifact instead of
+    # the judge re-deriving it. Regressions > 1.25x normalized are
+    # flagged by name; the full table lands in BENCH_DETAIL.json and the
+    # printed line carries the count + the worst offenders.
+    detail_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    norm_summary: dict = {}
+    norm_detail: dict = {}
+    try:
+        with open(detail_file) as f:
+            prev = json.load(f)
+        if prev.get("sf") != (
+            float(sf) if sf.replace(".", "").isdigit() else sf
+        ):
+            raise KeyError("prev detail is a different scale factor")
+        axes = {
+            "jvm": calib / prev["calib_sec"],
+            "py": calib_py / prev["calib_py_sec"],
+            "state": calib_state / prev["calib_state_sec"],
+        }
+        per_query: dict[str, float] = {}
+        axis_of: dict[str, str] = {}
+        pq = prev.get("queries", {})
+        for q, new_t in timings.items():
+            old_t = pq.get(q)
+            if not old_t or old_t <= 0:
+                continue
+            axis = (
+                "state" if "_replay" in q
+                else "py" if q in PY_BOUND
+                else "jvm"
+            )
+            per_query[q] = round((new_t / old_t) / axes[axis], 3)
+            axis_of[q] = axis
+        regressions = {
+            q: r for q, r in sorted(
+                per_query.items(), key=lambda kv: -kv[1]
+            ) if r > 1.25
+        }
+        shared = [q for q in per_query]
+        raw_ratio = (
+            sum(timings[q] for q in shared) / sum(pq[q] for q in shared)
+            if shared else None
+        )
+        norm_detail = {
+            "prev_calib": {
+                "calib_sec": prev["calib_sec"],
+                "calib_py_sec": prev["calib_py_sec"],
+                "calib_state_sec": prev["calib_state_sec"],
+            },
+            "axis_ratios": {k: round(v, 3) for k, v in axes.items()},
+            "axis_of": axis_of,
+            "per_query_normalized": per_query,
+            "regressions_gt_1_25": regressions,
+            "shared_raw_total_ratio": (
+                round(raw_ratio, 3) if raw_ratio else None
+            ),
+            "shared_norm_total_ratio": (
+                round(raw_ratio / axes["jvm"], 3) if raw_ratio else None
+            ),
+        }
+        norm_summary = {
+            "norm_prev_shared_ratio": norm_detail["shared_norm_total_ratio"],
+            "norm_regressions_gt_1_25": len(regressions),
+            "norm_worst": dict(list(regressions.items())[:3]),
+        }
+    except (OSError, KeyError, json.JSONDecodeError, ZeroDivisionError):
+        norm_summary = {"norm_prev_shared_ratio": None}
     # Full per-query detail goes to a FILE: round 7's headline line (64
     # queries of timings) outgrew the driver's 2000-char tail capture,
     # leaving BENCH_r07.json with parsed=null — so the single printed
@@ -451,9 +559,6 @@ def main() -> None:
     # complete map + cold walls + errors land in BENCH_DETAIL.json next
     # to this script (tools/compare_bench.py reads it when present and
     # can also regex-recover pairs from a truncated tail).
-    detail_file = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
     top15 = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:15]
     )
@@ -479,12 +584,15 @@ def main() -> None:
         "n_ok": len(timings),
         "n_errors": len(errors),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **norm_summary,
     }
     if errors:
         out["partial_total"] = total
     detail = dict(out)
     detail["queries"] = timings
     detail["cold"] = cold
+    if norm_detail:
+        detail["normalized_vs_prev"] = norm_detail
     if errors:
         detail["errors"] = errors
     with open(detail_file, "w") as f:

@@ -291,12 +291,22 @@ def join_interval_overlap_capped(
         "event_id", "user_id", s.alias("s"),
         (s + 60 + F.pmod("event_id", F.lit(240))).alias("t"),
     )
+    return interval_overlap_salted(e, cap=_IVC_CAP)
+
+
+def interval_overlap_salted(
+    e: DataFrame, cap: int, cell_w: int = _IV_CELL
+) -> DataFrame:
+    """Salt-capped interval-overlap pairing over a prepared
+    (event_id, user_id, s, t) frame — the capped entry's plan with the
+    cap as a dial, so soaks can measure production-scale caps (e.g.
+    500) against hot-cell fixtures without re-deriving the plan."""
     cells = e.select(
         "*",
         F.explode(
             F.sequence(
-                F.floor(F.col("s") / _IV_CELL).cast("long"),
-                F.floor((F.col("t") - 1) / _IV_CELL).cast("long"),
+                F.floor(F.col("s") / cell_w).cast("long"),
+                F.floor((F.col("t") - 1) / cell_w).cast("long"),
             )
         ).alias("cell"),
     )
@@ -306,7 +316,7 @@ def join_interval_overlap_capped(
         hash32(F.concat(F.col("event_id").cast("string"), F.lit(":iv")))
         % F.greatest(
             F.lit(1).cast("long"),
-            F.ceil(F.col("cn") / _IVC_CAP).cast("long"),
+            F.ceil(F.col("cn") / cap).cast("long"),
         ),
     )
     a, b = salted.alias("a"), salted.alias("b")

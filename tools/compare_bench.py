@@ -27,9 +27,10 @@ import sys
 _SCALAR_KEYS = {
     "value", "warm_total", "cold_total", "warm_total_r4_subset",
     "warm_total_r5_subset", "warm_total_r6_subset", "warm_total_r7_subset",
-    "warm_total_r8_subset",
+    "warm_total_r8_subset", "warm_total_r9_subset",
     "calib_sec", "calib_py_sec", "calib_state_sec", "n_ok", "n_errors",
     "sf", "partial_total", "queries_truncated_to",
+    "norm_prev_shared_ratio", "norm_regressions_gt_1_25",
 }
 
 

@@ -146,6 +146,8 @@ HEADLINE = [
     "llm_gzip_jsonl_capped",          # member-capped .jsonl.gz packing
     "llm_gzip_quarantine_capped",     # capped-blob failure isolation
     "join_interval_overlap_capped",   # cell-level salt-capped range join
+    "llm_bpe_train",                  # iterative BPE merges, argmax loop
+    "llm_audio_features",             # windowed energy + ZCR frames
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow

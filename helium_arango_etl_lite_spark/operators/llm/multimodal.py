@@ -536,6 +536,65 @@ QUARANTINE_WAV_SCHEMA = StructType(
 )
 
 
+AUDIO_FEAT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("window_idx", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("energy", LongType(), False),
+        StructField("n_zero_cross", LongType(), False),
+    ]
+)
+
+
+def audio_features(media: DataFrame, window: int = 16) -> DataFrame:
+    """WINDOWED audio feature extraction over the real RIFF/WAVE decode
+    — the step past :func:`decode_wav`'s whole-clip stats that real
+    audio curation needs (silence trimming, speech/music gating, clip
+    segmentation all work on windowed energy + zero-crossing rate).
+
+    Per clip, per ``window``-sample frame (last frame partial):
+
+    * ``energy`` = sum of squared amplitude (8-bit PCM centered at the
+      spec midpoint 128; 16-bit is already signed) — integer-exact;
+    * ``n_zero_cross`` = count of adjacent sample pairs INSIDE the
+      frame whose DC-REMOVED signs differ. Every real ZCR
+      implementation subtracts the clip's DC offset (its mean) before
+      counting — and it is load-bearing here: the fixture's samples
+      are ASCII text bytes (all < 128), so a raw 128-centered sign
+      never flips, while the de-meaned sign carries real structure.
+      Kept integer-exact by comparing ``v * n >= sum(v)`` instead of
+      ``v >= mean`` (no float mean, no rounding ambiguity).
+
+    Map-only Arrow batches over clips, zero shuffle; frames of one clip
+    are computed in one numpy pass, clips are embarrassingly parallel —
+    the same scale shape as every decode_* operator."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                meta, s = parse_wav(bytes(buf))
+                if len(s) == 0:
+                    raise ValueError("empty data chunk")
+                raw = s.astype(np.int64)
+                v = raw - 128 if meta["bits"] == 8 else raw
+                sg = raw * len(raw) >= raw.sum()  # DC-removed sign
+                for wi in range(0, len(v), window):
+                    seg = v[wi: wi + window]
+                    sseg = sg[wi: wi + window]
+                    rows.append(
+                        (
+                            int(mid), wi // window, len(seg),
+                            int((seg * seg).sum()),
+                            int((sseg[:-1] != sseg[1:]).sum()),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=AUDIO_FEAT_SCHEMA.fieldNames())
+
+    return media.mapInPandas(batches, AUDIO_FEAT_SCHEMA)
+
+
 def decode_wav_quarantine(media: DataFrame) -> DataFrame:
     """WAV decode with the same quarantine split as
     :func:`decode_ppm_quarantine`; additionally classifies the

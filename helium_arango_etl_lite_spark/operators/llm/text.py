@@ -470,6 +470,92 @@ def bpe_pair_counts(
     )
 
 
+def bpe_train(
+    df: DataFrame, rounds: int = 5, text: str = "text"
+) -> DataFrame:
+    """FULL iterative BPE tokenizer training for ``rounds`` merge
+    rounds — the loop :func:`bpe_pair_counts` is one round of, run to
+    completion over the word-TYPE table (the classic Sennrich recipe:
+    train on distinct words weighted by corpus frequency, which at any
+    corpus size is vocabulary-sized, not corpus-sized).
+
+    Deterministic, engine-portable semantics (so a SQL oracle can
+    unroll every round):
+
+    * corpus -> word-frequency table (``^[a-z]+$`` words only);
+    * each word is encoded as per-token-delimited text ``|c||h||a|...``
+      — each token carries its OWN delimiters, so a pair merge is
+      exactly one literal ``replace('|lt||rt|' -> '|ltrt|')``: string
+      replace scans left-to-right non-overlapping, which IS greedy BPE
+      merge order, and the per-token delimiters make boundary overlaps
+      impossible (this is what lets both engines express the merge as
+      one codegen'd string op instead of a per-word fold);
+    * per round: count adjacent token pairs weighted by word frequency
+      (overlapping pairs count, the standard convention), pick argmax
+      with (count DESC, left ASC, right ASC) tiebreak, merge, repeat.
+
+    Returns one row per merge round: (round, lt, rt, merged, cnt).
+
+    SCALE: each round is one map pass over the word-type table + one
+    (lt, rt)-keyed partial aggregate whose key space is bounded by the
+    current vocab squared but in practice tiny, + ONE driver-side
+    ``first()`` fetching the single argmax row (O(1) bytes — the same
+    bounded driver action as llm_kmeans_iter's centroid refresh). The
+    word-type table never grows with corpus size beyond vocabulary, so
+    100 TB of text trains at the cost of its distinct-word dictionary
+    (reference has no tokenizer surface — north-star extension)."""
+    words = (
+        df.select(F.explode(F.split(F.col(text), " ")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    enc = F.expr(
+        "array_join(transform(split(w, ''), c -> concat('|', c, '|')), '')"
+    )
+    wt = words.select("freq", enc.alias("enc"))
+    # the word-type table is vocabulary-sized and is re-scanned every
+    # round: materialize it once (at fleet scale: persist to storage)
+    wt = wt.localCheckpoint(eager=True)
+
+    merges = []
+    for r in range(rounds):
+        ts = F.split(F.expr("trim(BOTH '|' FROM enc)"), r"\|\|")
+        pairs = (
+            wt.select("freq", ts.alias("ts"))
+            .filter(F.size("ts") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ts) - 1),"
+                        " i -> struct(ts[i - 1] AS lt, ts[i] AS rt))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lt", "p.rt")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "lt", "rt").first()
+        if best is None:
+            break
+        lt, rt, cnt = best["lt"], best["rt"], int(best["cnt"])
+        merges.append((r, lt, rt, lt + rt, cnt))
+        wt = wt.select(
+            "freq",
+            F.expr(
+                "replace(enc, '|{0}||{1}|', '|{0}{1}|')".format(
+                    lt.replace("'", "''"), rt.replace("'", "''")
+                )
+            ).alias("enc"),
+        ).localCheckpoint(eager=True)
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "round int, lt string, rt string, merged string, cnt long"
+    )
+
+
 #: default blocklist for the C4-style term filter; real deployments load a
 #: curated list and broadcast it the same way.
 BLOCKLIST = ["dup", "slow", "drop"]

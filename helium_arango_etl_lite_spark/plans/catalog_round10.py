@@ -221,6 +221,156 @@ def llm_gzip_quarantine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# windowed audio features over the real WAV decode (energy + ZCR frames)
+# ---------------------------------------------------------------------------
+
+_AF_WIN = 16
+
+
+def _audio_features_sql() -> str:
+    from ..operators.llm import multimodal as mm
+
+    n_max = mm.WAV_MAX_SAMPLES
+    return f"""
+WITH d AS (SELECT doc_id, text,
+                  least({n_max}, length(text))::BIGINT AS n
+           FROM documents
+           WHERE length(text) >= 1 AND strlen(text) = length(text)),
+b AS (SELECT doc_id, n, i,
+             ord(substr(text, i::INT, 1))::BIGINT AS raw,
+             (i - 1) // {_AF_WIN} AS win
+      FROM (SELECT doc_id, text, n,
+                   unnest(generate_series(1, n)) AS i FROM d)),
+t AS (SELECT doc_id, sum(raw)::BIGINT AS tot FROM b GROUP BY 1),
+z AS (SELECT b.doc_id, win, i, n, raw - 128 AS v,
+             (raw * n >= tot) AS sg,
+             lead(raw * n >= tot) OVER (PARTITION BY b.doc_id ORDER BY i)
+                 AS nsg
+      FROM b JOIN t ON b.doc_id = t.doc_id)
+SELECT doc_id AS media_id,
+       win AS window_idx,
+       count(*)::BIGINT AS n_samples,
+       sum(v * v)::BIGINT AS energy,
+       sum(CASE WHEN i % {_AF_WIN} != 0 AND i < n
+                 AND sg != nsg THEN 1 ELSE 0 END)::BIGINT
+           AS n_zero_cross
+FROM z GROUP BY 1, 2"""
+
+
+@register(
+    "llm_audio_features",
+    _audio_features_sql(),
+    doc=f"Windowed audio FEATURE extraction — the step past "
+        "llm_multimodal_decode_wav's whole-clip stats that audio "
+        f"curation actually gates on: per {_AF_WIN}-sample frame of "
+        "each clip, integer-exact energy (sum of squared spec-centered "
+        "amplitude) and DC-REMOVED zero-crossing count (sign flips of "
+        "v*n >= sum(v) within the frame — mean subtraction is what "
+        "every real ZCR does first, and the integer cross-multiplied "
+        "form avoids float-mean rounding ambiguity across engines) — "
+        "the two features silence trimming and "
+        "speech/music gating are built from. The clip is a REAL "
+        "RIFF/WAVE file built JVM-side and decoded by the "
+        "chunk-walking parser (parse_wav), so the oracle reproduces "
+        "every frame's numbers from the source text with ord() — a "
+        "parser wrong about the data offset, or a windowing wrong at "
+        "the partial last frame, mismatches immediately. ASCII-only "
+        "doc filter on both sides (byte == char, the PNG/tar "
+        "discipline). Map-only Arrow batches, zero shuffle; frames "
+        "of a clip are one numpy pass, clips embarrassingly parallel "
+        "(operators/llm/multimodal.py:audio_features; reference has "
+        "no multimodal surface — north-star extension).",
+    tags=("llm", "multimodal"),
+)
+def llm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.octet_length("text") == F.length("text"))
+        & (F.length("text") >= 1)
+    )
+    return mm.audio_features(
+        mm.encode_wav_from_text(docs), window=_AF_WIN
+    )
+
+
+# ---------------------------------------------------------------------------
+# iterative BPE tokenizer training (the loop llm_bpe_pair_counts is one
+# round of, run to completion — oracle unrolls every merge round)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 5
+
+
+def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """DuckDB mirror of ``text.bpe_train``: the word-type table, the
+    per-token-delimited encoding, and ``rounds`` unrolled CTE blocks of
+    (pair count -> argmax -> replace-merge) — the same certify-the-
+    whole-loop discipline as the graph-ANN walk oracle."""
+    ctes = ["""
+wt AS (SELECT w, count(*)::BIGINT AS freq
+       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
+e0 AS (SELECT freq,
+              array_to_string(list_transform(
+                  generate_series(1, length(w)),
+                  i -> '|' || substr(w, i, 1) || '|'), '') AS enc
+       FROM wt)"""]
+    for r in range(rounds):
+        ctes.append(f"""
+p{r} AS (SELECT freq, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+       FROM (SELECT freq, string_split(trim(enc, '|'), '||') AS ts
+             FROM e{r})
+       WHERE len(ts) >= 2),
+c{r} AS (SELECT ts[i] AS lt, ts[i + 1] AS rt, sum(freq)::BIGINT AS cnt
+       FROM p{r} GROUP BY 1, 2),
+b{r} AS (SELECT lt, rt, cnt FROM c{r}
+       ORDER BY cnt DESC, lt, rt LIMIT 1),
+e{r + 1} AS (SELECT freq,
+              replace(enc, '|' || b{r}.lt || '||' || b{r}.rt || '|',
+                           '|' || b{r}.lt || b{r}.rt || '|') AS enc
+       FROM e{r} CROSS JOIN b{r})""")
+    finals = [
+        f"SELECT {r} AS round, lt, rt, lt || rt AS merged, cnt FROM b{r}"
+        for r in range(rounds)
+    ]
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@register(
+    "llm_bpe_train",
+    _bpe_train_sql(),
+    doc=f"FULL iterative BPE tokenizer training, {_BPE_ROUNDS} merge "
+        "rounds — the loop llm_bpe_pair_counts is one round of, run to "
+        "completion over the word-TYPE table (Sennrich's recipe: train "
+        "on distinct words weighted by corpus frequency — vocabulary-"
+        "sized at ANY corpus size, which is what makes tokenizer "
+        "training feasible at 100 TB). The merge itself is expressed as "
+        "ONE literal string replace over a per-token-delimited encoding "
+        "('|c||h|...' — each token carries its own delimiters, so "
+        "left-to-right non-overlapping replace IS greedy BPE merge "
+        "order and boundary overlaps are impossible); both engines run "
+        "the identical op, keeping every round inside codegen. Per "
+        "round: one map pass + one (lt,rt)-keyed partial agg + a "
+        "single-row argmax first() (the bounded driver action "
+        "llm_kmeans_iter already models). THE ORACLE UNROLLS ALL "
+        f"{_BPE_ROUNDS} ROUNDS — pair counting, the (cnt DESC, lt, rt) "
+        "argmax, and the replace-merge are replayed in pure SQL CTEs, "
+        "so the driver hash certifies the training loop itself, not "
+        "just one round's counts "
+        "(operators/llm/text.py:bpe_train; reference has no tokenizer "
+        "surface — north-star extension).",
+    tags=("llm", "text", "scale"),
+)
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.text import bpe_train
+
+    return bpe_train(
+        load_table(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
+    )
+
+
+# ---------------------------------------------------------------------------
 # interval-overlap join with the cell-level salt cap (the residual dial)
 # ---------------------------------------------------------------------------
 

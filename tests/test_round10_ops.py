@@ -172,6 +172,74 @@ def test_interval_overlap_capped_is_strict_subset(spark, sf_dir):
     assert len(capped) < len(full)
 
 
+def test_bpe_train_golden_merges(spark):
+    """Hand-computed BPE merges on a tiny corpus: words ab x3, aba x1,
+    b x1. Round 0: (a,b) count 4 (3 from 'ab', 1 from 'aba') beats
+    (b,a) count 1 -> merge 'ab'. Round 1: only 'aba' = [ab, a] has a
+    pair -> (ab, a) count 1 -> merge 'aba'. Round 2: no pairs left ->
+    the loop stops early (2 rows despite rounds=5)."""
+    from helium_arango_etl_lite_spark.operators.llm.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab aba"), (2, "ab b")], "doc_id long, text string"
+    )
+    rows = [tuple(r) for r in bpe_train(docs, rounds=5).collect()]
+    assert rows == [(0, "a", "b", "ab", 4), (1, "ab", "a", "aba", 1)]
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark):
+    """'aaaa' with pair (a,a) must merge to [aa, aa] (greedy non-
+    overlapping), and 'aaa' to [aa, a] — the per-token-delimited
+    string replace must reproduce the BPE fold exactly."""
+    from helium_arango_etl_lite_spark.operators.llm.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaa")], "doc_id long, text string"
+    )
+    rows = [tuple(r) for r in bpe_train(docs, rounds=2).collect()]
+    # round 0: (a,a) appears 3+2 = 5 times (overlapping counts)
+    assert rows[0] == (0, "a", "a", "aa", 5)
+    # round 1: aaaa -> [aa, aa] gives (aa,aa) x1; aaa -> [aa, a] gives
+    # (aa, a) x1; tiebreak (cnt, lt, rt) picks (aa, a)
+    assert rows[1] == (1, "aa", "a", "aaa", 1)
+
+
+def test_audio_features_golden(spark):
+    """Hand-computed frame features: text 'ab' -> samples 97, 98.
+    energy = (97-128)^2 + (98-128)^2 = 1861. DC-removed signs:
+    97*2 >= 195 is False, 98*2 >= 195 is True -> one crossing."""
+    from helium_arango_etl_lite_spark.operators.llm import multimodal as mm
+
+    docs = spark.createDataFrame([(7, "ab")], "doc_id long, text string")
+    out = mm.audio_features(mm.encode_wav_from_text(docs), window=16)
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [(7, 0, 2, 1861, 1)]
+
+
+def test_audio_features_partial_last_frame(spark):
+    """18 samples with window=16 -> frames of 16 and 2; cross-frame
+    pairs (sample 16 -> 17) must NOT count toward either frame."""
+    import numpy as np
+
+    from helium_arango_etl_lite_spark.operators.llm import multimodal as mm
+
+    text = "abcdefghijklmnopqr"  # 18 ascii chars
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = (
+        mm.audio_features(mm.encode_wav_from_text(docs), window=16)
+        .orderBy("window_idx").collect()
+    )
+    raw = np.array([ord(c) for c in text], dtype=np.int64)
+    sg = raw * len(raw) >= raw.sum()
+    v = raw - 128
+    assert [tuple(r) for r in out] == [
+        (1, 0, 16, int((v[:16] ** 2).sum()),
+         int((sg[:16][:-1] != sg[:16][1:]).sum())),
+        (1, 1, 2, int((v[16:] ** 2).sum()),
+         int((sg[16:][:-1] != sg[16:][1:]).sum())),
+    ]
+
+
 def test_tar_boundary_cut_surfaces_as_truncation(spark):
     """ADVICE r9 (low): a cut exactly on a padded member boundary used
     to parse as a shorter VALID archive (the zero terminator and every

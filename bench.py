@@ -147,6 +147,7 @@ HEADLINE = [
     "llm_gzip_quarantine_capped",     # capped-blob failure isolation
     "join_interval_overlap_capped",   # cell-level salt-capped range join
     "llm_bpe_train",                  # iterative BPE merges, argmax loop
+    "llm_bpe_encode",                 # tokenize with the learned merges
     "llm_audio_features",             # windowed energy + ZCR frames
 ]
 

@@ -504,6 +504,18 @@ def bpe_train(
     word-type table never grows with corpus size beyond vocabulary, so
     100 TB of text trains at the cost of its distinct-word dictionary
     (reference has no tokenizer surface — north-star extension)."""
+    merges, _ = _bpe_loop(df, rounds, text)
+    return df.sparkSession.createDataFrame(
+        merges, "round int, lt string, rt string, merged string, cnt long"
+    )
+
+
+def _bpe_loop(
+    df: DataFrame, rounds: int, text: str = "text"
+) -> tuple[list, DataFrame]:
+    """The shared BPE training loop: returns (merge rows, the word-type
+    table with all merges applied) — :func:`bpe_train` reports the
+    merges, :func:`bpe_encode` tokenizes with the final table."""
     words = (
         df.select(F.explode(F.split(F.col(text), " ")).alias("w"))
         .filter(F.col("w").rlike("^[a-z]+$"))
@@ -550,9 +562,28 @@ def bpe_train(
             ).alias("enc"),
         ).localCheckpoint(eager=True)
 
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        merges, "round int, lt string, rt string, merged string, cnt long"
+    return merges, wt
+
+
+def bpe_encode(
+    df: DataFrame, rounds: int = 5, k: int = 20, text: str = "text"
+) -> DataFrame:
+    """The SCORING side of BPE: train ``rounds`` merges
+    (:func:`_bpe_loop`), tokenize the corpus with the final merge
+    table, and report the top-``k`` tokens by corpus frequency — the
+    vocabulary report a tokenizer-training job actually emits. Because
+    training runs on the word-TYPE table, 'tokenize the corpus' is just
+    splitting the final encodings and weighting by word frequency — no
+    second corpus pass (the dictionary trick again). Same scale shape
+    as :func:`bpe_train` plus one token-keyed partial agg."""
+    _, wt = _bpe_loop(df, rounds, text)
+    ts = F.split(F.expr("trim(BOTH '|' FROM enc)"), r"\|\|")
+    return (
+        wt.select("freq", F.explode(ts).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(k)
     )
 
 

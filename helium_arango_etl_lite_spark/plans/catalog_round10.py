@@ -302,11 +302,12 @@ def llm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 5
 
 
-def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
-    """DuckDB mirror of ``text.bpe_train``: the word-type table, the
+def _bpe_ctes(rounds: int = _BPE_ROUNDS) -> str:
+    """DuckDB mirror of ``text._bpe_loop``: the word-type table, the
     per-token-delimited encoding, and ``rounds`` unrolled CTE blocks of
     (pair count -> argmax -> replace-merge) — the same certify-the-
-    whole-loop discipline as the graph-ANN walk oracle."""
+    whole-loop discipline as the graph-ANN walk oracle. The final
+    merged table is ``e{rounds}``; the per-round argmaxes are ``b{r}``."""
     ctes = ["""
 wt AS (SELECT w, count(*)::BIGINT AS freq
        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -330,11 +331,23 @@ e{r + 1} AS (SELECT freq,
               replace(enc, '|' || b{r}.lt || '||' || b{r}.rt || '|',
                            '|' || b{r}.lt || b{r}.rt || '|') AS enc
        FROM e{r} CROSS JOIN b{r})""")
+    return "WITH " + ",".join(ctes)
+
+
+def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
     finals = [
         f"SELECT {r} AS round, lt, rt, lt || rt AS merged, cnt FROM b{r}"
         for r in range(rounds)
     ]
-    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+    return _bpe_ctes(rounds) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def _bpe_encode_sql(rounds: int = _BPE_ROUNDS, k: int = 20) -> str:
+    return _bpe_ctes(rounds) + f"""
+SELECT token, sum(freq)::BIGINT AS cnt
+FROM (SELECT freq, unnest(string_split(trim(enc, '|'), '||')) AS token
+      FROM e{rounds})
+GROUP BY 1 ORDER BY cnt DESC, token LIMIT {k}"""
 
 
 @register(
@@ -367,6 +380,31 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bpe_train(
         load_table(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
+    )
+
+
+@register(
+    "llm_bpe_encode",
+    _bpe_encode_sql(),
+    doc=f"The SCORING side of BPE — train the same {_BPE_ROUNDS} merges "
+        "as llm_bpe_train, then TOKENIZE the corpus with the final "
+        "merge table and report the top-20 tokens by corpus frequency "
+        "(the vocabulary report a tokenizer job actually emits). "
+        "Because training runs on the word-TYPE table, tokenizing the "
+        "corpus costs NO second corpus pass: split the final encodings "
+        "and weight by word frequency — the dictionary trick that "
+        "makes the whole pipeline vocabulary-sized after one corpus "
+        "scan. The oracle re-derives the merge table (all rounds "
+        "unrolled) AND the final tokenization in one SQL chain, so the "
+        "driver hash certifies train + apply end-to-end "
+        "(operators/llm/text.py:bpe_encode).",
+    tags=("llm", "text", "topk", "scale"),
+)
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.text import bpe_encode
+
+    return bpe_encode(
+        load_table(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS, k=20
     )
 
 

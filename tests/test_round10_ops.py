@@ -204,6 +204,19 @@ def test_bpe_merge_is_greedy_left_to_right(spark):
     assert rows[1] == (1, "aa", "a", "aaa", 1)
 
 
+def test_bpe_encode_golden_vocab(spark):
+    """Tokenize with the learned merges: after (a,b)->ab and
+    (ab,a)->aba the corpus {ab x4, aba x1, b x1} tokenizes to exactly
+    one token per word; counts weighted by word frequency."""
+    from helium_arango_etl_lite_spark.operators.llm.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab aba"), (2, "ab b")], "doc_id long, text string"
+    )
+    rows = [tuple(r) for r in bpe_encode(docs, rounds=5, k=10).collect()]
+    assert rows == [("ab", 3), ("aba", 1), ("b", 1)]
+
+
 def test_audio_features_golden(spark):
     """Hand-computed frame features: text 'ab' -> samples 97, 98.
     energy = (97-128)^2 + (98-128)^2 = 1861. DC-removed signs:

@@ -253,6 +253,71 @@ def test_audio_features_partial_last_frame(spark):
     ]
 
 
+# ---------------------------------------------------------------------------
+# property tests for the round-10 operators (hypothesis) — converged
+# locally with high example counts BEFORE committing (the r9 lesson)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _bpe_fold(tokens, lt, rt):
+    """Reference greedy left-to-right merge (the BPE textbook fold)."""
+    out = []
+    for t in tokens:
+        if out and out[-1] == lt and t == rt:
+            out[-1] = lt + rt
+        else:
+            out.append(t)
+    # one subtlety: the fold above merges through a just-merged token
+    # when lt+rt == lt (impossible for non-empty rt), so it IS the
+    # non-overlapping greedy scan
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.text("ab", min_size=1, max_size=4), min_size=1, max_size=8),
+    st.text("ab", min_size=1, max_size=2),
+    st.text("ab", min_size=1, max_size=2),
+)
+def test_delimited_replace_is_greedy_bpe_merge(tokens, lt, rt):
+    """The per-token-delimited string replace used by bpe_train must
+    equal the textbook greedy fold for EVERY token list and pair —
+    pure-python check of the core identity both engines rely on."""
+    enc = "".join(f"|{t}|" for t in tokens)
+    merged_enc = enc.replace(f"|{lt}||{rt}|", f"|{lt}{rt}|")
+    got = merged_enc[1:-1].split("||") if merged_enc else []
+    assert got == _bpe_fold(tokens, lt, rt)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 255), min_size=1, max_size=70))
+def test_audio_frame_partition_invariants(samples):
+    """Frames must PARTITION the clip: n_samples sums to the clip
+    length, per-frame energies sum to the whole-clip energy, and
+    zero-cross counts never exceed in-frame pair counts — checked on
+    the same numpy kernel audio_features runs per clip."""
+    import numpy as np
+
+    window = 16
+    raw = np.array(samples, dtype=np.int64)
+    v = raw - 128
+    sg = raw * len(raw) >= raw.sum()
+    frames = []
+    for wi in range(0, len(v), window):
+        seg, sseg = v[wi: wi + window], sg[wi: wi + window]
+        frames.append(
+            (len(seg), int((seg * seg).sum()),
+             int((sseg[:-1] != sseg[1:]).sum()))
+        )
+    assert sum(f[0] for f in frames) == len(raw)
+    assert sum(f[1] for f in frames) == int((v * v).sum())
+    for n, _, zc in frames:
+        assert 0 <= zc <= max(0, n - 1)
+
+
 def test_tar_boundary_cut_surfaces_as_truncation(spark):
     """ADVICE r9 (low): a cut exactly on a padded member boundary used
     to parse as a shorter VALID archive (the zero terminator and every

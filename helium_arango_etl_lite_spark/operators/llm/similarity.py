@@ -663,6 +663,7 @@ def knn_join_bucketed(
     id_col: str = "vec_id", vec_col: str = "embedding",
     round_dp: int = 4, num_planes: int | None = None, seed: int = 7,
     dim: int | None = None,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate all-pairs k-NN via LSH-candidate generation — the
     100 TB shape of :func:`knn_join`. Same output contract (qid, nid,
@@ -685,26 +686,42 @@ def knn_join_bucketed(
     never a driver collect — and the per-query top-k is a row_number
     window partitioned by qid. At rest the bucket id is a partition
     column, so the candidate join is partition-local.
+
+    ``corpus`` (optional) makes the join ASYMMETRIC: ``emb`` rows are
+    the queries and ``corpus`` rows are the candidates (both bucketed
+    with the SAME pinned planes, so a query meets exactly the corpus
+    vectors sharing its sign-bit bucket). Used by
+    :func:`append_route_graph` to link a NEW batch of vectors into an
+    existing neighbour graph without recomputing old-old edges.
     """
     from pyspark.sql import Window
 
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    c = (
+        e if corpus is None
+        else corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    )
     if dim is None:
         dim = _infer_dim(e)
     if num_planes is None:
-        est = _estimated_row_count(e)
+        est = _estimated_row_count(c)
         if est is None:
-            est = e.select(id_col).count()
+            est = c.select(id_col).count()
         num_planes = _auto_planes(est)
     planes = hyperplanes(num_planes, dim, seed)
-    e = e.withColumn("bucket", lsh_bucket(F.col("v"), planes)).withColumn(
-        "nrm", norm(F.col("v"))  # once per row, not per candidate pair
-    )
-    a = e.select(
+
+    def stamp(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket", lsh_bucket(F.col("v"), planes)
+        ).withColumn(
+            "nrm", norm(F.col("v"))  # once per row, not per candidate pair
+        )
+
+    a = stamp(e).select(
         F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("bucket"),
         F.col("nrm").alias("qn"),
     )
-    b = e.select(
+    b = stamp(c).select(
         F.col(id_col).alias("nid"), F.col("v").alias("nv"),
         F.col("bucket").alias("bucket_b"), F.col("nrm").alias("nn"),
     )
@@ -1212,6 +1229,60 @@ def build_route_graph(
         edges = edges.unionByName(t)
     edges = edges.distinct()
     return edges.localCheckpoint(eager=False)  # scanned once per hop
+
+
+def append_route_graph(
+    emb: DataFrame, new_mod: int = 10,
+    edge_k: int = 3, seeds: tuple[int, ...] = (7, 11),
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    round_dp: int = 4, num_planes: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL index maintenance for the graph-routed ANN: link a
+    NEW batch of vectors (``id % new_mod == 0``) into the graph built
+    over the OLD corpus (the rest) WITHOUT recomputing old-old edges —
+    the append path every production graph index (HNSW et al.) runs on
+    ingest, vs the full rebuild :func:`build_route_graph` is.
+
+    Deterministic contract (oracle-expressible):
+
+    * old edges = :func:`build_route_graph` over the old subset only;
+    * new out-edges = per seed, each new vector's bucketed top-
+      ``edge_k`` neighbours among the FULL corpus (old + new, same
+      pinned planes — a new vector may link to another new one);
+    * back-links = the reverses of the new out-edges (the neighbour
+      gains an edge pointing at the new vector — what keeps the new
+      node REACHABLE by later walks, not just able to leave);
+    * result = distinct union of the three sets.
+
+    The appended graph intentionally differs from a full rebuild: old
+    vectors keep their original top-k (a rebuild might evict an old
+    neighbour for a closer new one); back-links are how the new batch
+    becomes routable without touching old rankings. Cost: the append
+    pays O(|new| x bucket density) — never O(|old|^2) — so continuous
+    ingest amortizes exactly like build-once/route-many does for
+    queries (SCALE_SOAK round 10)."""
+    old = emb.filter(F.col(id_col) % new_mod != 0)
+    new = emb.filter(F.col(id_col) % new_mod == 0)
+    old_edges = build_route_graph(
+        old, edge_k=edge_k, seeds=seeds, id_col=id_col, vec_col=vec_col,
+        round_dp=round_dp, num_planes=num_planes, dim=dim,
+    )
+    per_seed = [
+        knn_join_bucketed(
+            new, k=edge_k, id_col=id_col, vec_col=vec_col,
+            round_dp=round_dp, num_planes=num_planes, seed=s, dim=dim,
+            corpus=emb,
+        ).select(F.col("qid").alias("src"), F.col("nid").alias("dst"))
+        for s in seeds
+    ]
+    new_out = per_seed[0]
+    for t in per_seed[1:]:
+        new_out = new_out.unionByName(t)
+    back = new_out.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return old_edges.unionByName(new_out).unionByName(back).distinct()
 
 
 def route_on_graph(

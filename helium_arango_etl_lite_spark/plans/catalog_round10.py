@@ -100,6 +100,86 @@ def llm_ann_graph_route_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# incremental graph-ANN index maintenance: append a batch, no rebuild
+# ---------------------------------------------------------------------------
+
+_APPEND_MOD = 10  # new batch = vec_id % 10 == 0 (10% ingest)
+
+
+def _ann_append_sql() -> str:
+    from .catalog_round9 import _gr_bucket_expr
+
+    cos = ("round(list_dot_product(a.v, c.v)"
+           " / (sqrt(list_dot_product(a.v, a.v))"
+           " * sqrt(list_dot_product(c.v, c.v))), 4)")
+    parts, sels = [], []
+    for t, seed in enumerate(_GR_SEEDS):
+        b = _gr_bucket_expr(seed)
+        parts.append(f"""
+bo{t} AS (SELECT vec_id, v, ({b})::BIGINT AS bucket FROM eo),
+ba{t} AS (SELECT vec_id, v, ({b})::BIGINT AS bucket FROM e),
+bn{t} AS (SELECT vec_id, v, ({b})::BIGINT AS bucket FROM en),
+op{t} AS (SELECT a.vec_id AS src, c.vec_id AS dst, {cos} AS cs
+        FROM bo{t} a JOIN bo{t} c
+          ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+ok{t} AS (SELECT src, dst FROM (
+           SELECT src, dst, row_number() OVER (
+               PARTITION BY src ORDER BY cs DESC, dst) AS rk
+           FROM op{t}) WHERE rk <= {_GR_EDGE_K}),
+np{t} AS (SELECT a.vec_id AS src, c.vec_id AS dst, {cos} AS cs
+        FROM bn{t} a JOIN ba{t} c
+          ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+nk{t} AS (SELECT src, dst FROM (
+           SELECT src, dst, row_number() OVER (
+               PARTITION BY src ORDER BY cs DESC, dst) AS rk
+           FROM np{t}) WHERE rk <= {_GR_EDGE_K})""")
+        sels.append(f"SELECT src, dst FROM ok{t}")
+        sels.append(f"SELECT src, dst FROM nk{t}")
+        sels.append(f"SELECT dst AS src, src AS dst FROM nk{t}")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+eo AS (SELECT * FROM e WHERE vec_id % {_APPEND_MOD} != 0),
+en AS (SELECT * FROM e WHERE vec_id % {_APPEND_MOD} = 0),{",".join(parts)}
+SELECT DISTINCT src, dst FROM ({" UNION ALL ".join(sels)})"""
+
+
+@register(
+    "llm_ann_index_append",
+    _ann_append_sql(),
+    doc="INCREMENTAL ANN index maintenance — the ingest path a "
+        "production graph index runs, vs build_route_graph's full "
+        f"rebuild: a new batch (vec_id % {_APPEND_MOD} == 0, 10% of "
+        "the corpus) is linked into the OLD corpus's graph without "
+        "recomputing a single old-old edge. Contract: old edges = the "
+        "bucketed top-k build over the old subset; new out-edges = "
+        "each new vector's bucketed top-k among the FULL corpus (same "
+        "pinned planes — the asymmetric corpus= form of "
+        "knn_join_bucketed); back-links = their reverses, which is "
+        "what makes the new batch REACHABLE by later walks rather "
+        "than only able to leave. Intentionally differs from a "
+        "rebuild: old vectors keep their original neighbour lists (a "
+        "rebuild might evict an old neighbour for a closer new one) — "
+        "the standard freshness/cost trade of incremental index "
+        "maintenance, stated rather than hidden. COST: O(|new| x "
+        "bucket density) per ingest, never O(|old|^2) — continuous "
+        "ingest amortizes like build-once/route-many does for queries. "
+        "The oracle replays old build, asymmetric append, and "
+        "back-link insertion per plane table in pure SQL "
+        "(operators/llm/similarity.py:append_route_graph).",
+    tags=("llm", "similarity", "graph", "scale"),
+)
+def llm_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.similarity import append_route_graph
+    from .catalog_llm import EMB_DIM, NEAR_DUP_PLANES
+
+    return append_route_graph(
+        load_table(spark, sf_dir, "embeddings"), new_mod=_APPEND_MOD,
+        edge_k=_GR_EDGE_K, seeds=_GR_SEEDS,
+        num_planes=NEAR_DUP_PLANES, dim=EMB_DIM,
+    )
+
+
+# ---------------------------------------------------------------------------
 # member-capped gzip-JSONL shards (the r9 soak's last uncapped fixture)
 # ---------------------------------------------------------------------------
 

@@ -247,21 +247,28 @@ _GR_EDGE_K = 8    # graph out-degree per plane table (bucketed top-k)
 _GR_SEEDS = (7, 11)  # two independent LSH plane tables (see docstring)
 
 
+def _gr_bucket_expr(seed: int) -> str:
+    """DuckDB rendering of the pinned-plane LSH bucket id over a
+    DOUBLE[] column ``v`` (the catalog dials: NEAR_DUP_PLANES planes,
+    EMB_DIM dims) — shared by every oracle that replays the bucketed
+    graph build (round 9 walks, round 10 incremental append)."""
+    from ..operators.llm.similarity import hyperplanes
+    from .catalog_llm import EMB_DIM, NEAR_DUP_PLANES
+
+    planes = hyperplanes(NEAR_DUP_PLANES, EMB_DIM, seed)
+    lits = ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(lits)
+    )
+
+
 def _gr_shared_ctes() -> str:
     """The CTEs every walk shares: embeddings, the two LSH plane
     tables, the union-distinct edge graph, the node table, and the
     coarse-layer sample."""
-    from ..operators.llm.similarity import hyperplanes
-    from .catalog_llm import EMB_DIM, NEAR_DUP_PLANES
-
-    def bucket_expr(seed: int) -> str:
-        planes = hyperplanes(NEAR_DUP_PLANES, EMB_DIM, seed)
-        lits = ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
-        return " + ".join(
-            f"(CASE WHEN list_dot_product(v, {p}) >= 0 "
-            f"THEN {1 << j} ELSE 0 END)"
-            for j, p in enumerate(lits)
-        )
+    bucket_expr = _gr_bucket_expr
 
     table_ctes, table_sels = [], []
     for t, seed in enumerate(_GR_SEEDS):

@@ -253,6 +253,43 @@ def test_audio_features_partial_last_frame(spark):
     ]
 
 
+def test_ann_index_append_invariants(spark, sf_dir):
+    """The incremental append must (a) preserve every old-old edge
+    exactly (no old recompute = no old change), (b) give every new
+    out-edge a back-link, and (c) leave old vectors' neighbour lists
+    untouched even where a rebuild would differ."""
+    from helium_arango_etl_lite_spark.operators.llm.similarity import (
+        build_route_graph,
+    )
+    from helium_arango_etl_lite_spark.plans.catalog_llm import (
+        EMB_DIM, NEAR_DUP_PLANES,
+    )
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    appended = {
+        (r["src"], r["dst"])
+        for r in QUERIES["llm_ann_index_append"].spark_fn(spark, sf_dir)
+        .collect()
+    }
+    old_edges = {
+        (r["src"], r["dst"])
+        for r in build_route_graph(
+            emb.filter(F.col("vec_id") % 10 != 0), edge_k=8,
+            seeds=(7, 11), num_planes=NEAR_DUP_PLANES, dim=EMB_DIM,
+        ).collect()
+    }
+    assert old_edges <= appended  # (a)
+    extra = appended - old_edges
+    assert extra  # the new batch actually linked
+    for s, d in extra:
+        assert s % 10 == 0 or d % 10 == 0  # only new-touching edges added
+        assert (d, s) in appended  # (b) every new edge is bidirectional
+    # (c): new vectors appear as destinations (reachable), not only srcs
+    assert any(d % 10 == 0 and s % 10 != 0 for s, d in extra)
+
+
 # ---------------------------------------------------------------------------
 # property tests for the round-10 operators (hypothesis) — converged
 # locally with high example counts BEFORE committing (the r9 lesson)

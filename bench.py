@@ -149,6 +149,7 @@ HEADLINE = [
     "join_interval_overlap_capped",   # cell-level salt-capped range join
     "llm_bpe_train",                  # iterative BPE merges, argmax loop
     "llm_bpe_encode",                 # tokenize with the learned merges
+    "llm_bpe_compression_curve",      # per-round corpus token counts
     "llm_audio_features",             # windowed energy + ZCR frames
 ]
 

@@ -511,11 +511,13 @@ def bpe_train(
 
 
 def _bpe_loop(
-    df: DataFrame, rounds: int, text: str = "text"
+    df: DataFrame, rounds: int, text: str = "text", on_round=None
 ) -> tuple[list, DataFrame]:
     """The shared BPE training loop: returns (merge rows, the word-type
     table with all merges applied) — :func:`bpe_train` reports the
-    merges, :func:`bpe_encode` tokenizes with the final table."""
+    merges, :func:`bpe_encode` tokenizes with the final table, and
+    :func:`bpe_compression_curve` passes ``on_round(r, wt)`` to read
+    the table out after round 0 (chars) and each merge."""
     words = (
         df.select(F.explode(F.split(F.col(text), " ")).alias("w"))
         .filter(F.col("w").rlike("^[a-z]+$"))
@@ -529,6 +531,8 @@ def _bpe_loop(
     # the word-type table is vocabulary-sized and is re-scanned every
     # round: materialize it once (at fleet scale: persist to storage)
     wt = wt.localCheckpoint(eager=True)
+    if on_round is not None:
+        on_round(0, wt)
 
     merges = []
     for r in range(rounds):
@@ -561,8 +565,39 @@ def _bpe_loop(
                 )
             ).alias("enc"),
         ).localCheckpoint(eager=True)
+        if on_round is not None:
+            on_round(r + 1, wt)
 
     return merges, wt
+
+
+def bpe_compression_curve(
+    df: DataFrame, rounds: int = 5, text: str = "text"
+) -> DataFrame:
+    """Tokenizer-training PROGRESS measurement: corpus token count
+    after EACH merge round (round 0 = character tokenization) — the
+    compression curve a tokenizer job monitors to decide when more
+    merges stop paying. Token counts are word-type token counts
+    weighted by corpus frequency, so each point is one vocabulary-sized
+    aggregate; the loop itself is :func:`_bpe_loop` re-run with a
+    per-round readout (a second tiny agg per round, nothing
+    corpus-sized)."""
+    def n_tokens(frame: DataFrame) -> int:
+        ts = F.split(F.expr("trim(BOTH '|' FROM enc)"), r"\|\|")
+        return int(
+            frame.select(
+                F.sum(F.size(ts) * F.col("freq")).alias("n")
+            ).first()["n"]
+        )
+
+    points: list[tuple[int, int]] = []
+    _bpe_loop(
+        df, rounds, text,
+        on_round=lambda r, wt: points.append((r, n_tokens(wt))),
+    )
+    return df.sparkSession.createDataFrame(
+        points, "round int, total_tokens long"
+    )
 
 
 def bpe_encode(

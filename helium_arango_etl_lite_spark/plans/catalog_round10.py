@@ -463,6 +463,40 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_curve_sql(rounds: int = _BPE_ROUNDS) -> str:
+    finals = [
+        f"SELECT {r} AS round,"
+        f" sum(len(string_split(trim(enc, '|'), '||')) * freq)::BIGINT"
+        f" AS total_tokens FROM e{r}"
+        for r in range(rounds + 1)
+    ]
+    return _bpe_ctes(rounds) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@register(
+    "llm_bpe_compression_curve",
+    _bpe_curve_sql(),
+    doc="Tokenizer-training PROGRESS measurement: the corpus token "
+        f"count after round 0 (characters) and each of {_BPE_ROUNDS} "
+        "merges — the compression curve a tokenizer job monitors to "
+        "decide when more merges stop paying (each point drops by "
+        "exactly the non-overlapping occurrence count of that round's "
+        "merged pair). Each readout is one vocabulary-sized aggregate "
+        "over the word-type table (token count weighted by word "
+        "frequency) — no corpus pass per point. The oracle replays the "
+        "merge chain AND reads the count off every intermediate e{r} "
+        "CTE, certifying the whole trajectory, not just the endpoint "
+        "(operators/llm/text.py:bpe_compression_curve).",
+    tags=("llm", "text", "scale"),
+)
+def llm_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.text import bpe_compression_curve
+
+    return bpe_compression_curve(
+        load_table(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
+    )
+
+
 @register(
     "llm_bpe_encode",
     _bpe_encode_sql(),

@@ -253,6 +253,28 @@ def test_audio_features_partial_last_frame(spark):
     ]
 
 
+def test_bpe_compression_curve_monotone(spark):
+    """Each merge round strictly reduces the corpus token count by the
+    merged pair's non-overlapping occurrence total; round 0 equals the
+    character count of all [a-z]+ words."""
+    from helium_arango_etl_lite_spark.operators.llm.text import (
+        bpe_compression_curve,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab aba"), (2, "ab b")], "doc_id long, text string"
+    )
+    pts = sorted(
+        (r["round"], r["total_tokens"])
+        for r in bpe_compression_curve(docs, rounds=5).collect()
+    )
+    # chars: ab(2)*3 + aba(3) + b(1) = 10; merge (a,b) collapses 4
+    # pairs -> 6; merge (ab,a) collapses 1 -> 5; then no pairs left
+    assert pts == [(0, 10), (1, 6), (2, 5)]
+    totals = [t for _, t in pts]
+    assert all(a > b for a, b in zip(totals, totals[1:]))
+
+
 def test_ann_index_append_invariants(spark, sf_dir):
     """The incremental append must (a) preserve every old-old edge
     exactly (no old recompute = no old change), (b) give every new

@@ -144,6 +144,7 @@ HEADLINE = [
     # round-10 additions
     "llm_ann_graph_route_reuse",      # one graph build, two query batches
     "llm_ann_index_append",           # incremental ingest, no rebuild
+    "stream_ann_ingest_replay",       # the same contract as a real stream
     "llm_gzip_jsonl_capped",          # member-capped .jsonl.gz packing
     "llm_gzip_quarantine_capped",     # capped-blob failure isolation
     "join_interval_overlap_capped",   # cell-level salt-capped range join

@@ -32,16 +32,16 @@ all five merge rounds, and windowed audio features over the real WAV
 decode), then the 3 round-9 entries whose ORACLE/CODE changed this
 round (the PNG pair moved to byte==char ASCII-filtered oracles per the
 r9 advice; llm_shard_quarantine's parser now rejects boundary-cut tars
-missing the zero terminator), then 38 of the 43 r5-stale entries (the
+missing the zero terminator), then 37 of the 43 r5-stale entries (the
 16 extended TPC-H shapes, most of the window family, semdedup,
 doc-pack-scalable, kmeans, label propagation, follow_replay, … —
-tools/batch_staleness.py lists them; window_ntile_decile,
-window_ntile_decile_scalable, window_rank_distribution,
-window_sliding_time and window_time_range_sum rotate to round 11,
-displaced by the five extra new entries). After this batch lands the
-staleness floor is r5 with exactly those five entries on it. The full
-catalog is still locally replicated green every round —
-tools/driver_replica.py.
+tools/batch_staleness.py lists them; window_gap_islands,
+window_ntile_decile, window_ntile_decile_scalable,
+window_rank_distribution, window_sliding_time and
+window_time_range_sum rotate to round 11, displaced by the six extra
+new entries). After this batch lands the staleness floor is r5 with
+exactly those six entries on it. The full catalog is still locally
+replicated green every round — tools/driver_replica.py.
 """
 
 from __future__ import annotations
@@ -66,9 +66,10 @@ from . import catalog_round9  # noqa: F401  (PNG decode, capped shards, graph AN
 from . import catalog_round10  # noqa: F401  (ANN build reuse, capped gzip, salted interval join)
 
 DRIVER_BATCH: list[str] = [
-    # -- new this round (9): never driver-verified ----------------------
+    # -- new this round (10): never driver-verified ---------------------
     "llm_ann_graph_route_reuse",
     "llm_ann_index_append",
+    "stream_ann_ingest_replay",
     "llm_bpe_compression_curve",
     "llm_gzip_jsonl_capped",
     "llm_gzip_quarantine_capped",
@@ -119,11 +120,10 @@ DRIVER_BATCH: list[str] = [
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "window_first_last",
-    "window_gap_islands",
-    # (window_ntile_decile / window_ntile_decile_scalable /
-    # window_rank_distribution / window_sliding_time /
-    # window_time_range_sum rotate to round 11 — displaced by the five
-    # extra never-verified round-10 entries)
+    # (window_gap_islands / window_ntile_decile /
+    # window_ntile_decile_scalable / window_rank_distribution /
+    # window_sliding_time / window_time_range_sum rotate to round 11 —
+    # displaced by the six extra never-verified round-10 entries)
 ]
 
 

@@ -152,6 +152,10 @@ HEADLINE = [
     "llm_bpe_encode",                 # tokenize with the learned merges
     "llm_bpe_compression_curve",      # per-round corpus token counts
     "llm_audio_features",             # windowed energy + ZCR frames
+    "llm_zip_shard_index",            # STORED zip pack + EOCD-checked walk
+    "llm_zip_quarantine",             # boundary-cut detection the gzip lacks
+    "llm_rrf_fusion",                 # BM25 + cosine reciprocal-rank fusion
+    "llm_eval_pr_at_k",               # precision/recall@K retrieval sweep
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow

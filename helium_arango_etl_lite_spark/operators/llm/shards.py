@@ -434,3 +434,258 @@ def read_gzip_jsonl_quarantine(shards: DataFrame) -> DataFrame:
             )
 
     return shards.mapInPandas(batches, QUARANTINE_SHARD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# ZIP shards: the container with a REAL completeness check
+# ---------------------------------------------------------------------------
+#
+# The third container format, and the one that closes the gzip family's
+# documented hole: a concatenated-gzip blob cut exactly on a member
+# boundary is a VALID shorter blob (read_gzip_jsonl_quarantine's LIMIT
+# note), so whole-member loss is invisible to gzip framing. ZIP puts a
+# central directory + end-of-central-directory (EOCD) record at the
+# TAIL: the EOCD carries the entry count and the directory's exact
+# offset/size, so ANY strict-prefix cut — including one landing exactly
+# on a member boundary — destroys the EOCD and is rejected. (What ZIP
+# still cannot catch: an adversary REWRITING the directory for a
+# shorter archive. Accidental truncation detection is structural;
+# tamper detection still needs the external shard index, same as tar.)
+
+ZIP_SHARD_SCHEMA = StructType(
+    [
+        StructField("source", StringType(), False),
+        StructField("shard", BinaryType(), False),
+        StructField("n_members", LongType(), False),
+    ]
+)
+
+
+def pack_zip_shards(docs: DataFrame, key_col: str = "source") -> DataFrame:
+    """One STORED (uncompressed) zip per ``key_col`` group: members are
+    ``{doc_id}.txt`` in doc_id order, written with the stdlib
+    ``zipfile`` under deterministic metadata (epoch DOS timestamp
+    1980-01-01, fixed mode/create_system) so the bytes are reproducible.
+    STORED members keep the payload byte-addressable for range reads —
+    the same property the tar shards exploit — while the central
+    directory adds the completeness check tar and gzip lack."""
+    import zipfile
+
+    if key_col != "source":
+        docs = docs.withColumnRenamed(key_col, "source")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bio = io.BytesIO()
+        with zipfile.ZipFile(
+            bio, "w", compression=zipfile.ZIP_STORED
+        ) as zf:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                zi = zipfile.ZipInfo(
+                    filename=f"{int(doc_id)}.txt",
+                    date_time=(1980, 1, 1, 0, 0, 0),
+                )
+                zi.create_system = 3
+                zi.external_attr = 0o644 << 16
+                zf.writestr(zi, str(text).encode("utf-8"))
+        return pd.DataFrame(
+            [
+                {
+                    "source": pdf["source"].iloc[0],
+                    "shard": bio.getvalue(),
+                    "n_members": len(pdf),
+                }
+            ]
+        )
+
+    return docs.select("source", "doc_id", "text").groupBy(
+        "source"
+    ).applyInPandas(build, ZIP_SHARD_SCHEMA)
+
+
+def parse_zip_index(buf: bytes) -> list[tuple[str, int, int, bytes]]:
+    """Walk a zip the way a RELIABLE reader must: EOCD first (fixed 22
+    bytes at the tail — this engine writes no archive comment, so a
+    tail that is not an EOCD record IS truncation), then every central
+    directory entry, then each member's LOCAL header cross-checked
+    against its central twin (name, sizes), payload sliced by offset
+    arithmetic and CRC32-verified against the central record. Returns
+    ``(name, local_header_offset, size, payload)`` per member in
+    directory order; raises ValueError naming the failed guard —
+    quarantine upstream, the parse_tar_index contract.
+
+    Completeness is STRUCTURAL here: the EOCD entry count must equal
+    the directory walk's count and the directory must end exactly where
+    the EOCD says it does, so any strict-prefix cut — even one landing
+    exactly on a member boundary, the cut gzip framing provably cannot
+    reject — surfaces as ValueError instead of a silently shorter
+    archive."""
+    import struct
+    import zlib
+
+    if len(buf) < 22 or buf[-22:-18] != b"PK\x05\x06":
+        raise ValueError("zip missing end-of-central-directory record")
+    n_total = struct.unpack("<H", buf[-12:-10])[0]
+    cd_size = struct.unpack("<I", buf[-10:-6])[0]
+    cd_off = struct.unpack("<I", buf[-6:-2])[0]
+    eocd_pos = len(buf) - 22
+    if cd_off + cd_size != eocd_pos:
+        raise ValueError(
+            f"zip central directory span mismatch: directory claims "
+            f"[{cd_off}, {cd_off + cd_size}), EOCD sits at {eocd_pos}"
+        )
+    out = []
+    pos = cd_off
+    while pos < eocd_pos:
+        if buf[pos: pos + 4] != b"PK\x01\x02":
+            raise ValueError(
+                f"zip central directory entry {len(out)}: bad signature "
+                f"at offset {pos}"
+            )
+        (
+            _vermade, _verneed, _flags, method, _t, _d, crc, csz, usz,
+            nlen, elen, clen, _disk, _iattr, _eattr, lho,
+        ) = struct.unpack("<HHHHHHIIIHHHHHII", buf[pos + 4: pos + 46])
+        name = buf[pos + 46: pos + 46 + nlen].decode("utf-8")
+        if method != 0 or csz != usz:
+            raise ValueError(f"zip member {name!r}: not STORED")
+        # local header cross-check: signature, then name/size agreement
+        lh = buf[lho: lho + 30]
+        if lh[0:4] != b"PK\x03\x04":
+            raise ValueError(
+                f"zip member {name!r}: bad local header at offset {lho}"
+            )
+        lnlen = struct.unpack("<H", lh[26:28])[0]
+        lelen = struct.unpack("<H", lh[28:30])[0]
+        if buf[lho + 30: lho + 30 + lnlen].decode("utf-8") != name:
+            raise ValueError(f"zip member {name!r}: local name mismatch")
+        data_off = lho + 30 + lnlen + lelen
+        if data_off + csz > cd_off:
+            raise ValueError(
+                f"zip member {name!r}: payload overruns central directory"
+            )
+        payload = buf[data_off: data_off + csz]
+        if zlib.crc32(payload) != crc:
+            raise ValueError(f"zip member {name!r}: CRC32 mismatch")
+        out.append((name, lho, csz, payload))
+        pos += 46 + nlen + elen + clen
+    if pos != eocd_pos:
+        raise ValueError("zip central directory overruns its EOCD offset")
+    if len(out) != n_total:
+        raise ValueError(
+            f"zip member count mismatch: EOCD says {n_total}, "
+            f"directory walk found {len(out)}"
+        )
+    return out
+
+
+def index_zip_shards(shards: DataFrame) -> DataFrame:
+    """mapInPandas over zip shard blobs -> one row per member with the
+    md5 of the bytes the parser sliced out by offset arithmetic — the
+    index_tar_shards contract over the zip container."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for src, buf in zip(pdf["source"], pdf["shard"]):
+                for name, off, size, payload in parse_zip_index(bytes(buf)):
+                    rows.append(
+                        (
+                            src, name, off, size,
+                            hashlib.md5(payload).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=INDEX_SCHEMA.fieldNames())
+
+    return shards.mapInPandas(batches, INDEX_SCHEMA)
+
+
+def corrupt_zip_shards(shards: DataFrame, cls_col: str) -> DataFrame:
+    """Deterministic corruption classes for zip shards: 0 = intact,
+    1 = one payload byte flipped in the first member (central CRC32
+    guard — bit rot), 2 = blob cut 5 bytes short (EOCD destroyed —
+    tail truncation), 3 = blob cut exactly at the last member's local
+    header boundary (the MEMBER-BOUNDARY cut that leaves a valid
+    shorter gzip blob — here it also destroys the EOCD, which is the
+    point of the format)."""
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for src, buf, cls in zip(
+                pdf["source"], pdf["shard"], pdf[cls_col]
+            ):
+                b = bytearray(bytes(buf))
+                if cls == 1:
+                    # first member's payload starts after its 30-byte
+                    # local header + name (no extra field written)
+                    nlen = struct.unpack("<H", bytes(b[26:28]))[0]
+                    elen = struct.unpack("<H", bytes(b[28:30]))[0]
+                    b[30 + nlen + elen] ^= 0xFF
+                elif cls == 2:
+                    b = b[:-5]
+                elif cls == 3:
+                    cd_off = struct.unpack("<I", bytes(b[-6:-2]))[0]
+                    # last central entry's local-header offset
+                    pos, lho = cd_off, 0
+                    while pos < len(b) - 22:
+                        lho = struct.unpack(
+                            "<I", bytes(b[pos + 42: pos + 46])
+                        )[0]
+                        nlen, elen, clen = struct.unpack(
+                            "<HHH", bytes(b[pos + 28: pos + 34])
+                        )
+                        pos += 46 + nlen + elen + clen
+                    b = b[:lho]
+                out.append((src, bytes(b)))
+            yield pd.DataFrame(out, columns=["source", "shard"])
+
+    return shards.mapInPandas(
+        batches,
+        StructType(
+            [
+                StructField("source", StringType(), False),
+                StructField("shard", BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def index_zip_shards_quarantine(shards: DataFrame) -> DataFrame:
+    """Zip indexing that SPLITS corrupt archives into quarantine rows:
+    one row per shard — 'ok' with the member count, or 'quarantined'
+    with the reason naming the guard that fired ('crc' = payload rot,
+    'truncated' = EOCD/directory framing destroyed). Unlike the gzip
+    walker, a member-boundary cut lands in 'truncated' here — the
+    structural completeness check the container itself provides."""
+
+    def reason(e: Exception) -> str:
+        msg = str(e)
+        if "CRC32" in msg:
+            return "crc"
+        if (
+            "end-of-central-directory" in msg
+            or "span mismatch" in msg
+            or "count mismatch" in msg
+            or "overruns" in msg
+            or "bad local header" in msg
+            or "bad signature" in msg
+        ):
+            return "truncated"
+        return "parse_error"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for src, buf in zip(pdf["source"], pdf["shard"]):
+                try:
+                    members = parse_zip_index(bytes(buf))
+                    rows.append((src, "ok", "ok", len(members)))
+                except ValueError as e:
+                    rows.append((src, "quarantined", reason(e), None))
+            yield pd.DataFrame(
+                rows, columns=QUARANTINE_SHARD_SCHEMA.fieldNames()
+            )
+
+    return shards.mapInPandas(batches, QUARANTINE_SHARD_SCHEMA)

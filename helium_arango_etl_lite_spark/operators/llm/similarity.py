@@ -1375,3 +1375,94 @@ def route_on_graph(
         seen.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of N ranked lists into one:
+    ``score(d) = sum over systems of 1 / (k0 + rank_s(d))`` — the standard
+    way hybrid retrieval merges a lexical (BM25) and a vector (cosine)
+    ranking without score calibration, and the candidate-merge step a
+    training-data curation pipeline runs before dedup/selection.
+
+    Each input must carry ``(id_col, rank)`` with rank 1-based. The
+    contribution is fixed-pointed per (system, rank) as
+    ``floor(1e9 / (k0 + rank))`` BEFORE summing, so the fused score is an
+    exact integer — identical across engines regardless of float addition
+    order. Ties break on ascending id.
+
+    SCALE: ranked lists are top-N outputs (thousands of rows at most), so
+    the outer joins are broadcast-sized by construction; the heavy work
+    lives in the upstream rankers. No corpus-sized state here.
+    """
+    contrib = (
+        F.floor(F.lit(1_000_000_000) / (F.lit(k0) + F.col("rank")))
+        .cast("long")
+        .alias("contrib")
+    )
+    parts = [r.select(F.col(id_col), contrib) for r in rankings]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = allc.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_systems"),
+        F.sum("contrib").alias("rrf9"),
+    )
+    return fused.orderBy(F.desc("rrf9"), F.asc(id_col)).limit(k)
+
+
+def precision_recall_at_k(
+    ranked: DataFrame,
+    positives: DataFrame,
+    cutoffs: list[int],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Precision@K / recall@K sweep for a ranked retrieval list against a
+    binary relevance table — the eval readout any retrieval/dedup ranker
+    ships with. ``ranked`` carries ``(id_col, rank)`` (1-based, top-N
+    only); ``positives`` carries the ids of ALL relevant items.
+
+    tp@K is a running sum over the ranked list (a window over at most
+    max(cutoffs) rows — the list is a top-N, never the corpus, so the
+    single-partition window is bounded by construction); the positive
+    total is one global aggregate broadcast back. Ratios are
+    fixed-pointed to 1e-6 AFTER the integer counts, so both engines
+    agree exactly.
+    """
+    from pyspark.sql import Window
+
+    max_k = max(cutoffs)
+    pos = positives.select(F.col(id_col), F.lit(1).alias("rel"))
+    marked = (
+        ranked.filter(F.col("rank") <= max_k)
+        .join(F.broadcast(pos), id_col, "left")
+        .select("rank", F.coalesce(F.col("rel"), F.lit(0)).alias("rel"))
+    )
+    w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    run = marked.select(
+        "rank", F.sum("rel").over(w).cast("long").alias("tp")
+    )
+    cuts = run.filter(
+        F.col("rank").isin([int(c) for c in cutoffs])
+    ).select(F.col("rank").alias("k"), "tp")
+    n_pos = positives.agg(F.count(F.lit(1)).cast("long").alias("n_pos"))
+    return (
+        cuts.crossJoin(F.broadcast(n_pos))
+        .select(
+            "k",
+            "tp",
+            F.floor(F.col("tp") * 1_000_000.0 / F.col("k") + F.lit(0.5))
+            .cast("long")
+            .alias("precision6"),
+            F.floor(
+                F.col("tp") * 1_000_000.0 / F.col("n_pos") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("recall6"),
+        )
+        .orderBy("k")
+    )

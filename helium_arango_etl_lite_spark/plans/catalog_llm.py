@@ -821,7 +821,7 @@ def llm_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("vector", "stream", "merge")
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(k: int = 10) -> str:
     k1, b = text.BM25_K1, text.BM25_B
     tf_cols = ", ".join(
         f"len(list_filter(t, x -> x = '{w}'))::DOUBLE AS tf{i}"
@@ -845,7 +845,7 @@ def _bm25_sql() -> str:
        SELECT doc_id, round({score}, 4) AS bm25
        FROM tf, stats
        WHERE round({score}, 4) > 0
-       ORDER BY bm25 DESC, doc_id LIMIT 10"""
+       ORDER BY bm25 DESC, doc_id LIMIT {k}"""
 
 
 @register(

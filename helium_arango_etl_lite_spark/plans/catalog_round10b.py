@@ -1,0 +1,338 @@
+"""Round-10 widening: the ZIP container family, hybrid-retrieval rank
+fusion, and a retrieval-evaluation sweep.
+
+* ``llm_zip_shard_index`` / ``llm_zip_fetch`` / ``llm_zip_quarantine``
+  — the THIRD shard container (after USTAR tar and concatenated-member
+  gzip), and the one with a structural completeness check: the
+  end-of-central-directory record carries the member count and the
+  directory's exact span, so the member-boundary truncation that leaves
+  a VALID shorter gzip blob (read_gzip_jsonl_quarantine's documented
+  limit) is rejected here by the container itself. STORED members keep
+  payloads byte-addressable, so the tar family's range-read discipline
+  carries over unchanged.
+* ``llm_rrf_fusion`` — reciprocal-rank fusion of a lexical (BM25) and a
+  vector (cosine) ranking: the score-calibration-free merge hybrid
+  retrieval actually ships, with contributions fixed-pointed per rank
+  so the fused score is an exact integer.
+* ``llm_eval_pr_at_k`` — precision@K / recall@K sweep of the cosine
+  ranking against the embedding labels: the eval readout that closes
+  the retrieval loop (rank -> fuse -> measure).
+
+Reference parity note: the reference ETL (helium-arango-etl-lite) has
+none of these; they extend the north-star storage + similarity +
+evaluation families (SURVEY.md section 2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash32, hash32_oracle_sql
+from .catalog_llm import _BM25_TERMS, _bm25_sql
+from .registry import load_table, register
+
+# ---------------------------------------------------------------------------
+# ZIP shards: pack with the stdlib, index with a from-scratch parser
+# ---------------------------------------------------------------------------
+
+# zipfile + ZIP_STORED layout (verified writer-side): each member costs
+# exactly 30 (local header) + len(name) + len(payload) bytes, members
+# back-to-back from offset 0, central directory after the last payload —
+# so every local header offset is pure cumulative arithmetic the oracle
+# can replay without seeing a zip byte (the tar 512-block discipline
+# with zip's 30+name span).
+_ZIP_SQL = """
+WITH d AS (SELECT source, doc_id, text, strlen(text)::BIGINT AS sz
+           FROM documents),
+o AS (SELECT source, doc_id, sz, md5(text) AS payload_md5,
+             30 + strlen(doc_id::VARCHAR || '.txt')::BIGINT + sz AS span
+      FROM d)
+SELECT source,
+       doc_id::VARCHAR || '.txt' AS member,
+       coalesce(sum(span) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0)::BIGINT AS header_offset,
+       sz AS size,
+       payload_md5
+FROM o"""
+
+
+@register(
+    "llm_zip_shard_index",
+    _ZIP_SQL,
+    doc="ZIP shard round-trip — the third container format, and the one "
+        "with a STRUCTURAL completeness check: pack one STORED zip per "
+        "source under applyInPandas (stdlib writer, epoch DOS "
+        "timestamps for byte determinism), then index every shard with "
+        "a from-scratch parser that walks EOCD -> central directory -> "
+        "local headers, cross-checks names/sizes between the directory "
+        "and each local header, verifies every payload's CRC32 against "
+        "its central record, and REQUIRES the directory walk to land "
+        "exactly on the EOCD with exactly the advertised entry count — "
+        "so the member-boundary truncation that leaves a valid shorter "
+        "gzip blob (the gzip family's documented limit) is rejected by "
+        "the container itself. The oracle never sees a zip byte: local "
+        "offsets are pure cumulative arithmetic (30 + name + payload "
+        "per STORED member, members back-to-back from 0) and the md5 "
+        "comes from the source text — hash agreement certifies writer, "
+        "parser, and byte-exact extraction at once. SCALE: one "
+        "shard-key shuffle to pack, map-only to index; STORED members "
+        "stay byte-addressable for range reads "
+        "(operators/llm/shards.py:parse_zip_index).",
+    tags=("llm", "multimodal", "storage", "scale"),
+)
+def llm_zip_shard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.shards import index_zip_shards, pack_zip_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return index_zip_shards(pack_zip_shards(docs))
+
+
+_ZIP_FETCH_SQL = """
+WITH d AS (SELECT source, doc_id, text FROM documents)
+SELECT source,
+       doc_id::VARCHAR || '.txt' AS member,
+       strlen(text)::BIGINT AS size,
+       md5(text) AS payload_md5
+FROM d"""
+
+
+@register(
+    "llm_zip_fetch",
+    _ZIP_FETCH_SQL,
+    doc="The CONSUME side of llm_zip_shard_index: range-read every "
+        "member back out of its shard with pure JVM byte slicing — "
+        "substring(shard, header_offset + 31 + length(member), size); "
+        "a STORED zip member's payload starts right after its 30-byte "
+        "local header + name, so the index alone supports exact "
+        "range-request reads with NO decoder in the read path (the "
+        "llm_webdataset_fetch discipline over the zip container; "
+        "member names here are ASCII, so char length == byte length). "
+        "The parser runs once to BUILD the index; every read after is "
+        "codegen'd substring+md5. Index->shard join keyed on shard id "
+        "(broadcast at this shard count; co-partitioned at fleet "
+        "scale).",
+    tags=("llm", "multimodal", "storage"),
+)
+def llm_zip_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.shards import index_zip_shards, pack_zip_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    shards = pack_zip_shards(docs)
+    shards = shards.localCheckpoint(eager=False)  # feeds index + fetch
+    idx = index_zip_shards(shards)
+    return idx.join(
+        F.broadcast(shards.select("source", "shard")), "source"
+    ).select(
+        "source",
+        "member",
+        "size",
+        F.md5(
+            F.expr(
+                "substring(shard, header_offset + 31 + length(member), size)"
+            )
+        ).alias("payload_md5"),
+    )
+
+
+def _zip_quarantine_sql() -> str:
+    h = hash32_oracle_sql("'zq:' || source")
+    return f"""
+WITH s AS (SELECT source, count(*)::BIGINT AS n_docs
+           FROM documents GROUP BY 1)
+SELECT source,
+       CASE WHEN {h} % 4 = 0 THEN 'ok' ELSE 'quarantined' END AS status,
+       CASE {h} % 4 WHEN 0 THEN 'ok'
+                    WHEN 1 THEN 'crc'
+                    ELSE 'truncated' END AS reason,
+       CASE WHEN {h} % 4 = 0 THEN n_docs ELSE NULL END AS n_members
+FROM s"""
+
+
+@register(
+    "llm_zip_quarantine",
+    _zip_quarantine_sql(),
+    doc="Corrupt-shard quarantine over the zip container, incl. the cut "
+        "gzip PROVABLY cannot catch: corruption classes keyed on the "
+        "shard id (hash % 4: intact / central-directory CRC byte "
+        "flipped -> payload-vs-directory CRC32 guard / tail cut 5 "
+        "bytes -> EOCD guard / cut EXACTLY at the last member's local "
+        "header boundary -> EOCD guard again). Class 3 is the point: "
+        "the same member-boundary truncation leaves a VALID shorter "
+        "gzip blob (read_gzip_jsonl_quarantine's documented limit "
+        "needs the external capped index to catch it), while zip's "
+        "tail-anchored EOCD makes ANY strict-prefix cut structurally "
+        "detectable — pytest pins that property for every cut "
+        "position. Residual honesty: an adversary REWRITING the "
+        "directory still needs the external shard index; structure "
+        "catches accidents, not tampering. Map-only walk; one rotted "
+        "shard costs one quarantine row "
+        "(operators/llm/shards.py:index_zip_shards_quarantine).",
+    tags=("llm", "storage", "dq", "quarantine"),
+)
+def llm_zip_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.shards import (
+        corrupt_zip_shards, index_zip_shards_quarantine, pack_zip_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    shards = pack_zip_shards(docs).withColumn(
+        "cls",
+        (hash32(F.concat(F.lit("zq:"), F.col("source"))) % 4).cast("int"),
+    )
+    return index_zip_shards_quarantine(corrupt_zip_shards(shards, "cls"))
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of BM25 and cosine rankings
+# ---------------------------------------------------------------------------
+
+_RRF_N = 30   # per-system candidate depth
+_RRF_K0 = 60  # the standard RRF dampening constant
+_RRF_K = 10
+
+
+def _rrf_sql() -> str:
+    cos = """
+SELECT e.vec_id AS doc_id,
+       round(list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e,
+     (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id LIMIT {n}""".format(n=_RRF_N)
+    return f"""
+WITH lexs AS ({_bm25_sql(_RRF_N)}),
+lex AS (SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM lexs),
+vecs AS ({cos}),
+vec AS (SELECT doc_id,
+               row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank
+        FROM vecs),
+allc AS (SELECT doc_id, (1000000000 // ({_RRF_K0} + rank))::BIGINT
+                  AS contrib FROM lex
+         UNION ALL
+         SELECT doc_id, (1000000000 // ({_RRF_K0} + rank))::BIGINT
+                  AS contrib FROM vec)
+SELECT doc_id, count(*)::BIGINT AS n_systems, sum(contrib)::BIGINT AS rrf9
+FROM allc GROUP BY doc_id
+ORDER BY rrf9 DESC, doc_id LIMIT {_RRF_K}"""
+
+
+@register(
+    "llm_rrf_fusion",
+    _rrf_sql(),
+    doc="Hybrid retrieval by reciprocal-rank fusion: the BM25 top-30 "
+        "(lexical) and the cosine top-30 to query vector 0 (dense) "
+        "merge WITHOUT score calibration as sum of 1/(60 + rank) — "
+        "the fusion step a hybrid search or hard-negative-mining "
+        "pipeline runs over its candidate generators. Contributions "
+        "are fixed-pointed per (system, rank) as floor(1e9/(60+rank)) "
+        "BEFORE summing, so the fused score is an exact integer on "
+        "both engines. SCALE: each ranker is the already-certified "
+        "shuffle-free scan + TakeOrdered (llm_bm25_search / "
+        "llm_topk_cosine); fusion itself touches only the top-N lists "
+        "— broadcast-sized at ANY corpus size, rank windows run on 30 "
+        "rows, never the corpus. The oracle replays both rankers and "
+        "the integer fusion in one chain "
+        "(operators/llm/similarity.py:rrf_fuse).",
+    tags=("llm", "similarity", "text", "topk"),
+)
+def llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm import similarity, text
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = text.bm25_search(docs, list(_BM25_TERMS), k=_RRF_N)
+    # rank windows run over the top-N result (<= 30 rows), not the corpus
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    vec = similarity.cosine_topk(emb, query_id=0, k=_RRF_N)
+    vecr = vec.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), F.asc("vec_id")))
+        .alias("rank"),
+    )
+    return similarity.rrf_fuse(
+        [lexr, vecr], id_col="doc_id", k0=_RRF_K0, k=_RRF_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# retrieval evaluation: precision@K / recall@K sweep
+# ---------------------------------------------------------------------------
+
+_PR_MAX_K = 100
+_PR_STEP = 10
+_PR_LABEL = 1  # "relevant" = embedding label 1
+
+
+def _pr_at_k_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+             round(list_dot_product(e.v, q.qv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+      FROM e, q WHERE e.vec_id <> 0),
+r AS (SELECT vec_id,
+             row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM s),
+m AS (SELECT r.rank,
+             CASE WHEN l.label = {_PR_LABEL} THEN 1 ELSE 0 END AS rel
+      FROM r JOIN embeddings l USING (vec_id)
+      WHERE r.rank <= {_PR_MAX_K}),
+run AS (SELECT rank, sum(rel) OVER (ORDER BY rank)::BIGINT AS tp FROM m),
+np AS (SELECT count(*)::BIGINT AS n_pos FROM embeddings
+       WHERE label = {_PR_LABEL})
+SELECT rank AS k, tp,
+       floor(tp * 1000000.0 / rank + 0.5)::BIGINT AS precision6,
+       floor(tp * 1000000.0 / n_pos + 0.5)::BIGINT AS recall6
+FROM run, np
+WHERE rank % {_PR_STEP} = 0
+ORDER BY k"""
+
+
+@register(
+    "llm_eval_pr_at_k",
+    _pr_at_k_sql(),
+    doc=f"Precision@K / recall@K sweep (K = {_PR_STEP}..{_PR_MAX_K}) of "
+        "the cosine ranking to query vector 0 against the embedding "
+        f"labels (relevant = label {_PR_LABEL}) — the eval readout that "
+        "closes the retrieval loop: rank (llm_topk_cosine), fuse "
+        "(llm_rrf_fusion), MEASURE. tp@K is a running sum over the "
+        f"top-{_PR_MAX_K} list only — the window runs on "
+        f"{_PR_MAX_K} rows by construction, never the corpus (the "
+        "ranked list is a TakeOrdered output), and the positive total "
+        "is one global aggregate broadcast back. Ratios are "
+        "fixed-pointed to 1e-6 AFTER the integer counts, so both "
+        "engines agree exactly "
+        "(operators/llm/similarity.py:precision_recall_at_k).",
+    tags=("llm", "similarity", "evaluation", "quality"),
+)
+def llm_eval_pr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ranked = similarity.cosine_topk(
+        emb, query_id=0, k=_PR_MAX_K
+    ).select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), F.asc("vec_id")))
+        .alias("rank"),
+    )
+    positives = emb.filter(F.col("label") == _PR_LABEL).select("vec_id")
+    cutoffs = list(range(_PR_STEP, _PR_MAX_K + 1, _PR_STEP))
+    return similarity.precision_recall_at_k(
+        ranked, positives, cutoffs, id_col="vec_id"
+    )

@@ -23,25 +23,25 @@ queries, so it was removed on advisor direction).
   pytest replica ``tests/test_oracle_parity.py`` covers the whole catalog
   on every run regardless of this ordering).
 
-Round-10 batch (applied): exactly what the r9 verdict ordered — the 6
-brand-new round-10 entries first (the graph-ANN build/search split
-whose oracle unrolls two beam walks over ONE shared edge graph, the
-member-capped gzip-JSONL pack + its quarantine twin, the salt-capped
-interval-overlap join, the iterative BPE trainer whose oracle unrolls
-all five merge rounds, and windowed audio features over the real WAV
-decode), then the 3 round-9 entries whose ORACLE/CODE changed this
-round (the PNG pair moved to byte==char ASCII-filtered oracles per the
-r9 advice; llm_shard_quarantine's parser now rejects boundary-cut tars
-missing the zero terminator), then 37 of the 43 r5-stale entries (the
-16 extended TPC-H shapes, most of the window family, semdedup,
-doc-pack-scalable, kmeans, label propagation, follow_replay, … —
-tools/batch_staleness.py lists them; window_gap_islands,
-window_ntile_decile, window_ntile_decile_scalable,
-window_rank_distribution, window_sliding_time and
-window_time_range_sum rotate to round 11, displaced by the six extra
-new entries). After this batch lands the staleness floor is r5 with
-exactly those six entries on it. The full catalog is still locally
-replicated green every round — tools/driver_replica.py.
+Round-10 batch (applied): what the r9 verdict ordered plus the session-2
+additions — the 15 never-driver-verified round-10 entries first (the
+graph-ANN build/search split whose oracle unrolls two beam walks over
+ONE shared edge graph, the member-capped gzip-JSONL pack + quarantine
+twin, the salt-capped interval-overlap join, the iterative BPE
+trainer/encoder whose oracles unroll all five merge rounds, windowed
+audio features over the real WAV decode, the ZIP container family
+whose EOCD check catches the member-boundary cut gzip provably
+cannot, RRF hybrid-retrieval fusion, and the P/R@K evaluation sweep),
+then the 3 round-9 entries whose ORACLE/CODE changed this round (the
+PNG pair moved to byte==char ASCII-filtered oracles per the r9
+advice; llm_shard_quarantine's parser now rejects boundary-cut tars
+missing the zero terminator), then 32 of the 43 r5-stale entries (the
+16 extended TPC-H shapes, semdedup, doc-pack-scalable, kmeans, label
+propagation, follow_replay, … — tools/batch_staleness.py lists them;
+the remaining eleven r5 shapes rotate to round 11, displaced by the
+never-verified entries, per this file's own ordering policy). The
+full catalog is still locally replicated green every round —
+tools/driver_replica.py.
 """
 
 from __future__ import annotations
@@ -64,6 +64,7 @@ from . import catalog_round8e  # noqa: F401  (Gini, Benford, n-gram novelty, tre
 from . import catalog_round8f  # noqa: F401  (SCD2 lookup, modularity, Theil index)
 from . import catalog_round9  # noqa: F401  (PNG decode, capped shards, graph ANN)
 from . import catalog_round10  # noqa: F401  (ANN build reuse, capped gzip, salted interval join)
+from . import catalog_round10b  # noqa: F401  (zip container, RRF fusion, P/R@K eval)
 
 DRIVER_BATCH: list[str] = [
     # -- new this round (10): never driver-verified ---------------------
@@ -77,19 +78,22 @@ DRIVER_BATCH: list[str] = [
     "llm_bpe_train",
     "llm_bpe_encode",
     "llm_audio_features",
+    "llm_zip_shard_index",
+    "llm_zip_fetch",
+    "llm_zip_quarantine",
+    "llm_rrf_fusion",
+    "llm_eval_pr_at_k",
     # -- changed this round (3): PNG oracles moved to byte==char ASCII
     #    filtering; tar parser now requires the zero terminator ---------
     "llm_multimodal_decode_png",
     "llm_multimodal_quarantine_png",
     "llm_shard_quarantine",
-    # -- re-checks (43): every entry whose newest driver row is r5 ------
+    # -- re-checks (32): r5-stale entries, stalest-first rotation -------
     "follow_replay",
     "graph_common_neighbors",
     "graph_degree_distribution",
     "graph_label_propagation",
     "join_salted_skew",
-    "json_extract_props",
-    "llm_ccnet_buckets",
     "llm_char_entropy",
     "llm_dedup_ngram_jaccard_capped",
     "llm_doc_pack_scalable",
@@ -97,12 +101,9 @@ DRIVER_BATCH: list[str] = [
     "llm_kmeans_iter",
     "llm_mix_rebalance",
     "llm_ngram_lm_score",
-    "llm_oov_rate",
     "llm_paragraph_dedup",
     "llm_semdedup",
     "llm_semdedup_capped",
-    "llm_seq_len_buckets",
-    "set_ops_customers",
     "tpch_q10_returned_items",
     "tpch_q11_important_parts",
     "tpch_q12_late_priority",
@@ -122,8 +123,12 @@ DRIVER_BATCH: list[str] = [
     "window_first_last",
     # (window_gap_islands / window_ntile_decile /
     # window_ntile_decile_scalable / window_rank_distribution /
-    # window_sliding_time / window_time_range_sum rotate to round 11 —
-    # displaced by the six extra never-verified round-10 entries)
+    # window_sliding_time / window_time_range_sum /
+    # json_extract_props / llm_ccnet_buckets / llm_oov_rate /
+    # llm_seq_len_buckets / set_ops_customers rotate to round 11 —
+    # displaced by the eleven never-verified round-10 entries; every
+    # displaced shape has a later-round driver-green relative and stays
+    # covered by the full local replica)
 ]
 
 

@@ -1,0 +1,177 @@
+"""Tests for the session-2 round-10 operators (plans/catalog_round10b.py):
+the ZIP shard container, reciprocal-rank fusion, and the P/R@K sweep.
+
+The ZIP tests pin the property the container family was extended FOR:
+the gzip walker provably cannot reject a truncation landing exactly on
+a member boundary (test_gzip_member_walk_property documents that), while
+ZIP's tail-anchored EOCD + central directory make EVERY strict-prefix
+cut detectable — Hypothesis sweeps all cut positions. Cross-validation
+follows the tar discipline: our from-scratch parser must agree with the
+independent stdlib reader (zipfile) on names, sizes, and payloads.
+"""
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from helium_arango_etl_lite_spark.operators.llm.shards import (
+    parse_zip_index,
+)
+from helium_arango_etl_lite_spark.operators.llm.similarity import (
+    precision_recall_at_k, rrf_fuse,
+)
+
+
+def _pack(members: list[tuple[str, bytes]]) -> bytes:
+    """Deterministic STORED zip — mirrors pack_zip_shards' writer."""
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w", compression=zipfile.ZIP_STORED) as zf:
+        for name, data in members:
+            zi = zipfile.ZipInfo(
+                filename=name, date_time=(1980, 1, 1, 0, 0, 0)
+            )
+            zi.create_system = 3
+            zi.external_attr = 0o644 << 16
+            zf.writestr(zi, data)
+    return bio.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# parser unit tests
+# ---------------------------------------------------------------------------
+
+def test_zip_roundtrip_offsets_and_payloads():
+    members = [
+        ("101.txt", b"hello world"),
+        ("102.txt", b""),  # empty member: zero-length payload slice
+        ("103.txt", "café — bytes".encode("utf-8")),
+    ]
+    idx = parse_zip_index(_pack(members))
+    assert [(n, p) for n, _, _, p in idx] == members
+    # STORED layout: each member costs exactly 30 + name + payload,
+    # members back-to-back from offset 0 (the oracle's arithmetic)
+    off = 0
+    for (name, data), (_, o, size, _) in zip(members, idx):
+        assert o == off and size == len(data)
+        off += 30 + len(name.encode()) + len(data)
+
+
+def test_zip_empty_archive():
+    assert parse_zip_index(_pack([])) == []
+
+
+def test_zip_agrees_with_stdlib_reader():
+    """Cross-validation against the independent stdlib implementation:
+    names, sizes, and payload bytes must agree member-for-member."""
+    members = [(f"{i}.txt", bytes([i]) * i) for i in range(6)]
+    buf = _pack(members)
+    ours = parse_zip_index(buf)
+    with zipfile.ZipFile(io.BytesIO(buf)) as zf:
+        theirs = [
+            (zi.filename, zi.header_offset, zi.file_size, zf.read(zi))
+            for zi in zf.infolist()
+        ]
+    assert ours == theirs
+
+
+def test_zip_crc_flip_detected():
+    buf = bytearray(_pack([("7.txt", b"payload bytes")]))
+    buf[30 + len("7.txt")] ^= 0xFF  # first payload byte
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        parse_zip_index(bytes(buf))
+
+
+def test_zip_member_boundary_cut_detected():
+    """THE property the family was extended for: a cut exactly at a
+    member's local-header boundary leaves a valid, complete, shorter
+    gzip blob (whole-member loss invisible to gzip framing), but a zip
+    rejects it — the EOCD lives at the tail, so the cut destroys it."""
+    members = [("1.txt", b"first"), ("2.txt", b"second")]
+    buf = _pack(members)
+    second_lho = 30 + len("1.txt") + len(b"first")
+    with pytest.raises(ValueError, match="end-of-central-directory"):
+        parse_zip_index(buf[:second_lho])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    members=st.lists(
+        st.binary(min_size=0, max_size=40), min_size=1, max_size=4
+    ),
+    cut=st.integers(min_value=1),
+)
+def test_zip_any_prefix_cut_rejected(members, cut):
+    """EVERY strict-prefix cut raises — no boundary exception exists for
+    this container, unlike gzip (whose member-boundary cut is a valid
+    shorter blob; see test_gzip_member_walk_property). Arbitrary binary
+    payloads: even a payload that happens to contain EOCD-like bytes at
+    the new tail fails the directory-span / count cross-checks."""
+    buf = _pack([(f"{i}.bin", m) for i, m in enumerate(members)])
+    cut = 1 + (cut % (len(buf) - 1))  # strict prefix, at least 1 byte cut
+    with pytest.raises(ValueError):
+        parse_zip_index(buf[: len(buf) - cut])
+
+
+def test_zip_rejects_deflated_members():
+    """The engine packs STORED (byte-addressable range reads); a
+    DEFLATED member means the blob is not ours — refuse, don't guess."""
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("1.txt", b"compressible " * 20)
+    with pytest.raises(ValueError, match="not STORED"):
+        parse_zip_index(bio.getvalue())
+
+
+# ---------------------------------------------------------------------------
+# catalog entries on Spark (oracle parity is covered for every entry by
+# test_oracle_parity; these pin operator-level invariants)
+# ---------------------------------------------------------------------------
+
+def test_zip_quarantine_classes(spark, sf_dir):
+    from helium_arango_etl_lite_spark.plans.registry import QUERIES
+
+    rows = QUERIES["llm_zip_quarantine"].spark_fn(spark, sf_dir).collect()
+    assert rows, "fixture produced no shards"
+    for r in rows:
+        if r.status == "ok":
+            assert r.reason == "ok" and r.n_members > 0
+        else:
+            assert r.reason in ("crc", "truncated")
+            assert r.n_members is None
+
+
+def test_rrf_fuse_integer_scores(spark):
+    """Hand-computed fusion: doc 1 ranked 1st by A and 2nd by B, doc 2
+    ranked 2nd by A only, doc 3 ranked 1st by B only (k0=60)."""
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(3, 1), (1, 2)], "doc_id long, rank long")
+    got = {
+        r.doc_id: (r.n_systems, r.rrf9)
+        for r in rrf_fuse([a, b], id_col="doc_id", k0=60, k=10).collect()
+    }
+    assert got == {
+        1: (2, 1_000_000_000 // 61 + 1_000_000_000 // 62),
+        2: (1, 1_000_000_000 // 62),
+        3: (1, 1_000_000_000 // 61),
+    }
+
+
+def test_precision_recall_at_k_hand_case(spark):
+    """Ranked list 1..4 with relevant = {ids at rank 1 and 3} out of 3
+    positives total: P@2 = 1/2, R@2 = 1/3, P@4 = 2/4, R@4 = 2/3."""
+    ranked = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3), (13, 4)], "vec_id long, rank long"
+    )
+    pos = spark.createDataFrame([(10,), (12,), (99,)], "vec_id long")
+    got = {
+        r.k: (r.tp, r.precision6, r.recall6)
+        for r in precision_recall_at_k(ranked, pos, [2, 4]).collect()
+    }
+    assert got == {
+        2: (1, 500000, 333333),
+        4: (2, 500000, 666667),
+    }

@@ -59,6 +59,8 @@ GLOBAL_WINDOW_OK = {
     "llm_ann_recall": "readout over k rows",
     "llm_ann_recall_sampled": "readout over k rows",
     "llm_bpe_pair_counts": "top-k readout",
+    "llm_rrf_fusion": "rank windows over top-30 lists, never the corpus",
+    "llm_eval_pr_at_k": "running tp over the top-100 list only",
     "agg_stats_profile": "moment readout rows",
     "window_rank_distribution": "CDF over rank histogram",
     "llm_heavy_hitters_cms": "readout over sketch width",
@@ -84,6 +86,8 @@ BNLJ_OK = {
     "zorder_layout_stats": "1-row corpus-extent cross",
     "agg_histogram_quantiles": "1-row bin-extent cross",
     "agg_hll_set_algebra": "fixed 2^p register-table crosses",
+    "llm_rrf_fusion": "1-row query-vector + 1-row bm25-stats crosses",
+    "llm_eval_pr_at_k": "1-row query-vector + 1-row n_pos crosses",
 }
 
 # Streaming replay harnesses drive micro-batches and read results back;

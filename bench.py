@@ -156,6 +156,8 @@ HEADLINE = [
     "llm_zip_quarantine",             # boundary-cut detection the gzip lacks
     "llm_rrf_fusion",                 # BM25 + cosine reciprocal-rank fusion
     "llm_eval_pr_at_k",               # precision/recall@K retrieval sweep
+    "llm_eval_ndcg",                  # graded nDCG@K, literal discounts
+    "dq_expectations",                # rule suite in one scan per table
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow

@@ -1466,3 +1466,88 @@ def precision_recall_at_k(
         )
         .orderBy("k")
     )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    labels: DataFrame,
+    discounts: list[tuple[int, float]],
+    cutoffs: list[int],
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """nDCG@K sweep with GRADED relevance — the ranking-quality readout
+    for a retrieval/curation ranker when relevance isn't binary.
+
+    ``ranked`` carries ``(id_col, rank)`` (1-based top-N); ``labels``
+    maps every id to an integer gain; ``discounts`` is the
+    ``rank -> 1/log2(rank+1)`` table PRECOMPUTED in Python and passed in
+    as literals — the SQL oracle injects the same repr-round-tripped
+    constants, so neither engine evaluates a transcendental and the
+    JVM-vs-libm 1-ulp class is gone at the source. Per-rank
+    contributions fixed-point to 1e-6 BEFORE summing (gain * discount
+    is one double multiply on bit-identical operands), so DCG/IDCG are
+    exact integer running sums and nDCG an integer-ratio readout.
+
+    The ideal ranking re-ranks the LABEL table by gain descending —
+    a TakeOrdered top-N like the actual ranking; all windows run over
+    max(cutoffs) rows, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    spark = ranked.sparkSession
+    max_k = max(cutoffs)
+    disc = spark.createDataFrame(discounts, "rank long, disc double")
+    contrib = (
+        F.floor(
+            F.lit(1_000_000.0) * F.col(label_col) * F.col("disc")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("c6")
+    )
+    actual = (
+        ranked.filter(F.col("rank") <= max_k)
+        .join(labels, id_col)
+        .join(F.broadcast(disc), "rank")
+        .select("rank", contrib)
+    )
+    ideal = (
+        labels.filter(F.col(id_col).isNotNull())
+        .orderBy(F.desc(label_col), F.asc(id_col))
+        .limit(max_k)
+        .select(
+            F.col(label_col),
+            F.row_number()
+            .over(Window.orderBy(F.desc(label_col), F.asc(id_col)))
+            .alias("rank"),
+        )
+        .join(F.broadcast(disc), "rank")
+        .select("rank", contrib)
+    )
+    w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    run = (
+        actual.join(
+            ideal.select(F.col("rank"), F.col("c6").alias("ic6")), "rank"
+        )
+        .select(
+            "rank",
+            F.sum("c6").over(w).cast("long").alias("dcg6"),
+            F.sum("ic6").over(w).cast("long").alias("idcg6"),
+        )
+    )
+    return (
+        run.filter(F.col("rank").isin([int(c) for c in cutoffs]))
+        .select(
+            F.col("rank").alias("k"),
+            "dcg6",
+            "idcg6",
+            F.floor(
+                F.lit(1_000_000.0) * F.col("dcg6") / F.col("idcg6")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("ndcg6"),
+        )
+        .orderBy("k")
+    )

@@ -14,13 +14,19 @@ fusion, and a retrieval-evaluation sweep.
   vector (cosine) ranking: the score-calibration-free merge hybrid
   retrieval actually ships, with contributions fixed-pointed per rank
   so the fused score is an exact integer.
-* ``llm_eval_pr_at_k`` — precision@K / recall@K sweep of the cosine
-  ranking against the embedding labels: the eval readout that closes
-  the retrieval loop (rank -> fuse -> measure).
+* ``llm_eval_pr_at_k`` / ``llm_eval_ndcg`` — the eval readouts that
+  close the retrieval loop (rank -> fuse -> MEASURE): a binary
+  precision/recall@K sweep and a graded-relevance nDCG@K sweep whose
+  discount table is injected as identical literals into both engines
+  (no cross-engine transcendental).
+* ``dq_expectations`` — a declarative expectation suite (rule table ->
+  pass/fail counts) folding all row-level rules for a table into ONE
+  partial-aggregatable scan; complements dq_profile (stats) with
+  contract verification.
 
 Reference parity note: the reference ETL (helium-arango-etl-lite) has
 none of these; they extend the north-star storage + similarity +
-evaluation families (SURVEY.md section 2.8).
+evaluation + data-quality families (SURVEY.md section 2.8).
 """
 
 from __future__ import annotations
@@ -335,4 +341,212 @@ def llm_eval_pr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoffs = list(range(_PR_STEP, _PR_MAX_K + 1, _PR_STEP))
     return similarity.precision_recall_at_k(
         ranked, positives, cutoffs, id_col="vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# declarative data-quality expectations: rules evaluated in ONE scan/table
+# ---------------------------------------------------------------------------
+
+_DQX_LANGS = ("en", "de", "fr", "es")  # allowlist that has drifted: 'zh'
+_DQX_MIN_CHARS = 100                   # short-doc floor
+_DQX_MAX_PRICE = 300000.0              # price sanity ceiling
+_DQX_STATUSES = ("O", "F")             # 'P' entered the feed unannounced
+
+_DQX_SQL = f"""
+WITH d AS (SELECT
+        count(*)::BIGINT AS n,
+        sum(CASE WHEN text IS NULL OR length(text) = 0
+                 THEN 1 ELSE 0 END)::BIGINT AS f_nonempty,
+        sum(CASE WHEN lang IN {_DQX_LANGS!r} THEN 0 ELSE 1 END)::BIGINT
+          AS f_lang,
+        sum(CASE WHEN n_chars >= {_DQX_MIN_CHARS} THEN 0 ELSE 1 END)::BIGINT
+          AS f_minlen,
+        (count(*) - count(DISTINCT doc_id))::BIGINT AS f_unique
+    FROM documents),
+o AS (SELECT
+        count(*)::BIGINT AS n,
+        sum(CASE WHEN o_totalprice > 0
+                  AND o_totalprice <= {_DQX_MAX_PRICE}
+                 THEN 0 ELSE 1 END)::BIGINT AS f_price,
+        sum(CASE WHEN o_orderstatus IN {_DQX_STATUSES!r} THEN 0 ELSE 1
+            END)::BIGINT AS f_status,
+        sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT
+          AS f_date
+    FROM orders)
+SELECT 'doc_text_nonempty' AS rule_id, n AS n_checked,
+       f_nonempty AS n_failed FROM d
+UNION ALL SELECT 'doc_lang_allowlist', n, f_lang FROM d
+UNION ALL SELECT 'doc_min_length', n, f_minlen FROM d
+UNION ALL SELECT 'doc_id_unique', n, f_unique FROM d
+UNION ALL SELECT 'ord_price_range', n, f_price FROM o
+UNION ALL SELECT 'ord_status_valid', n, f_status FROM o
+UNION ALL SELECT 'ord_date_not_null', n, f_date FROM o"""
+
+
+@register(
+    "dq_expectations",
+    _DQX_SQL,
+    doc="Declarative expectation suite (the great-expectations-style "
+        "gate a pipeline runs before promoting a batch): 7 rules over "
+        "2 tables — non-empty text, language allowlist, minimum doc "
+        "length, key uniqueness, price range, status-set membership, "
+        "date non-null — each reported as (rule_id, n_checked, "
+        "n_failed). The fixture DELIBERATELY violates three rules "
+        "(allowlist drift, a price ceiling, an unannounced status "
+        "code), so the failure-counting path is value-visible to the "
+        "driver hash, not a wall of zeros. SCALE: all row-level rules "
+        "for a table fold into ONE partial-aggregatable pass (N rules "
+        "never cost N scans); the uniqueness rule rides the same agg "
+        "as a count-distinct. Unpivot to rule rows is on the 1-row "
+        "aggregate, not the corpus (complements dq_profile, which "
+        "reports column STATS; this verifies declared CONTRACTS).",
+    tags=("dq", "agg", "quality"),
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    d = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                F.col("text").isNull() | (F.length("text") == 0)
+            ).cast("long")
+        ).alias("f_nonempty"),
+        F.sum(
+            (~F.col("lang").isin(*_DQX_LANGS)).cast("long")
+        ).alias("f_lang"),
+        F.sum(
+            (~(F.col("n_chars") >= _DQX_MIN_CHARS)).cast("long")
+        ).alias("f_minlen"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id"))
+        .cast("long")
+        .alias("f_unique"),
+    )
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                ~(
+                    (F.col("o_totalprice") > 0)
+                    & (F.col("o_totalprice") <= _DQX_MAX_PRICE)
+                )
+            ).cast("long")
+        ).alias("f_price"),
+        F.sum(
+            (~F.col("o_orderstatus").isin(*_DQX_STATUSES)).cast("long")
+        ).alias("f_status"),
+        F.sum(F.col("o_orderdate").isNull().cast("long")).alias("f_date"),
+    )
+    d_rows = d.selectExpr(
+        "stack(4, "
+        "'doc_text_nonempty', n, f_nonempty, "
+        "'doc_lang_allowlist', n, f_lang, "
+        "'doc_min_length', n, f_minlen, "
+        "'doc_id_unique', n, f_unique"
+        ") AS (rule_id, n_checked, n_failed)"
+    )
+    o_rows = o.selectExpr(
+        "stack(3, "
+        "'ord_price_range', n, f_price, "
+        "'ord_status_valid', n, f_status, "
+        "'ord_date_not_null', n, f_date"
+        ") AS (rule_id, n_checked, n_failed)"
+    )
+    return d_rows.unionByName(o_rows)
+
+
+# ---------------------------------------------------------------------------
+# graded ranking quality: nDCG@K with an injected-literal discount table
+# ---------------------------------------------------------------------------
+
+_NDCG_MAX_K = 100
+_NDCG_STEP = 10
+
+
+def _ndcg_discounts() -> list[tuple[int, float]]:
+    """rank -> 1/log2(rank+1), computed ONCE in Python and injected as
+    literals into BOTH engines: repr() round-trips doubles exactly, so
+    Spark and DuckDB multiply by bit-identical constants — no
+    cross-engine transcendental (JVM log vs libm log) in either plan,
+    the boundary-flip class the weighted-sample advice flagged removed
+    at the source rather than 'made unlikely'."""
+    import math
+
+    return [
+        (r, 1.0 / math.log2(r + 1)) for r in range(1, _NDCG_MAX_K + 1)
+    ]
+
+
+def _ndcg_sql() -> str:
+    disc_rows = ", ".join(f"({r}, {d!r})" for r, d in _ndcg_discounts())
+    return f"""
+WITH disc(rank, disc) AS (VALUES {disc_rows}),
+e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+s AS (SELECT e.vec_id, e.label,
+             round(list_dot_product(e.v, q.qv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+      FROM e, q WHERE e.vec_id <> 0),
+r AS (SELECT label,
+             row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM s),
+a AS (SELECT r.rank,
+             floor(1000000.0 * r.label * d.disc + 0.5)::BIGINT AS c6
+      FROM r JOIN disc d ON d.rank = r.rank
+      WHERE r.rank <= {_NDCG_MAX_K}),
+i0 AS (SELECT label,
+              row_number() OVER (ORDER BY label DESC, vec_id) AS rank
+       FROM e WHERE vec_id <> 0),
+i AS (SELECT i0.rank,
+             floor(1000000.0 * i0.label * d.disc + 0.5)::BIGINT AS c6
+      FROM i0 JOIN disc d ON d.rank = i0.rank
+      WHERE i0.rank <= {_NDCG_MAX_K}),
+run AS (SELECT a.rank,
+               sum(a.c6) OVER (ORDER BY a.rank)::BIGINT AS dcg6,
+               sum(i.c6) OVER (ORDER BY a.rank)::BIGINT AS idcg6
+        FROM a JOIN i ON i.rank = a.rank)
+SELECT rank AS k, dcg6, idcg6,
+       floor(1000000.0 * dcg6 / idcg6 + 0.5)::BIGINT AS ndcg6
+FROM run WHERE rank % {_NDCG_STEP} = 0 ORDER BY k"""
+
+
+@register(
+    "llm_eval_ndcg",
+    _ndcg_sql(),
+    doc=f"nDCG@K sweep (K = {_NDCG_STEP}..{_NDCG_MAX_K}) of the cosine "
+        "ranking to query vector 0 with GRADED relevance (the 0-9 "
+        "embedding labels as gains) — the ranking-quality readout "
+        "P/R@K can't give (llm_eval_pr_at_k sees only binary hits). "
+        "DETERMINISM: the 1/log2(rank+1) discount table is computed "
+        "once in Python and injected as repr-round-tripped literals "
+        "into BOTH engines, so neither plan evaluates a transcendental "
+        "— the JVM-vs-libm 1-ulp boundary-flip class is removed at the "
+        "source; per-rank contributions are fixed-pointed BEFORE "
+        "summing, making DCG/IDCG exact integer sums and nDCG an "
+        "integer-ratio readout. SCALE: actual and ideal rankings are "
+        f"both TakeOrdered top-{_NDCG_MAX_K}; the discount join is a "
+        "100-row broadcast; running sums window over 100 rows, never "
+        "the corpus (operators/llm/similarity.py:ndcg_at_k).",
+    tags=("llm", "similarity", "evaluation", "quality"),
+)
+def llm_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ranked = similarity.cosine_topk(
+        emb, query_id=0, k=_NDCG_MAX_K
+    ).select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), F.asc("vec_id")))
+        .alias("rank"),
+    )
+    # exclude the query vector from the gain pool, mirroring the oracle's
+    # ideal ranking (the query can't be its own retrieval result)
+    labels = emb.filter(F.col("vec_id") != 0).select("vec_id", "label")
+    cutoffs = list(range(_NDCG_STEP, _NDCG_MAX_K + 1, _NDCG_STEP))
+    return similarity.ndcg_at_k(
+        ranked, labels, _ndcg_discounts(), cutoffs, id_col="vec_id"
     )

@@ -175,3 +175,61 @@ def test_precision_recall_at_k_hand_case(spark):
         2: (1, 500000, 333333),
         4: (2, 500000, 666667),
     }
+
+
+def test_ndcg_hand_case(spark):
+    """Two cutoffs, gains hand-computed. Ranking: ids 1,2,3 at ranks
+    1,2,3 with labels 3,0,2; ideal order of labels {3,2,0} is 3,2,0.
+    discounts: d1=1.0, d2=0.63..., d3=0.5 (injected literals)."""
+    import math
+
+    from helium_arango_etl_lite_spark.operators.llm.similarity import (
+        ndcg_at_k,
+    )
+
+    ranked = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "vec_id long, rank long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 3), (2, 0), (3, 2)], "vec_id long, label long"
+    )
+    disc = [(r, 1.0 / math.log2(r + 1)) for r in (1, 2, 3)]
+    got = {
+        r.k: (r.dcg6, r.idcg6, r.ndcg6)
+        for r in ndcg_at_k(ranked, labels, disc, [1, 3]).collect()
+    }
+    d1, d2, d3 = (d for _, d in disc)
+    dcg1 = math.floor(1e6 * 3 * d1 + 0.5)
+    idcg1 = dcg1
+    dcg3 = dcg1 + math.floor(1e6 * 0 * d2 + 0.5) + math.floor(
+        1e6 * 2 * d3 + 0.5
+    )
+    idcg3 = idcg1 + math.floor(1e6 * 2 * d2 + 0.5) + math.floor(
+        1e6 * 0 * d3 + 0.5
+    )
+    assert got == {
+        1: (dcg1, idcg1, 1_000_000),
+        3: (dcg3, idcg3, math.floor(1e6 * dcg3 / idcg3 + 0.5)),
+    }
+
+
+def test_dq_expectations_failure_paths(spark, sf_dir):
+    """The fixture deliberately violates three rules; the passing rules
+    must report zero failures and every n_checked must equal the table
+    row count."""
+    from helium_arango_etl_lite_spark.plans.registry import QUERIES, load_table
+
+    rows = {
+        r.rule_id: (r.n_checked, r.n_failed)
+        for r in QUERIES["dq_expectations"].spark_fn(spark, sf_dir).collect()
+    }
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_ord = load_table(spark, sf_dir, "orders").count()
+    assert rows["doc_text_nonempty"] == (n_docs, 0)
+    assert rows["doc_id_unique"] == (n_docs, 0)
+    assert rows["ord_date_not_null"] == (n_ord, 0)
+    for rule in ("doc_lang_allowlist", "ord_price_range",
+                 "ord_status_valid"):
+        n, failed = rows[rule]
+        assert n == (n_docs if rule.startswith("doc_") else n_ord)
+        assert 0 < failed < n, f"{rule} should partially fail"

@@ -61,6 +61,7 @@ GLOBAL_WINDOW_OK = {
     "llm_bpe_pair_counts": "top-k readout",
     "llm_rrf_fusion": "rank windows over top-30 lists, never the corpus",
     "llm_eval_pr_at_k": "running tp over the top-100 list only",
+    "llm_eval_ndcg": "running DCG/IDCG over the top-100 list only",
     "agg_stats_profile": "moment readout rows",
     "window_rank_distribution": "CDF over rank histogram",
     "llm_heavy_hitters_cms": "readout over sketch width",
@@ -88,6 +89,7 @@ BNLJ_OK = {
     "agg_hll_set_algebra": "fixed 2^p register-table crosses",
     "llm_rrf_fusion": "1-row query-vector + 1-row bm25-stats crosses",
     "llm_eval_pr_at_k": "1-row query-vector + 1-row n_pos crosses",
+    "llm_eval_ndcg": "1-row query-vector cross (cosine ranking)",
 }
 
 # Streaming replay harnesses drive micro-batches and read results back;

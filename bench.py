@@ -158,6 +158,7 @@ HEADLINE = [
     "llm_eval_pr_at_k",               # precision/recall@K retrieval sweep
     "llm_eval_ndcg",                  # graded nDCG@K, literal discounts
     "dq_expectations",                # rule suite in one scan per table
+    "llm_zip_index_capped",           # member-capped zip shard policy
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow

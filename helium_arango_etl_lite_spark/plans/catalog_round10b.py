@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash32, hash32_oracle_sql
 from .catalog_llm import _BM25_TERMS, _bm25_sql
+from .catalog_round9 import _CAP_MEMBERS as _ZIP_CAP
 from .registry import load_table, register
 
 # ---------------------------------------------------------------------------
@@ -550,3 +551,68 @@ def llm_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ndcg_at_k(
         ranked, labels, _ndcg_discounts(), cutoffs, id_col="vec_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# member-capped zip sharding (the 100 TB policy, zip edition)
+# ---------------------------------------------------------------------------
+
+_ZIPC_SQL = f"""
+WITH d AS (SELECT source, doc_id, text,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                    - 1 AS seq
+           FROM documents),
+c AS (SELECT source || '/' || (seq // {_ZIP_CAP})::VARCHAR AS shard_key,
+             doc_id, text, strlen(text)::BIGINT AS sz
+      FROM d),
+o AS (SELECT shard_key, doc_id, sz, md5(text) AS payload_md5,
+             30 + strlen(doc_id::VARCHAR || '.txt')::BIGINT + sz AS span
+      FROM c)
+SELECT shard_key,
+       doc_id::VARCHAR || '.txt' AS member,
+       coalesce(sum(span) OVER (PARTITION BY shard_key ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0)::BIGINT AS header_offset,
+       sz AS size,
+       payload_md5
+FROM o"""
+
+
+@register(
+    "llm_zip_index_capped",
+    _ZIPC_SQL,
+    doc="Member-capped zip sharding — the capped-key policy "
+        "(llm_webdataset_index_capped / llm_gzip_jsonl_capped) applied "
+        "to the zip container the moment it lands, not a round later: "
+        "per-source packing makes 20 giant pack groups and 20 giant "
+        "walk tasks at x100 (25k members/blob, most cores idle), so "
+        f"the pack key becomes source + (per-source sequence // "
+        f"{_ZIP_CAP}), bounding members/blob at {_ZIP_CAP} — corpus "
+        "growth adds shards, never members-per-shard, keeping pack "
+        "groups and walk tasks uniform at 100 TB. Doubly useful here: "
+        "the EOCD already catches accidental truncation structurally, "
+        "and the capped index adds the EXPECTED-shard/member-count "
+        "check that also catches directory REWRITES (the residual "
+        "honesty note on llm_zip_quarantine). The oracle recomputes "
+        "the capped key from rank arithmetic and every local offset "
+        "from the same 30+name+payload cumsum, now partitioned by "
+        "shard_key (operators/llm/shards.py:pack_zip_shards key_col).",
+    tags=("llm", "storage", "multimodal", "scale"),
+)
+def llm_zip_index_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.shards import index_zip_shards, pack_zip_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    capped = docs.select(
+        F.concat(
+            F.col("source"),
+            F.lit("/"),
+            F.floor((F.row_number().over(w) - 1) / _ZIP_CAP)
+            .cast("string"),
+        ).alias("shard_key"),
+        "doc_id",
+        "text",
+    )
+    out = index_zip_shards(pack_zip_shards(capped, key_col="shard_key"))
+    return out.withColumnRenamed("source", "shard_key")

@@ -233,3 +233,16 @@ def test_dq_expectations_failure_paths(spark, sf_dir):
         n, failed = rows[rule]
         assert n == (n_docs if rule.startswith("doc_") else n_ord)
         assert 0 < failed < n, f"{rule} should partially fail"
+
+
+def test_zip_capped_members_bound(spark, sf_dir):
+    """The capped pack key must BIND: no shard exceeds the cap, and
+    full buckets hold exactly the cap (the completeness check the
+    capped index adds on top of the EOCD)."""
+    from helium_arango_etl_lite_spark.plans.catalog_round10b import _ZIP_CAP
+    from helium_arango_etl_lite_spark.plans.registry import QUERIES
+
+    idx = QUERIES["llm_zip_index_capped"].spark_fn(spark, sf_dir)
+    per = idx.groupBy("shard_key").count().collect()
+    assert per and max(r["count"] for r in per) <= _ZIP_CAP
+    assert any(r["count"] == _ZIP_CAP for r in per), "cap never binds"

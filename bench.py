@@ -159,6 +159,8 @@ HEADLINE = [
     "llm_eval_ndcg",                  # graded nDCG@K, literal discounts
     "dq_expectations",                # rule suite in one scan per table
     "llm_zip_index_capped",           # member-capped zip shard policy
+    "llm_unigram_segment",            # unrolled integer Viterbi, no UDF
+    "llm_unigram_nll",                # tokenizer-training progress readout
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow

@@ -753,3 +753,220 @@ def cms_heavy_hitters(
         .orderBy(F.desc("est_count"), F.asc("token"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM subword segmentation (Kudo 2018, SentencePiece family)
+# ---------------------------------------------------------------------------
+
+UNI_MAX_WLEN = 8       # Viterbi unroll depth: words longer are excluded
+UNI_MAX_PLEN = 4       # longest candidate piece
+UNI_TOP_PIECES = 2048  # multi-char piece cap (all single chars retained)
+UNI_SENT = -(10 ** 12) # integer sentinel for "piece not in vocabulary"
+
+
+def _unigram_build(df: DataFrame, text: str = "text"):
+    """Shared build for the unigram family: the scored window table, the
+    forward and reverse Viterbi DP tables, and the DP-column selector.
+    Returns ``(sw, dpf, dpr, pick)``. See unigram_segment_counts for
+    the algorithm and scale notes."""
+    tok = F.explode(F.split(F.col(text), " ")).alias("w")
+    wt = (
+        df.select(tok)
+        .filter(
+            F.col("w").rlike("^[a-z]+$")
+            & (F.length("w") <= UNI_MAX_WLEN)
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wt = wt.localCheckpoint(eager=False)  # feeds windows + both DPs
+
+    win_expr = F.expr(
+        "flatten(transform(sequence(1, length(w)), a -> "
+        f"transform(sequence(a, least(length(w), a + {UNI_MAX_PLEN - 1})), "
+        "b -> struct(a, b))))"
+    )
+
+    def windows(word_col: str, piece_expr: str) -> DataFrame:
+        return (
+            wt.select(
+                "w", "freq", F.length("w").alias("L"),
+                F.explode(win_expr).alias("ab"),
+            )
+            .select(
+                "w", "freq", "L",
+                F.col("ab.a").alias("a"), F.col("ab.b").alias("b"),
+            )
+            .withColumn("piece", F.expr(piece_expr))
+        )
+
+    fwd = windows("w", "substring(w, a, b - a + 1)")
+    fwd = fwd.localCheckpoint(eager=False)  # counts + fwd pivot + member
+    cnts = fwd.groupBy("piece").agg(F.count(F.lit(1)).alias("c"))
+    cnts = cnts.localCheckpoint(eager=False)
+    singles = cnts.filter(F.length("piece") == 1)
+    multis = (
+        cnts.filter(F.length("piece") > 1)
+        .orderBy(F.desc("c"), F.asc("piece"))
+        .limit(UNI_TOP_PIECES)
+    )
+    keep = singles.unionByName(multis)
+    keep = keep.localCheckpoint(eager=False)  # total + scores
+    tot = keep.agg(F.sum("c").cast("long").alias("t"))
+    sc = keep.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.floor(
+            F.lit(1_000_000.0) * F.log(F.col("c") / F.col("t"))
+        )
+        .cast("long")
+        .alias("s6"),
+    )
+    sc = F.broadcast(sc.localCheckpoint(eager=False))
+
+    def scored(wins: DataFrame) -> DataFrame:
+        return wins.join(sc, "piece", "left").select(
+            "w", "freq", "L", "a", "b", "piece",
+            F.coalesce(F.col("s6"), F.lit(UNI_SENT)).alias("s6"),
+        )
+
+    sw = scored(fwd)
+    sw = sw.localCheckpoint(eager=False)  # pivot + membership probe
+    rw = scored(
+        windows("w", "reverse(substring(reverse(w), a, b - a + 1))")
+    )
+
+    def dp(wins: DataFrame, prefix: str) -> DataFrame:
+        piv = wins.groupBy("w").agg(
+            *[
+                F.max(
+                    F.when(
+                        (F.col("a") == a) & (F.col("b") == b),
+                        F.col("s6"),
+                    )
+                ).alias(f"s_{a}_{b}")
+                for a in range(1, UNI_MAX_WLEN + 1)
+                for b in range(
+                    a, min(UNI_MAX_WLEN, a + UNI_MAX_PLEN - 1) + 1
+                )
+            ]
+        )
+        out = piv
+        for i in range(1, UNI_MAX_WLEN + 1):
+            terms = []
+            for j in range(max(0, i - UNI_MAX_PLEN), i):
+                fj = (
+                    F.lit(0)
+                    if j == 0
+                    else F.col(f"{prefix}_{j}")
+                )
+                terms.append(
+                    F.coalesce(
+                        fj + F.col(f"s_{j + 1}_{i}"), F.lit(UNI_SENT)
+                    )
+                )
+            out = out.withColumn(
+                f"{prefix}_{i}",
+                F.greatest(*terms) if len(terms) > 1 else terms[0],
+            )
+        return out.select(
+            "w", *[f"{prefix}_{i}" for i in range(1, UNI_MAX_WLEN + 1)]
+        )
+
+    dpf = dp(sw, "f")
+    dpr = dp(rw, "rf")
+
+    def pick(col_prefix: str, idx: Column) -> Column:
+        expr = F.lit(UNI_SENT)
+        for i in range(1, UNI_MAX_WLEN + 1):
+            expr = F.when(
+                idx == i, F.col(f"{col_prefix}_{i}")
+            ).otherwise(expr)
+        return F.when(idx == 0, F.lit(0)).otherwise(expr)
+
+    return sw, dpf, dpr, pick
+
+
+def unigram_segment_counts(
+    df: DataFrame, text: str = "text", k: int = 20
+) -> DataFrame:
+    """Unigram-LM subword segmentation with on-optimal-path piece counts
+    — the OTHER major subword algorithm next to BPE (SentencePiece's
+    default): score candidate pieces by corpus substring statistics,
+    Viterbi-segment every word under the piece log-probs, and count the
+    pieces the optimal segmentations use (the hard-EM E-step readout).
+
+    Spark-first shape (the bpe_train dictionary trick, pushed further):
+
+    * ONE corpus scan builds the word-TYPE table; everything after is
+      vocabulary-sized regardless of corpus size.
+    * Candidate pieces = all substrings of length <= UNI_MAX_PLEN of the
+      word types; the multi-char vocabulary is capped at UNI_TOP_PIECES
+      (count DESC, piece ASC) and every single char is retained, so the
+      score table is broadcast-BOUNDED by construction and every word
+      stays segmentable.
+    * Scores are fixed-pointed to integer micro-nats
+      (floor(1e6 * ln(count/total))) BEFORE the DP, so Viterbi compares
+      integers — no float max/argmax anywhere. (The ln itself is the
+      one transcendental: both engines evaluate it on bit-identical
+      rationals, so a flip needs a 1-ulp JVM-vs-libm difference landing
+      exactly on a floor boundary — vanishingly unlikely, same stance
+      as llm_weighted_sample.)
+    * The Viterbi recurrence is UNROLLED into codegen'd integer column
+      expressions: forward best f_1..f_8 and, on the reversed word,
+      suffix best rf_1..rf_8 — no UDF, no recursion, no driver loop.
+    * The M-step count avoids backtracking entirely: a piece occurrence
+      [a, b] lies on SOME optimal segmentation iff
+      f_{a-1} + s(piece) + rf_{L-b} == f_L — a pure filter over the
+      window table joined to the two DP tables (all word-keyed,
+      vocabulary-sized). Words with several optimal segmentations count
+      every piece on ANY of them (deterministic, documented; ties are
+      common under quantized scores).
+
+    Scale dials, named: UNI_MAX_WLEN bounds the unroll (longer words are
+    excluded here; production raises the unroll or pre-chunks rare long
+    words), UNI_TOP_PIECES bounds the broadcast.
+    """
+    sw, dpf, dpr, pick = _unigram_build(df, text)
+    mem = (
+        sw.join(dpf, "w")
+        .join(dpr, "w")
+        .filter(
+            (F.col("s6") > UNI_SENT)
+            & (
+                pick("f", F.col("a") - 1)
+                + F.col("s6")
+                + pick("rf", F.col("L") - F.col("b"))
+                == pick("f", F.col("L"))
+            )
+        )
+    )
+    return (
+        mem.groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(k)
+    )
+
+
+def unigram_corpus_nll(df: DataFrame, text: str = "text") -> DataFrame:
+    """Corpus negative log-likelihood under the unigram segmentation —
+    the progress metric a tokenizer-training job monitors (the
+    bpe_compression_curve readout for the unigram family): NLL6 =
+    -sum over word types of freq * f_L, in integer micro-nats (f_L is
+    already fixed-point, so the corpus sum is exact — no float
+    accumulation). Also reports word-type count and the token total
+    covered. Same vocabulary-sized machinery as
+    unigram_segment_counts; one extra word-keyed join, one 1-row agg.
+    """
+    sw, dpf, _dpr, pick = _unigram_build(df, text)
+    per_word = (
+        sw.select("w", "freq", "L").distinct()
+        .join(dpf, "w")
+        .select("freq", pick("f", F.col("L")).alias("fl"))
+    )
+    return per_word.agg(
+        F.count(F.lit(1)).cast("long").alias("n_word_types"),
+        F.sum("freq").cast("long").alias("n_tokens"),
+        (-F.sum(F.col("freq") * F.col("fl"))).cast("long").alias("nll6"),
+    )

@@ -23,6 +23,16 @@ fusion, and a retrieval-evaluation sweep.
   pass/fail counts) folding all row-level rules for a table into ONE
   partial-aggregatable scan; complements dq_profile (stats) with
   contract verification.
+* ``llm_zip_index_capped`` — the member-capped shard-key policy applied
+  to the zip container (here the cap bounds TASK MEMORY under
+  applyInPandas, not wall — see SCALE_SOAK.md round 10 cont. 4).
+* ``llm_unigram_segment`` / ``llm_unigram_nll`` — unigram-LM subword
+  segmentation (the SentencePiece family, the other major subword
+  algorithm next to llm_bpe_*): integer-micro-nat piece scores, the
+  Viterbi recurrence UNROLLED into codegen'd column expressions, and
+  backtrack-free optimal-path piece counting via the
+  f_{a-1} + s + rf_{L-b} == f_L membership identity; the oracle
+  replays the whole chain including both DP unrolls.
 
 Reference parity note: the reference ETL (helium-arango-etl-lite) has
 none of these; they extend the north-star storage + similarity +
@@ -616,3 +626,165 @@ def llm_zip_index_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = index_zip_shards(pack_zip_shards(capped, key_col="shard_key"))
     return out.withColumnRenamed("source", "shard_key")
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM subword segmentation (the OTHER subword algorithm next to BPE)
+# ---------------------------------------------------------------------------
+
+def _unigram_ctes() -> str:
+    from ..operators.llm.text import (
+        UNI_MAX_PLEN as P, UNI_MAX_WLEN as W, UNI_SENT as SENT,
+        UNI_TOP_PIECES as TOP,
+    )
+
+    piv, rpiv = [], []
+    for a in range(1, W + 1):
+        for b in range(a, min(W, a + P - 1) + 1):
+            piv.append(
+                f"max(CASE WHEN a={a} AND b={b} THEN s6 END) AS s_{a}_{b}"
+            )
+            rpiv.append(
+                f"max(CASE WHEN a={a} AND b={b} THEN s6 END) AS rs_{a}_{b}"
+            )
+    fcols, rcols = [], []
+    for i in range(1, W + 1):
+        ft, rt = [], []
+        for j in range(max(0, i - P), i):
+            fj = "0" if j == 0 else f"f_{j}"
+            rj = "0" if j == 0 else f"rf_{j}"
+            ft.append(f"coalesce({fj} + s_{j+1}_{i}, {SENT})")
+            rt.append(f"coalesce({rj} + rs_{j+1}_{i}, {SENT})")
+        fcols.append(f"greatest({', '.join(ft)}) AS f_{i}")
+        rcols.append(f"greatest({', '.join(rt)}) AS rf_{i}")
+    return f"""
+WITH wt AS (SELECT w, count(*)::BIGINT AS freq FROM (
+       SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+     WHERE regexp_matches(w, '^[a-z]+$') AND length(w) <= {W}
+     GROUP BY w),
+win AS (SELECT w, freq, length(w) AS L, a, b,
+               substr(w, a, b - a + 1) AS piece
+        FROM wt,
+             LATERAL (SELECT unnest(generate_series(1, length(w))) AS a),
+             LATERAL (SELECT unnest(generate_series(a,
+                        least(length(w), a + {P} - 1))) AS b)),
+cnts AS (SELECT piece, count(*)::BIGINT AS c FROM win GROUP BY piece),
+keep AS (SELECT piece, c FROM cnts WHERE length(piece) = 1
+         UNION ALL
+         SELECT piece, c FROM (SELECT piece, c FROM cnts
+                               WHERE length(piece) > 1
+                               ORDER BY c DESC, piece LIMIT {TOP})),
+tot AS (SELECT sum(c)::BIGINT AS t FROM keep),
+sc AS (SELECT piece, floor(1000000.0 * ln(c / t))::BIGINT AS s6
+       FROM keep, tot),
+sw AS (SELECT win.w, win.freq, win.L, win.a, win.b, win.piece,
+              coalesce(sc.s6, {SENT}) AS s6
+       FROM win LEFT JOIN sc USING (piece)),
+rw AS (SELECT w, a, b, coalesce(sc.s6, {SENT}) AS s6
+       FROM (SELECT w, a, b,
+                    reverse(substr(reverse(w), a, b - a + 1)) AS piece
+             FROM wt,
+                  LATERAL (SELECT unnest(generate_series(1, length(w)))
+                           AS a),
+                  LATERAL (SELECT unnest(generate_series(a,
+                             least(length(w), a + {P} - 1))) AS b))
+       LEFT JOIN sc USING (piece)),
+mf AS (SELECT w, {', '.join(piv)} FROM sw GROUP BY w),
+mr AS (SELECT w, {', '.join(rpiv)} FROM rw GROUP BY w),
+dpf AS (SELECT w, {', '.join(fcols)} FROM mf),
+dpr AS (SELECT w, {', '.join(rcols)} FROM mr)"""
+
+
+def _unigram_mem_pred() -> str:
+    from ..operators.llm.text import UNI_MAX_WLEN as W, UNI_SENT as SENT
+
+    f_at_l = ("CASE L " + " ".join(
+        f"WHEN {i} THEN f_{i}" for i in range(1, W + 1)) + " END")
+    f_prev = ("CASE a WHEN 1 THEN 0 " + " ".join(
+        f"WHEN {a} THEN f_{a-1}" for a in range(2, W + 1)) + " END")
+    g_suf = ("CASE L - b WHEN 0 THEN 0 " + " ".join(
+        f"WHEN {i} THEN rf_{i}" for i in range(1, W)) + " END")
+    return (f"sw.s6 > {SENT} AND ({f_prev}) + sw.s6 + ({g_suf})"
+            f" = ({f_at_l})")
+
+
+def _unigram_sql(k: int = 20) -> str:
+    return _unigram_ctes() + f""",
+mem AS (SELECT sw.piece, sw.freq
+        FROM sw JOIN dpf USING (w) JOIN dpr USING (w)
+        WHERE {_unigram_mem_pred()})
+SELECT piece, sum(freq)::BIGINT AS cnt
+FROM mem GROUP BY piece
+ORDER BY cnt DESC, piece LIMIT {k}"""
+
+
+def _unigram_nll_sql() -> str:
+    from ..operators.llm.text import UNI_MAX_WLEN as W
+
+    f_at_l = ("CASE length(w) " + " ".join(
+        f"WHEN {i} THEN f_{i}" for i in range(1, W + 1)) + " END")
+    return _unigram_ctes() + f""",
+per AS (SELECT wt.freq, ({f_at_l}) AS fl FROM wt JOIN dpf USING (w))
+SELECT count(*)::BIGINT AS n_word_types,
+       sum(freq)::BIGINT AS n_tokens,
+       (-sum(freq * fl))::BIGINT AS nll6
+FROM per"""
+
+
+@register(
+    "llm_unigram_segment",
+    _unigram_sql(),
+    doc="Unigram-LM subword segmentation (Kudo 2018 — the SentencePiece "
+        "family, the OTHER major subword algorithm next to llm_bpe_*): "
+        "score candidate pieces by corpus substring statistics "
+        "(fixed-point integer micro-nats), VITERBI-segment every word "
+        "under the piece scores with the recurrence UNROLLED into "
+        "codegen'd integer column expressions (forward best f_1..f_8 "
+        "plus suffix best rf_1..rf_8 on the reversed word — no UDF, no "
+        "recursion, no driver loop), and count the pieces optimal "
+        "segmentations use WITHOUT backtracking: occurrence [a,b] is on "
+        "some optimal path iff f_{a-1} + s + rf_{L-b} == f_L, a pure "
+        "filter over the window table joined to the two DP tables. "
+        "Words with several optimal segmentations count every piece on "
+        "any of them (deterministic; ties are common under quantized "
+        "scores). THE ORACLE REPLAYS THE WHOLE THING — substring "
+        "counts, the capped piece vocabulary, both DP unrolls as "
+        "lateral-column CTEs, and the membership filter — so the "
+        "driver hash certifies the segmenter end to end. SCALE: one "
+        "corpus scan builds the word-TYPE table; every later stage is "
+        "vocabulary-sized (the bpe_train dictionary trick); the piece "
+        "table is cap-bounded for broadcast; dials named in the "
+        "operator docstring (unroll depth UNI_MAX_WLEN, piece cap "
+        "UNI_TOP_PIECES) "
+        "(operators/llm/text.py:unigram_segment_counts).",
+    tags=("llm", "text", "train", "scale"),
+)
+def llm_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.text import unigram_segment_counts
+
+    return unigram_segment_counts(
+        load_table(spark, sf_dir, "documents"), k=20
+    )
+
+
+@register(
+    "llm_unigram_nll",
+    _unigram_nll_sql(),
+    doc="Corpus negative log-likelihood under the unigram segmentation "
+        "— the training-progress readout for the unigram family (what "
+        "llm_bpe_compression_curve is to BPE): NLL6 = -sum over word "
+        "types of freq * f_L in integer micro-nats. f_L is the "
+        "already-fixed-pointed Viterbi optimum, so the corpus total is "
+        "an EXACT integer sum — no float accumulation anywhere in the "
+        "readout. Shares the whole vocabulary-sized build with "
+        "llm_unigram_segment (one corpus scan, capped broadcast piece "
+        "table, unrolled integer DP); the readout adds one word-keyed "
+        "join and a 1-row aggregate. The oracle replays the full chain "
+        "and reads the same three numbers "
+        "(operators/llm/text.py:unigram_corpus_nll).",
+    tags=("llm", "text", "train", "stats"),
+)
+def llm_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.text import unigram_corpus_nll
+
+    return unigram_corpus_nll(load_table(spark, sf_dir, "documents"))

@@ -246,3 +246,90 @@ def test_zip_capped_members_bound(spark, sf_dir):
     per = idx.groupBy("shard_key").count().collect()
     assert per and max(r["count"] for r in per) <= _ZIP_CAP
     assert any(r["count"] == _ZIP_CAP for r in per), "cap never binds"
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM segmentation: independent-reference cross-check
+# ---------------------------------------------------------------------------
+
+def _unigram_reference(texts: list[str], k: int = 20):
+    """Independent plain-Python implementation of the unigram contract
+    (same constants) — the same role zipfile plays for the zip parser:
+    agreement certifies the distributed implementation against a
+    straightforward sequential one."""
+    import math
+    import re
+    from collections import Counter
+
+    from helium_arango_etl_lite_spark.operators.llm.text import (
+        UNI_MAX_PLEN, UNI_MAX_WLEN, UNI_SENT, UNI_TOP_PIECES,
+    )
+
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if re.fullmatch("[a-z]+", w) and len(w) <= UNI_MAX_WLEN:
+                words[w] += 1
+    sub = Counter()
+    for w in words:
+        for a in range(len(w)):
+            for b in range(a + 1, min(len(w), a + UNI_MAX_PLEN) + 1):
+                sub[w[a:b]] += 1
+    singles = {p for p in sub if len(p) == 1}
+    multi = sorted(
+        (p for p in sub if len(p) > 1), key=lambda p: (-sub[p], p)
+    )[:UNI_TOP_PIECES]
+    retained = singles | set(multi)
+    total = sum(sub[p] for p in retained)
+    score = {
+        p: math.floor(1e6 * math.log(sub[p] / total)) for p in retained
+    }
+    cnt = Counter()
+    nll = 0
+    for w, freq in words.items():
+        L = len(w)
+        f = [0] + [UNI_SENT] * L
+        for i in range(1, L + 1):
+            f[i] = max(
+                f[j] + score.get(w[j:i], UNI_SENT)
+                for j in range(max(0, i - UNI_MAX_PLEN), i)
+            )
+        g = [UNI_SENT] * L + [0]
+        for i in range(L - 1, -1, -1):
+            g[i] = max(
+                score.get(w[i:kk], UNI_SENT) + g[kk]
+                for kk in range(i + 1, min(L, i + UNI_MAX_PLEN) + 1)
+            )
+        nll -= freq * f[L]
+        for j in range(L):
+            for i in range(j + 1, min(L, j + UNI_MAX_PLEN) + 1):
+                p = w[j:i]
+                if p in retained and f[j] + score[p] + g[i] == f[L]:
+                    cnt[p] += freq
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return top, (len(words), sum(words.values()), nll)
+
+
+def test_unigram_matches_reference(spark):
+    from helium_arango_etl_lite_spark.operators.llm.text import (
+        unigram_corpus_nll, unigram_segment_counts,
+    )
+
+    texts = [
+        "the cat sat on the mat with another cat",
+        "banana bandana cabana banana",
+        "segmentation of the banana is the best test",
+        "aaaa aaaa aaab abab Xignored UPPER toolongword99",
+        "mat mat cat the the the",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    ref_top, (ref_types, ref_tokens, ref_nll) = _unigram_reference(texts)
+    got_top = [
+        (r.piece, r.cnt)
+        for r in unigram_segment_counts(df, k=20).collect()
+    ]
+    assert got_top == ref_top
+    nll_row = unigram_corpus_nll(df).collect()[0]
+    assert (
+        nll_row.n_word_types, nll_row.n_tokens, nll_row.nll6
+    ) == (ref_types, ref_tokens, ref_nll)

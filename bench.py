@@ -161,6 +161,7 @@ HEADLINE = [
     "llm_zip_index_capped",           # member-capped zip shard policy
     "llm_unigram_segment",            # unrolled integer Viterbi, no UDF
     "llm_unigram_nll",                # tokenizer-training progress readout
+    "llm_unigram_em",                 # one hard-EM round, oracle-replayed
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow

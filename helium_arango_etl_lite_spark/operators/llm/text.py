@@ -766,10 +766,14 @@ UNI_SENT = -(10 ** 12) # integer sentinel for "piece not in vocabulary"
 
 
 def _unigram_build(df: DataFrame, text: str = "text"):
-    """Shared build for the unigram family: the scored window table, the
-    forward and reverse Viterbi DP tables, and the DP-column selector.
-    Returns ``(sw, dpf, dpr, pick)``. See unigram_segment_counts for
+    """Shared build for the unigram family. Returns a namespace with the
+    word-type table, the raw window tables, the capped piece vocabulary,
+    the round-1 scored windows and DP tables, and the reusable pieces
+    (``score_windows``, ``dp``, ``pick``, ``mem_counts``) an EM round
+    needs to re-score and re-segment. See unigram_segment_counts for
     the algorithm and scale notes."""
+    from types import SimpleNamespace
+
     tok = F.explode(F.split(F.col(text), " ")).alias("w")
     wt = (
         df.select(tok)
@@ -788,7 +792,7 @@ def _unigram_build(df: DataFrame, text: str = "text"):
         "b -> struct(a, b))))"
     )
 
-    def windows(word_col: str, piece_expr: str) -> DataFrame:
+    def windows(piece_expr: str) -> DataFrame:
         return (
             wt.select(
                 "w", "freq", F.length("w").alias("L"),
@@ -801,8 +805,10 @@ def _unigram_build(df: DataFrame, text: str = "text"):
             .withColumn("piece", F.expr(piece_expr))
         )
 
-    fwd = windows("w", "substring(w, a, b - a + 1)")
-    fwd = fwd.localCheckpoint(eager=False)  # counts + fwd pivot + member
+    fwd = windows("substring(w, a, b - a + 1)")
+    fwd = fwd.localCheckpoint(eager=False)  # counts + scoring + member
+    rwin = windows("reverse(substring(reverse(w), a, b - a + 1))")
+    rwin = rwin.localCheckpoint(eager=False)
     cnts = fwd.groupBy("piece").agg(F.count(F.lit(1)).alias("c"))
     cnts = cnts.localCheckpoint(eager=False)
     singles = cnts.filter(F.length("piece") == 1)
@@ -812,29 +818,30 @@ def _unigram_build(df: DataFrame, text: str = "text"):
         .limit(UNI_TOP_PIECES)
     )
     keep = singles.unionByName(multis)
-    keep = keep.localCheckpoint(eager=False)  # total + scores
-    tot = keep.agg(F.sum("c").cast("long").alias("t"))
-    sc = keep.crossJoin(F.broadcast(tot)).select(
-        "piece",
-        F.floor(
-            F.lit(1_000_000.0) * F.log(F.col("c") / F.col("t"))
-        )
-        .cast("long")
-        .alias("s6"),
-    )
-    sc = F.broadcast(sc.localCheckpoint(eager=False))
+    keep = keep.localCheckpoint(eager=False)  # total + scores + EM vocab
 
-    def scored(wins: DataFrame) -> DataFrame:
-        return wins.join(sc, "piece", "left").select(
-            "w", "freq", "L", "a", "b", "piece",
-            F.coalesce(F.col("s6"), F.lit(UNI_SENT)).alias("s6"),
+    def scores_from(counts: DataFrame) -> DataFrame:
+        """counts(piece, c) -> broadcast score table in micro-nats."""
+        tot = counts.agg(F.sum("c").cast("long").alias("t"))
+        sc = counts.crossJoin(F.broadcast(tot)).select(
+            "piece",
+            F.floor(
+                F.lit(1_000_000.0) * F.log(F.col("c") / F.col("t"))
+            )
+            .cast("long")
+            .alias("s6"),
         )
+        return F.broadcast(sc.localCheckpoint(eager=False))
 
-    sw = scored(fwd)
-    sw = sw.localCheckpoint(eager=False)  # pivot + membership probe
-    rw = scored(
-        windows("w", "reverse(substring(reverse(w), a, b - a + 1))")
-    )
+    def score_windows(sc: DataFrame) -> tuple[DataFrame, DataFrame]:
+        def scored(wins: DataFrame) -> DataFrame:
+            return wins.join(sc, "piece", "left").select(
+                "w", "freq", "L", "a", "b", "piece",
+                F.coalesce(F.col("s6"), F.lit(UNI_SENT)).alias("s6"),
+            )
+
+        sw = scored(fwd)
+        return sw.localCheckpoint(eager=False), scored(rwin)
 
     def dp(wins: DataFrame, prefix: str) -> DataFrame:
         piv = wins.groupBy("w").agg(
@@ -873,9 +880,6 @@ def _unigram_build(df: DataFrame, text: str = "text"):
             "w", *[f"{prefix}_{i}" for i in range(1, UNI_MAX_WLEN + 1)]
         )
 
-    dpf = dp(sw, "f")
-    dpr = dp(rw, "rf")
-
     def pick(col_prefix: str, idx: Column) -> Column:
         expr = F.lit(UNI_SENT)
         for i in range(1, UNI_MAX_WLEN + 1):
@@ -884,7 +888,35 @@ def _unigram_build(df: DataFrame, text: str = "text"):
             ).otherwise(expr)
         return F.when(idx == 0, F.lit(0)).otherwise(expr)
 
-    return sw, dpf, dpr, pick
+    def mem_counts(
+        sw: DataFrame, dpf: DataFrame, dpr: DataFrame
+    ) -> DataFrame:
+        """Full on-optimal-path piece counts (the hard-EM E-step)."""
+        mem = (
+            sw.join(dpf, "w")
+            .join(dpr, "w")
+            .filter(
+                (F.col("s6") > UNI_SENT)
+                & (
+                    pick("f", F.col("a") - 1)
+                    + F.col("s6")
+                    + pick("rf", F.col("L") - F.col("b"))
+                    == pick("f", F.col("L"))
+                )
+            )
+        )
+        return mem.groupBy("piece").agg(
+            F.sum("freq").cast("long").alias("cnt")
+        )
+
+    sw, rw = score_windows(scores_from(keep))
+    dpf = dp(sw, "f")
+    dpr = dp(rw, "rf")
+    return SimpleNamespace(
+        wt=wt, keep=keep, sw=sw, dpf=dpf, dpr=dpr,
+        scores_from=scores_from, score_windows=score_windows,
+        dp=dp, pick=pick, mem_counts=mem_counts,
+    )
 
 
 def unigram_segment_counts(
@@ -927,23 +959,9 @@ def unigram_segment_counts(
     excluded here; production raises the unroll or pre-chunks rare long
     words), UNI_TOP_PIECES bounds the broadcast.
     """
-    sw, dpf, dpr, pick = _unigram_build(df, text)
-    mem = (
-        sw.join(dpf, "w")
-        .join(dpr, "w")
-        .filter(
-            (F.col("s6") > UNI_SENT)
-            & (
-                pick("f", F.col("a") - 1)
-                + F.col("s6")
-                + pick("rf", F.col("L") - F.col("b"))
-                == pick("f", F.col("L"))
-            )
-        )
-    )
+    b = _unigram_build(df, text)
     return (
-        mem.groupBy("piece")
-        .agg(F.sum("freq").cast("long").alias("cnt"))
+        b.mem_counts(b.sw, b.dpf, b.dpr)
         .orderBy(F.desc("cnt"), F.asc("piece"))
         .limit(k)
     )
@@ -959,14 +977,57 @@ def unigram_corpus_nll(df: DataFrame, text: str = "text") -> DataFrame:
     covered. Same vocabulary-sized machinery as
     unigram_segment_counts; one extra word-keyed join, one 1-row agg.
     """
-    sw, dpf, _dpr, pick = _unigram_build(df, text)
+    b = _unigram_build(df, text)
     per_word = (
-        sw.select("w", "freq", "L").distinct()
-        .join(dpf, "w")
-        .select("freq", pick("f", F.col("L")).alias("fl"))
+        b.wt.select("w", "freq", F.length("w").alias("L"))
+        .join(b.dpf, "w")
+        .select("freq", b.pick("f", F.col("L")).alias("fl"))
     )
     return per_word.agg(
         F.count(F.lit(1)).cast("long").alias("n_word_types"),
         F.sum("freq").cast("long").alias("n_tokens"),
         (-F.sum(F.col("freq") * F.col("fl"))).cast("long").alias("nll6"),
     )
+
+
+def unigram_em_counts(
+    df: DataFrame, text: str = "text", k: int = 20
+) -> DataFrame:
+    """ONE full hard-EM round on top of the unigram segmentation — the
+    M-step + re-segmentation that turns the substring-statistics
+    initialization into actual unigram-LM training (Kudo 2018's loop,
+    hard-assignment variant): round-1 optimal-path piece counts become
+    the new piece probabilities (add-one smoothing over the SAME capped
+    vocabulary, so never-used pieces stay segmentable and the broadcast
+    stays bounded), every word is re-segmented under the new integer
+    micro-nat scores, and the round-2 counts are read out next to
+    round 1's. Returns the top-k pieces per round with a ``round``
+    column — the trajectory readout, like llm_bpe_compression_curve.
+
+    Everything reuses the round-1 build: the word-type table, the raw
+    window tables, and the DP/membership machinery are built once; the
+    EM round adds one vocabulary-sized count join, a re-broadcast of
+    the score table, and a second unrolled DP — no new corpus scan.
+    """
+    b = _unigram_build(df, text)
+    m1 = b.mem_counts(b.sw, b.dpf, b.dpr)
+    m1 = m1.localCheckpoint(eager=False)  # readout + M-step
+    c2 = (
+        b.keep.select("piece")
+        .join(m1, "piece", "left")
+        .select(
+            "piece",
+            (F.coalesce(F.col("cnt"), F.lit(0)) + 1).alias("c"),
+        )
+    )
+    sw2, rw2 = b.score_windows(b.scores_from(c2))
+    m2 = b.mem_counts(sw2, b.dp(sw2, "f"), b.dp(rw2, "rf"))
+
+    def top(m: DataFrame, rnd: int) -> DataFrame:
+        return (
+            m.orderBy(F.desc("cnt"), F.asc("piece"))
+            .limit(k)
+            .select(F.lit(rnd).alias("round"), "piece", "cnt")
+        )
+
+    return top(m1, 1).unionByName(top(m2, 2))

@@ -33,6 +33,10 @@ fusion, and a retrieval-evaluation sweep.
   backtrack-free optimal-path piece counting via the
   f_{a-1} + s + rf_{L-b} == f_L membership identity; the oracle
   replays the whole chain including both DP unrolls.
+* ``llm_unigram_em`` — one full hard-EM round on top: round-1 counts
+  become the new (smoothed) piece probabilities, every word
+  re-segments, and the oracle replays BOTH rounds — four unrolled DP
+  chains in one SQL statement.
 
 Reference parity note: the reference ETL (helium-arango-etl-lite) has
 none of these; they extend the north-star storage + similarity +
@@ -680,22 +684,21 @@ sc AS (SELECT piece, floor(1000000.0 * ln(c / t))::BIGINT AS s6
 sw AS (SELECT win.w, win.freq, win.L, win.a, win.b, win.piece,
               coalesce(sc.s6, {SENT}) AS s6
        FROM win LEFT JOIN sc USING (piece)),
-rw AS (SELECT w, a, b, coalesce(sc.s6, {SENT}) AS s6
-       FROM (SELECT w, a, b,
-                    reverse(substr(reverse(w), a, b - a + 1)) AS piece
-             FROM wt,
-                  LATERAL (SELECT unnest(generate_series(1, length(w)))
-                           AS a),
-                  LATERAL (SELECT unnest(generate_series(a,
-                             least(length(w), a + {P} - 1))) AS b))
-       LEFT JOIN sc USING (piece)),
+rwin AS (SELECT w, a, b,
+                reverse(substr(reverse(w), a, b - a + 1)) AS piece
+         FROM wt,
+              LATERAL (SELECT unnest(generate_series(1, length(w))) AS a),
+              LATERAL (SELECT unnest(generate_series(a,
+                         least(length(w), a + {P} - 1))) AS b)),
+rw AS (SELECT rwin.w, rwin.a, rwin.b, coalesce(sc.s6, {SENT}) AS s6
+       FROM rwin LEFT JOIN sc USING (piece)),
 mf AS (SELECT w, {', '.join(piv)} FROM sw GROUP BY w),
 mr AS (SELECT w, {', '.join(rpiv)} FROM rw GROUP BY w),
 dpf AS (SELECT w, {', '.join(fcols)} FROM mf),
 dpr AS (SELECT w, {', '.join(rcols)} FROM mr)"""
 
 
-def _unigram_mem_pred() -> str:
+def _unigram_mem_pred(sw: str = "sw") -> str:
     from ..operators.llm.text import UNI_MAX_WLEN as W, UNI_SENT as SENT
 
     f_at_l = ("CASE L " + " ".join(
@@ -704,7 +707,7 @@ def _unigram_mem_pred() -> str:
         f"WHEN {a} THEN f_{a-1}" for a in range(2, W + 1)) + " END")
     g_suf = ("CASE L - b WHEN 0 THEN 0 " + " ".join(
         f"WHEN {i} THEN rf_{i}" for i in range(1, W)) + " END")
-    return (f"sw.s6 > {SENT} AND ({f_prev}) + sw.s6 + ({g_suf})"
+    return (f"{sw}.s6 > {SENT} AND ({f_prev}) + {sw}.s6 + ({g_suf})"
             f" = ({f_at_l})")
 
 
@@ -788,3 +791,86 @@ def llm_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.llm.text import unigram_corpus_nll
 
     return unigram_corpus_nll(load_table(spark, sf_dir, "documents"))
+
+
+def _unigram_em_sql(k: int = 20) -> str:
+    from ..operators.llm.text import (
+        UNI_MAX_PLEN as P, UNI_MAX_WLEN as W, UNI_SENT as SENT,
+    )
+
+    piv2, rpiv2 = [], []
+    for a in range(1, W + 1):
+        for b in range(a, min(W, a + P - 1) + 1):
+            piv2.append(
+                f"max(CASE WHEN a={a} AND b={b} THEN s6 END) AS s_{a}_{b}"
+            )
+            rpiv2.append(
+                f"max(CASE WHEN a={a} AND b={b} THEN s6 END) AS rs_{a}_{b}"
+            )
+    fcols2, rcols2 = [], []
+    for i in range(1, W + 1):
+        ft, rt = [], []
+        for j in range(max(0, i - P), i):
+            fj = "0" if j == 0 else f"f_{j}"
+            rj = "0" if j == 0 else f"rf_{j}"
+            ft.append(f"coalesce({fj} + s_{j+1}_{i}, {SENT})")
+            rt.append(f"coalesce({rj} + rs_{j+1}_{i}, {SENT})")
+        fcols2.append(f"greatest({', '.join(ft)}) AS f_{i}")
+        rcols2.append(f"greatest({', '.join(rt)}) AS rf_{i}")
+    return _unigram_ctes() + f""",
+mem AS (SELECT sw.piece, sw.freq
+        FROM sw JOIN dpf USING (w) JOIN dpr USING (w)
+        WHERE {_unigram_mem_pred()}),
+m1 AS (SELECT piece, sum(freq)::BIGINT AS cnt FROM mem GROUP BY piece),
+c2 AS (SELECT keep.piece, (coalesce(m1.cnt, 0) + 1)::BIGINT AS c
+       FROM keep LEFT JOIN m1 USING (piece)),
+t2 AS (SELECT sum(c)::BIGINT AS t FROM c2),
+sc2 AS (SELECT piece, floor(1000000.0 * ln(c / t))::BIGINT AS s6
+        FROM c2, t2),
+sw2 AS (SELECT win.w, win.freq, win.L, win.a, win.b, win.piece,
+               coalesce(sc2.s6, {SENT}) AS s6
+        FROM win LEFT JOIN sc2 USING (piece)),
+rw2 AS (SELECT rwin.w, rwin.a, rwin.b, coalesce(sc2.s6, {SENT}) AS s6
+        FROM rwin LEFT JOIN sc2 USING (piece)),
+mf2 AS (SELECT w, {', '.join(piv2)} FROM sw2 GROUP BY w),
+mr2 AS (SELECT w, {', '.join(rpiv2)} FROM rw2 GROUP BY w),
+dpf2 AS (SELECT w, {', '.join(fcols2)} FROM mf2),
+dpr2 AS (SELECT w, {', '.join(rcols2)} FROM mr2),
+mem2 AS (SELECT sw2.piece, sw2.freq
+         FROM sw2 JOIN dpf2 USING (w) JOIN dpr2 USING (w)
+         WHERE {_unigram_mem_pred("sw2")}),
+m2 AS (SELECT piece, sum(freq)::BIGINT AS cnt FROM mem2 GROUP BY piece)
+SELECT 1 AS round, piece, cnt
+FROM (SELECT piece, cnt FROM m1 ORDER BY cnt DESC, piece LIMIT {k})
+UNION ALL
+SELECT 2 AS round, piece, cnt
+FROM (SELECT piece, cnt FROM m2 ORDER BY cnt DESC, piece LIMIT {k})"""
+
+
+@register(
+    "llm_unigram_em",
+    _unigram_em_sql(),
+    doc="ONE full hard-EM round of unigram-LM tokenizer training on top "
+        "of llm_unigram_segment — the M-step + re-segmentation that "
+        "turns the substring-count initialization into actual training "
+        "(Kudo 2018's loop, hard-assignment variant): round-1 "
+        "optimal-path counts become the new piece probabilities "
+        "(add-one smoothing over the SAME capped vocabulary, keeping "
+        "every word segmentable and the broadcast bounded), every word "
+        "re-segments under the new integer micro-nat scores, and the "
+        "top-20 pieces are read out per round with a `round` column — "
+        "the trajectory readout, like llm_bpe_compression_curve. THE "
+        "ORACLE REPLAYS BOTH ROUNDS END TO END: the initial counts, "
+        "both capped score tables, FOUR unrolled DP chains (forward + "
+        "reverse, twice), and both membership filters — the driver "
+        "hash certifies the EM loop itself. SCALE: the EM round adds "
+        "one vocabulary-sized count join, one re-broadcast, one more "
+        "unrolled DP — still no second corpus scan; rounds are linear "
+        "in vocabulary, never corpus "
+        "(operators/llm/text.py:unigram_em_counts).",
+    tags=("llm", "text", "train", "iterative", "scale"),
+)
+def llm_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.text import unigram_em_counts
+
+    return unigram_em_counts(load_table(spark, sf_dir, "documents"), k=20)

@@ -24,7 +24,7 @@ queries, so it was removed on advisor direction).
   on every run regardless of this ordering).
 
 Round-10 batch (applied): what the r9 verdict ordered plus the session-2
-additions — the 20 never-driver-verified round-10 entries first (the
+additions — the 21 never-driver-verified round-10 entries first (the
 graph-ANN build/search split whose oracle unrolls two beam walks over
 ONE shared edge graph, the member-capped gzip-JSONL pack + quarantine
 twin, the salt-capped interval-overlap join, the iterative BPE
@@ -35,10 +35,10 @@ cannot, RRF hybrid-retrieval fusion, the P/R@K and nDCG@K evaluation sweeps, and
 then the 3 round-9 entries whose ORACLE/CODE changed this round (the
 PNG pair moved to byte==char ASCII-filtered oracles per the r9
 advice; llm_shard_quarantine's parser now rejects boundary-cut tars
-missing the zero terminator), then 27 of the 43 r5-stale entries (the
+missing the zero terminator), then 26 of the 43 r5-stale entries (the
 16 extended TPC-H shapes, semdedup, doc-pack-scalable, kmeans, label
 propagation, follow_replay, … — tools/batch_staleness.py lists them;
-the remaining sixteen r5 shapes rotate to round 11, displaced by the
+the remaining seventeen r5 shapes rotate to round 11, displaced by the
 never-verified entries, per this file's own ordering policy). The
 full catalog is still locally replicated green every round —
 tools/driver_replica.py.
@@ -88,17 +88,17 @@ DRIVER_BATCH: list[str] = [
     "llm_zip_index_capped",
     "llm_unigram_segment",
     "llm_unigram_nll",
+    "llm_unigram_em",
     # -- changed this round (3): PNG oracles moved to byte==char ASCII
     #    filtering; tar parser now requires the zero terminator ---------
     "llm_multimodal_decode_png",
     "llm_multimodal_quarantine_png",
     "llm_shard_quarantine",
-    # -- re-checks (27): r5-stale entries, stalest-first rotation -------
+    # -- re-checks (26): r5-stale entries, stalest-first rotation -------
     "follow_replay",
     "graph_common_neighbors",
     "graph_degree_distribution",
     "graph_label_propagation",
-    "llm_dedup_ngram_jaccard_capped",
     "llm_doc_pack_scalable",
     "llm_kmeans_iter",
     "llm_paragraph_dedup",
@@ -127,7 +127,8 @@ DRIVER_BATCH: list[str] = [
     # json_extract_props / llm_ccnet_buckets / llm_oov_rate /
     # llm_seq_len_buckets / set_ops_customers / llm_importance_sample /
     # llm_mix_rebalance / llm_char_entropy / join_salted_skew /
-    # llm_ngram_lm_score rotate to round 11 — displaced by the
+    # llm_ngram_lm_score / llm_dedup_ngram_jaccard_capped rotate to
+    # round 11 — displaced by the
     # seventeen never-verified round-10 entries; every
     # displaced shape has a later-round driver-green relative and stays
     # covered by the full local replica)

@@ -333,3 +333,88 @@ def test_unigram_matches_reference(spark):
     assert (
         nll_row.n_word_types, nll_row.n_tokens, nll_row.nll6
     ) == (ref_types, ref_tokens, ref_nll)
+
+
+def test_unigram_em_matches_reference(spark):
+    """The EM round against the same independent sequential reference:
+    add-one-smoothed M-step over the capped vocabulary, re-segment,
+    compare both rounds' top-k exactly."""
+    import math
+    import re
+    from collections import Counter
+
+    from helium_arango_etl_lite_spark.operators.llm.text import (
+        UNI_MAX_PLEN, UNI_MAX_WLEN, UNI_SENT, UNI_TOP_PIECES,
+        unigram_em_counts,
+    )
+
+    texts = [
+        "the cat sat on the mat with another cat",
+        "banana bandana cabana banana",
+        "segmentation of the banana is the best test",
+        "aaaa aaaa aaab abab",
+        "mat mat cat the the the",
+    ]
+
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if re.fullmatch("[a-z]+", w) and len(w) <= UNI_MAX_WLEN:
+                words[w] += 1
+    sub = Counter()
+    for w in words:
+        for a in range(len(w)):
+            for b in range(a + 1, min(len(w), a + UNI_MAX_PLEN) + 1):
+                sub[w[a:b]] += 1
+    singles = {p for p in sub if len(p) == 1}
+    multi = sorted(
+        (p for p in sub if len(p) > 1), key=lambda p: (-sub[p], p)
+    )[:UNI_TOP_PIECES]
+    retained = singles | set(multi)
+
+    def seg_counts(score):
+        cnt = Counter()
+        for w, freq in words.items():
+            L = len(w)
+            f = [0] + [UNI_SENT] * L
+            for i in range(1, L + 1):
+                f[i] = max(
+                    f[j] + score.get(w[j:i], UNI_SENT)
+                    for j in range(max(0, i - UNI_MAX_PLEN), i)
+                )
+            g = [UNI_SENT] * L + [0]
+            for i in range(L - 1, -1, -1):
+                g[i] = max(
+                    score.get(w[i:kk], UNI_SENT) + g[kk]
+                    for kk in range(i + 1, min(L, i + UNI_MAX_PLEN) + 1)
+                )
+            for j in range(L):
+                for i in range(j + 1, min(L, j + UNI_MAX_PLEN) + 1):
+                    p = w[j:i]
+                    if p in retained and f[j] + score[p] + g[i] == f[L]:
+                        cnt[p] += freq
+        return cnt
+
+    def to_scores(counts):
+        total = sum(counts.values())
+        return {
+            p: math.floor(1e6 * math.log(c / total))
+            for p, c in counts.items()
+        }
+
+    c1 = seg_counts(to_scores({p: sub[p] for p in retained}))
+    c2 = seg_counts(to_scores({p: c1.get(p, 0) + 1 for p in retained}))
+
+    def topk(c, rnd):
+        return [
+            (rnd, p, n)
+            for p, n in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        ]
+
+    expect = topk(c1, 1) + topk(c2, 2)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r[0], r[1], r[2]) for r in unigram_em_counts(df, k=20).collect()
+    ]
+    # rows arrive as two unioned blocks; compare per round
+    assert sorted(got) == sorted(expect)

@@ -90,6 +90,7 @@ BNLJ_OK = {
     "llm_rrf_fusion": "1-row query-vector + 1-row bm25-stats crosses",
     "llm_eval_pr_at_k": "1-row query-vector + 1-row n_pos crosses",
     "llm_eval_ndcg": "1-row query-vector cross (cosine ranking)",
+    "llm_unigram_em": "two 1-row piece-total crosses (one per EM round)",
 }
 
 # Streaming replay harnesses drive micro-batches and read results back;

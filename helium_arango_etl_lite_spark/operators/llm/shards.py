@@ -602,12 +602,14 @@ def index_zip_shards(shards: DataFrame) -> DataFrame:
 
 def corrupt_zip_shards(shards: DataFrame, cls_col: str) -> DataFrame:
     """Deterministic corruption classes for zip shards: 0 = intact,
-    1 = one payload byte flipped in the first member (central CRC32
-    guard — bit rot), 2 = blob cut 5 bytes short (EOCD destroyed —
-    tail truncation), 3 = blob cut exactly at the last member's local
-    header boundary (the MEMBER-BOUNDARY cut that leaves a valid
-    shorter gzip blob — here it also destroys the EOCD, which is the
-    point of the format)."""
+    1 = one byte flipped in the first central-directory entry's CRC32
+    field (payload-vs-directory disagreement — bit rot on EITHER side
+    surfaces as this guard, and unlike a payload flip it stays a 'crc'
+    failure even when the first member is empty), 2 = blob cut 5 bytes
+    short (EOCD destroyed — tail truncation), 3 = blob cut exactly at
+    the last member's local header boundary (the MEMBER-BOUNDARY cut
+    that leaves a valid shorter gzip blob — here it also destroys the
+    EOCD, which is the point of the format)."""
     import struct
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -618,11 +620,11 @@ def corrupt_zip_shards(shards: DataFrame, cls_col: str) -> DataFrame:
             ):
                 b = bytearray(bytes(buf))
                 if cls == 1:
-                    # first member's payload starts after its 30-byte
-                    # local header + name (no extra field written)
-                    nlen = struct.unpack("<H", bytes(b[26:28]))[0]
-                    elen = struct.unpack("<H", bytes(b[28:30]))[0]
-                    b[30 + nlen + elen] ^= 0xFF
+                    # central entry 0's CRC32 field sits 16 bytes into
+                    # the record (sig 4 + versions 4 + flags/method 4 +
+                    # time/date 4)
+                    cd_off = struct.unpack("<I", bytes(b[-6:-2]))[0]
+                    b[cd_off + 16] ^= 0xFF
                 elif cls == 2:
                     b = b[:-5]
                 elif cls == 3:

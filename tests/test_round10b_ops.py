@@ -418,3 +418,25 @@ def test_unigram_em_matches_reference(spark):
     ]
     # rows arrive as two unioned blocks; compare per round
     assert sorted(got) == sorted(expect)
+
+
+def test_zip_corrupt_crc_class_robust_to_empty_member(spark):
+    """Corruption class 1 must surface as 'crc' even when the first
+    member is EMPTY (a payload-byte flip would hit the next member's
+    local header instead and misreport 'truncated'; the central-CRC
+    flip cannot)."""
+    from helium_arango_etl_lite_spark.operators.llm.shards import (
+        corrupt_zip_shards, index_zip_shards_quarantine, pack_zip_shards,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [("s1", 1, ""), ("s1", 2, "text")],
+        "source string, doc_id long, text string",
+    )
+    shards = pack_zip_shards(docs).withColumn("cls", F.lit(1))
+    rows = index_zip_shards_quarantine(
+        corrupt_zip_shards(shards, "cls")
+    ).collect()
+    assert len(rows) == 1
+    assert (rows[0].status, rows[0].reason) == ("quarantined", "crc")

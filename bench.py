@@ -266,10 +266,15 @@ PY_BOUND = {
     "llm_curation_end_to_end", "llm_shard_quarantine",
     "llm_gzip_jsonl_roundtrip", "llm_gzip_quarantine",
     "llm_gzip_jsonl_capped", "llm_gzip_quarantine_capped",
+    "llm_zip_shard_index", "llm_zip_index_capped", "llm_zip_fetch",
+    "llm_zip_quarantine",
     "agg_reservoir_per_group",
 }
 
 SMALL_OUTPUT = {
+    "llm_rrf_fusion", "llm_eval_pr_at_k", "llm_eval_ndcg",
+    "dq_expectations", "llm_unigram_segment", "llm_unigram_nll",
+    "llm_unigram_em",
     "topk_accounts", "llm_topk_cosine", "llm_ann_lsh", "llm_ann_ivf",
     "graph_pagerank", "agg_event_funnel", "llm_bigram_topk",
     "llm_bm25_search", "llm_ann_ivf_pq", "llm_weighted_sample",

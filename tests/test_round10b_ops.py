@@ -440,3 +440,29 @@ def test_zip_corrupt_crc_class_robust_to_empty_member(spark):
     ).collect()
     assert len(rows) == 1
     assert (rows[0].status, rows[0].reason) == ("quarantined", "crc")
+
+
+def test_container_pair_boundary_cut_gzip_blind_zip_catches():
+    """The SAME logical corruption — truncation at a member boundary —
+    applied to both containers over the same members: the gzip walker
+    ACCEPTS the cut blob as a valid shorter archive (framing cannot
+    know a member is missing; documented limit), while the zip parser
+    REJECTS it (tail-anchored EOCD). This is the one test that states
+    the container family's design argument directly."""
+    import gzip as gzip_mod
+
+    from helium_arango_etl_lite_spark.operators.llm.shards import (
+        parse_gzip_members,
+    )
+
+    members = [b'{"doc_id": 1}\n', b'{"doc_id": 2}\n']
+
+    gz_parts = [gzip_mod.compress(m, mtime=0) for m in members]
+    gz_blob = b"".join(gz_parts)
+    gz_cut = gz_blob[: len(gz_parts[0])]  # exact member boundary
+    assert parse_gzip_members(gz_cut) == members[:1]  # accepted, silent
+
+    zip_blob = _pack([("1.json", members[0]), ("2.json", members[1])])
+    zip_cut_at = 30 + len("1.json") + len(members[0])
+    with pytest.raises(ValueError, match="end-of-central-directory"):
+        parse_zip_index(zip_blob[:zip_cut_at])  # same cut, caught

@@ -468,7 +468,14 @@ def pack_zip_shards(docs: DataFrame, key_col: str = "source") -> DataFrame:
     1980-01-01, fixed mode/create_system) so the bytes are reproducible.
     STORED members keep the payload byte-addressable for range reads —
     the same property the tar shards exploit — while the central
-    directory adds the completeness check tar and gzip lack."""
+    directory adds the completeness check tar and gzip lack.
+
+    LIMIT (classic zip, enforced): ``allowZip64=False``, so a pack
+    group exceeding 65,535 members or 4 GiB fails LOUD at pack time
+    (zipfile.LargeZipFile) instead of silently emitting a ZIP64
+    archive :func:`parse_zip_index` does not speak. The member-capped
+    pack key (llm_zip_index_capped) is the production policy that
+    keeps every shard far inside both limits."""
     import zipfile
 
     if key_col != "source":
@@ -478,7 +485,7 @@ def pack_zip_shards(docs: DataFrame, key_col: str = "source") -> DataFrame:
         pdf = pdf.sort_values("doc_id")
         bio = io.BytesIO()
         with zipfile.ZipFile(
-            bio, "w", compression=zipfile.ZIP_STORED
+            bio, "w", compression=zipfile.ZIP_STORED, allowZip64=False
         ) as zf:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 zi = zipfile.ZipInfo(
@@ -525,6 +532,15 @@ def parse_zip_index(buf: bytes) -> list[tuple[str, int, int, bytes]]:
 
     if len(buf) < 22 or buf[-22:-18] != b"PK\x05\x06":
         raise ValueError("zip missing end-of-central-directory record")
+    # classic-zip parser by contract (the writer enforces
+    # allowZip64=False): a ZIP64 EOCD locator directly before the EOCD
+    # must be named, not misreported as a span mismatch
+    if len(buf) >= 42 and buf[-42:-38] == b"PK\x06\x07":
+        raise ValueError(
+            "zip64 archive: not supported by this classic-zip parser "
+            "(pack_zip_shards enforces allowZip64=False; cap members "
+            "per shard as llm_zip_index_capped does)"
+        )
     n_total = struct.unpack("<H", buf[-12:-10])[0]
     cd_size = struct.unpack("<I", buf[-10:-6])[0]
     cd_off = struct.unpack("<I", buf[-6:-2])[0]

@@ -314,7 +314,7 @@ m AS (SELECT r.rank,
       WHERE r.rank <= {_PR_MAX_K}),
 run AS (SELECT rank, sum(rel) OVER (ORDER BY rank)::BIGINT AS tp FROM m),
 np AS (SELECT count(*)::BIGINT AS n_pos FROM embeddings
-       WHERE label = {_PR_LABEL})
+       WHERE label = {_PR_LABEL} AND vec_id <> 0)
 SELECT rank AS k, tp,
        floor(tp * 1000000.0 / rank + 0.5)::BIGINT AS precision6,
        floor(tp * 1000000.0 / n_pos + 0.5)::BIGINT AS recall6
@@ -352,7 +352,12 @@ def llm_eval_pr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("cos_sim"), F.asc("vec_id")))
         .alias("rank"),
     )
-    positives = emb.filter(F.col("label") == _PR_LABEL).select("vec_id")
+    # exclude the query vector: it can never be retrieved, so counting
+    # it in the recall denominator would cap recall below 1 (mirrors
+    # llm_eval_ndcg's gain-pool handling)
+    positives = emb.filter(
+        (F.col("label") == _PR_LABEL) & (F.col("vec_id") != 0)
+    ).select("vec_id")
     cutoffs = list(range(_PR_STEP, _PR_MAX_K + 1, _PR_STEP))
     return similarity.precision_recall_at_k(
         ranked, positives, cutoffs, id_col="vec_id"
@@ -428,12 +433,16 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("text").isNull() | (F.length("text") == 0)
             ).cast("long")
         ).alias("f_nonempty"),
+        # NULL must COUNT AS A FAILURE (the archetypal bad value a DQ
+        # gate exists to catch): when(pass, 0).otherwise(1) mirrors the
+        # oracle's CASE WHEN pass THEN 0 ELSE 1 exactly — a bare
+        # sum((~pred).cast(long)) would skip NULL rows instead
         F.sum(
-            (~F.col("lang").isin(*_DQX_LANGS)).cast("long")
-        ).alias("f_lang"),
+            F.when(F.col("lang").isin(*_DQX_LANGS), 0).otherwise(1)
+        ).cast("long").alias("f_lang"),
         F.sum(
-            (~(F.col("n_chars") >= _DQX_MIN_CHARS)).cast("long")
-        ).alias("f_minlen"),
+            F.when(F.col("n_chars") >= _DQX_MIN_CHARS, 0).otherwise(1)
+        ).cast("long").alias("f_minlen"),
         (F.count(F.lit(1)) - F.countDistinct("doc_id"))
         .cast("long")
         .alias("f_unique"),
@@ -441,16 +450,17 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = orders.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
-            (
-                ~(
-                    (F.col("o_totalprice") > 0)
-                    & (F.col("o_totalprice") <= _DQX_MAX_PRICE)
-                )
-            ).cast("long")
-        ).alias("f_price"),
+            F.when(
+                (F.col("o_totalprice") > 0)
+                & (F.col("o_totalprice") <= _DQX_MAX_PRICE),
+                0,
+            ).otherwise(1)
+        ).cast("long").alias("f_price"),
         F.sum(
-            (~F.col("o_orderstatus").isin(*_DQX_STATUSES)).cast("long")
-        ).alias("f_status"),
+            F.when(
+                F.col("o_orderstatus").isin(*_DQX_STATUSES), 0
+            ).otherwise(1)
+        ).cast("long").alias("f_status"),
         F.sum(F.col("o_orderdate").isNull().cast("long")).alias("f_date"),
     )
     d_rows = d.selectExpr(
@@ -636,10 +646,13 @@ def llm_zip_index_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unigram-LM subword segmentation (the OTHER subword algorithm next to BPE)
 # ---------------------------------------------------------------------------
 
-def _unigram_ctes() -> str:
+def _unigram_col_builders() -> tuple[list, list, list, list]:
+    """The SQL pivot + DP column generators shared by the round-1 CTE
+    chain and the EM round's second chain — one source of truth so the
+    two unrolls can never drift apart (the Python side shares them the
+    same way via _unigram_build's dp())."""
     from ..operators.llm.text import (
         UNI_MAX_PLEN as P, UNI_MAX_WLEN as W, UNI_SENT as SENT,
-        UNI_TOP_PIECES as TOP,
     )
 
     piv, rpiv = [], []
@@ -661,6 +674,16 @@ def _unigram_ctes() -> str:
             rt.append(f"coalesce({rj} + rs_{j+1}_{i}, {SENT})")
         fcols.append(f"greatest({', '.join(ft)}) AS f_{i}")
         rcols.append(f"greatest({', '.join(rt)}) AS rf_{i}")
+    return piv, rpiv, fcols, rcols
+
+
+def _unigram_ctes() -> str:
+    from ..operators.llm.text import (
+        UNI_MAX_PLEN as P, UNI_MAX_WLEN as W, UNI_SENT as SENT,
+        UNI_TOP_PIECES as TOP,
+    )
+
+    piv, rpiv, fcols, rcols = _unigram_col_builders()
     return f"""
 WITH wt AS (SELECT w, count(*)::BIGINT AS freq FROM (
        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -794,29 +817,9 @@ def llm_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _unigram_em_sql(k: int = 20) -> str:
-    from ..operators.llm.text import (
-        UNI_MAX_PLEN as P, UNI_MAX_WLEN as W, UNI_SENT as SENT,
-    )
+    from ..operators.llm.text import UNI_SENT as SENT
 
-    piv2, rpiv2 = [], []
-    for a in range(1, W + 1):
-        for b in range(a, min(W, a + P - 1) + 1):
-            piv2.append(
-                f"max(CASE WHEN a={a} AND b={b} THEN s6 END) AS s_{a}_{b}"
-            )
-            rpiv2.append(
-                f"max(CASE WHEN a={a} AND b={b} THEN s6 END) AS rs_{a}_{b}"
-            )
-    fcols2, rcols2 = [], []
-    for i in range(1, W + 1):
-        ft, rt = [], []
-        for j in range(max(0, i - P), i):
-            fj = "0" if j == 0 else f"f_{j}"
-            rj = "0" if j == 0 else f"rf_{j}"
-            ft.append(f"coalesce({fj} + s_{j+1}_{i}, {SENT})")
-            rt.append(f"coalesce({rj} + rs_{j+1}_{i}, {SENT})")
-        fcols2.append(f"greatest({', '.join(ft)}) AS f_{i}")
-        rcols2.append(f"greatest({', '.join(rt)}) AS rf_{i}")
+    piv2, rpiv2, fcols2, rcols2 = _unigram_col_builders()
     return _unigram_ctes() + f""",
 mem AS (SELECT sw.piece, sw.freq
         FROM sw JOIN dpf USING (w) JOIN dpr USING (w)

@@ -127,9 +127,9 @@ DRIVER_BATCH: list[str] = [
     # json_extract_props / llm_ccnet_buckets / llm_oov_rate /
     # llm_seq_len_buckets / set_ops_customers / llm_importance_sample /
     # llm_mix_rebalance / llm_char_entropy / join_salted_skew /
-    # llm_ngram_lm_score / llm_dedup_ngram_jaccard_capped rotate to
-    # round 11 — displaced by the
-    # seventeen never-verified round-10 entries; every
+    # llm_ngram_lm_score / llm_dedup_ngram_jaccard_capped — seventeen
+    # r5 shapes in all — rotate to round 11, displaced by the 21
+    # never-verified round-10 entries; every
     # displaced shape has a later-round driver-green relative and stays
     # covered by the full local replica)
 ]

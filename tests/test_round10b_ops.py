@@ -466,3 +466,59 @@ def test_container_pair_boundary_cut_gzip_blind_zip_catches():
     zip_cut_at = 30 + len("1.json") + len(members[0])
     with pytest.raises(ValueError, match="end-of-central-directory"):
         parse_zip_index(zip_blob[:zip_cut_at])  # same cut, caught
+
+
+def test_zip_zip64_fails_loud():
+    """Classic-zip limits are a CONTRACT: the writer refuses to emit
+    ZIP64 (fail at pack time, not at some later read), and the parser
+    NAMES a zip64 archive instead of misreporting it as corruption."""
+    def pack_n(n, allow):
+        bio = io.BytesIO()
+        with zipfile.ZipFile(
+            bio, "w", compression=zipfile.ZIP_STORED, allowZip64=allow
+        ) as zf:
+            for i in range(n):
+                zi = zipfile.ZipInfo(
+                    filename=f"{i}.txt", date_time=(1980, 1, 1, 0, 0, 0)
+                )
+                zi.create_system = 3
+                zi.external_attr = 0o644 << 16
+                zf.writestr(zi, b"")
+        return bio.getvalue()
+
+    with pytest.raises(zipfile.LargeZipFile):
+        pack_n(65_540, False)  # pack_zip_shards' writer settings
+    with pytest.raises(ValueError, match="zip64 archive"):
+        parse_zip_index(pack_n(65_540, True))
+
+
+def test_dq_expectations_null_is_failure(spark):
+    """A NULL in a checked column must COUNT AS A FAILURE (matching the
+    oracle's CASE semantics) — sum((~pred).cast(long)) would skip it."""
+    from helium_arango_etl_lite_spark.plans.catalog_round10b import (
+        dq_expectations,
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "ok text", None, "s", 200),
+             (2, None, "en", "s", None)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        spark.createDataFrame(
+            [(1, 1, "O", None, None, "x")],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        rows = {
+            r.rule_id: r.n_failed
+            for r in dq_expectations(spark, d).collect()
+        }
+    assert rows["doc_lang_allowlist"] == 1   # NULL lang fails
+    assert rows["doc_min_length"] == 1       # NULL n_chars fails
+    assert rows["ord_price_range"] == 1      # NULL price fails
+    assert rows["doc_text_nonempty"] == 1    # NULL text fails

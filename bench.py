@@ -254,6 +254,17 @@ R9_COMPARABLE = R8_COMPARABLE | {
     "llm_gzip_jsonl_roundtrip", "llm_gzip_quarantine",
 }
 
+R10_COMPARABLE = R9_COMPARABLE | {
+    "llm_ann_graph_route_reuse", "llm_ann_index_append",
+    "stream_ann_ingest_replay", "llm_gzip_jsonl_capped",
+    "llm_gzip_quarantine_capped", "join_interval_overlap_capped",
+    "llm_bpe_train", "llm_bpe_encode", "llm_bpe_compression_curve",
+    "llm_audio_features", "llm_zip_shard_index", "llm_zip_quarantine",
+    "llm_zip_index_capped", "llm_rrf_fusion", "llm_eval_pr_at_k",
+    "llm_eval_ndcg", "dq_expectations", "llm_unigram_segment",
+    "llm_unigram_nll", "llm_unigram_em",
+}
+
 # Queries whose wall is dominated by Arrow/pandas Python workers — their
 # cross-round deltas are normalized by calib_py_sec, not the JVM
 # calib_sec (the r8 lesson: the JVM axis over-corrects them).
@@ -495,6 +506,9 @@ def main() -> None:
         ),
         "warm_total_r9_subset": round(
             sum(v for q, v in timings.items() if q in R9_COMPARABLE), 3
+        ),
+        "warm_total_r10_subset": round(
+            sum(v for q, v in timings.items() if q in R10_COMPARABLE), 3
         ),
     }
 

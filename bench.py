@@ -162,6 +162,8 @@ HEADLINE = [
     "llm_unigram_segment",            # unrolled integer Viterbi, no UDF
     "llm_unigram_nll",                # tokenizer-training progress readout
     "llm_unigram_em",                 # one hard-EM round, oracle-replayed
+    "dq_referential_integrity",       # orphan keys + coverage, both ways
+    "llm_bpe_fertility",              # tokens-per-word distribution
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -263,6 +265,7 @@ R10_COMPARABLE = R9_COMPARABLE | {
     "llm_zip_index_capped", "llm_rrf_fusion", "llm_eval_pr_at_k",
     "llm_eval_ndcg", "dq_expectations", "llm_unigram_segment",
     "llm_unigram_nll", "llm_unigram_em",
+    "dq_referential_integrity", "llm_bpe_fertility",
 }
 
 # Queries whose wall is dominated by Arrow/pandas Python workers — their
@@ -285,7 +288,7 @@ PY_BOUND = {
 SMALL_OUTPUT = {
     "llm_rrf_fusion", "llm_eval_pr_at_k", "llm_eval_ndcg",
     "dq_expectations", "llm_unigram_segment", "llm_unigram_nll",
-    "llm_unigram_em",
+    "llm_unigram_em", "dq_referential_integrity", "llm_bpe_fertility",
     "topk_accounts", "llm_topk_cosine", "llm_ann_lsh", "llm_ann_ivf",
     "graph_pagerank", "agg_event_funnel", "llm_bigram_topk",
     "llm_bm25_search", "llm_ann_ivf_pq", "llm_weighted_sample",

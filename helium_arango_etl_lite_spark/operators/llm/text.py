@@ -1031,3 +1031,28 @@ def unigram_em_counts(
         )
 
     return top(m1, 1).unionByName(top(m2, 2))
+
+
+def bpe_fertility(
+    df: DataFrame, rounds: int, text: str = "text"
+) -> DataFrame:
+    """Tokenizer FERTILITY distribution — tokens-per-word after the
+    learned BPE merges, the standard readout for comparing tokenizers
+    (lower fertility = fewer pieces per word = cheaper training): for
+    each piece count, how many word TYPES segment into that many pieces
+    and how many corpus words they cover. Rides :func:`_bpe_loop`
+    unchanged, so the readout is one vocabulary-sized aggregate over
+    the final word-type encodings — no extra corpus pass."""
+    _, wt = _bpe_loop(df, rounds, text)
+    n_pieces = F.size(
+        F.split(F.expr("trim(BOTH '|' FROM enc)"), r"\|\|")
+    ).cast("long")
+    return (
+        wt.select(n_pieces.alias("n_pieces"), "freq")
+        .groupBy("n_pieces")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_word_types"),
+            F.sum("freq").cast("long").alias("corpus_words"),
+        )
+        .orderBy("n_pieces")
+    )

@@ -37,6 +37,13 @@ fusion, and a retrieval-evaluation sweep.
   become the new (smoothed) piece probabilities, every word
   re-segments, and the oracle replays BOTH rounds — four unrolled DP
   chains in one SQL statement.
+* ``dq_referential_integrity`` — orphan foreign keys AND parent<-child
+  coverage gaps across the star schema, both directions; the fixture
+  is fully dense, so pytest exercises the violation path on a broken
+  fixture.
+* ``llm_bpe_fertility`` — tokens-per-word distribution under the
+  learned BPE merges, riding the shared train loop with one extra
+  vocabulary-sized aggregate.
 
 Reference parity note: the reference ETL (helium-arango-etl-lite) has
 none of these; they extend the north-star storage + similarity +
@@ -877,3 +884,173 @@ def llm_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.llm.text import unigram_em_counts
 
     return unigram_em_counts(load_table(spark, sf_dir, "documents"), k=20)
+
+
+# ---------------------------------------------------------------------------
+# referential integrity: orphan keys + coverage gaps across the star schema
+# ---------------------------------------------------------------------------
+
+_RI_SQL = """
+WITH co AS (SELECT count(*)::BIGINT AS n,
+                   sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0
+                       END)::BIGINT AS v
+            FROM orders o LEFT JOIN customer c
+              ON c.c_custkey = o.o_custkey),
+lo AS (SELECT count(*)::BIGINT AS n,
+              sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0
+                  END)::BIGINT AS v
+       FROM lineitem l LEFT JOIN orders o
+         ON o.o_orderkey = l.l_orderkey),
+lp AS (SELECT count(*)::BIGINT AS n,
+              sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0
+                  END)::BIGINT AS v
+       FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey),
+ls AS (SELECT count(*)::BIGINT AS n,
+              sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0
+                  END)::BIGINT AS v
+       FROM lineitem l LEFT JOIN supplier s
+         ON s.s_suppkey = l.l_suppkey),
+cc AS (SELECT count(*)::BIGINT AS n,
+              sum(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END)::BIGINT AS v
+       FROM customer c LEFT JOIN
+            (SELECT DISTINCT o_custkey AS k FROM orders) o
+         ON o.k = c.c_custkey),
+pc AS (SELECT count(*)::BIGINT AS n,
+              sum(CASE WHEN l.k IS NULL THEN 1 ELSE 0 END)::BIGINT AS v
+       FROM part p LEFT JOIN
+            (SELECT DISTINCT l_partkey AS k FROM lineitem) l
+         ON l.k = p.p_partkey),
+sc AS (SELECT count(*)::BIGINT AS n,
+              sum(CASE WHEN l.k IS NULL THEN 1 ELSE 0 END)::BIGINT AS v
+       FROM supplier s LEFT JOIN
+            (SELECT DISTINCT l_suppkey AS k FROM lineitem) l
+         ON l.k = s.s_suppkey)
+SELECT 'orders->customer' AS relation, n AS n_checked,
+       v AS n_violations FROM co
+UNION ALL SELECT 'lineitem->orders', n, v FROM lo
+UNION ALL SELECT 'lineitem->part', n, v FROM lp
+UNION ALL SELECT 'lineitem->supplier', n, v FROM ls
+UNION ALL SELECT 'customer<-orders', n, v FROM cc
+UNION ALL SELECT 'part<-lineitem', n, v FROM pc
+UNION ALL SELECT 'supplier<-lineitem', n, v FROM sc"""
+
+
+@register(
+    "dq_referential_integrity",
+    _RI_SQL,
+    doc="Referential-integrity audit across the star schema, BOTH "
+        "directions: child->parent orphan keys (orders->customer, "
+        "lineitem->orders/part/supplier — corruption if nonzero) and "
+        "parent<-child coverage gaps (customers with no orders, parts "
+        "never ordered, suppliers never used). The synthetic fixture "
+        "is fully dense — all seven checks report zero violations — "
+        "so the driver hash pins the seven n_checked table counts plus "
+        "the all-green verdict; the violation-counting path is "
+        "exercised by pytest against a deliberately broken fixture "
+        "(orphan order, unreferenced customer). A NULL foreign key "
+        "counts as an orphan on both engines (left-join miss). SCALE: "
+        "each orphan check is one key-equi left join counted "
+        "map-side — broadcast for dimension parents, shuffle-on-key "
+        "for lineitem->orders; coverage checks reduce the child to "
+        "DISTINCT keys first (partial agg) so the parent-side join is "
+        "key-table-sized. The three lineitem checks share one scan "
+        "each; at fleet scale they fold into a single multi-join pass "
+        "over the co-partitioned fact.",
+    tags=("dq", "join", "relational", "quality"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    def orphan(rel, child, ckey, parent, pkey, bcast):
+        p = parent.select(F.col(pkey).alias("__pk"))
+        if bcast:
+            p = F.broadcast(p)
+        j = child.select(F.col(ckey).alias("__ck")).join(
+            p, F.col("__ck") == F.col("__pk"), "left"
+        )
+        return j.agg(
+            F.lit(rel).alias("relation"),
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            F.sum(
+                F.when(F.col("__pk").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_violations"),
+        )
+
+    def coverage(rel, parent, pkey, child, ckey):
+        keys = F.broadcast(
+            child.select(F.col(ckey).alias("__ck")).distinct()
+        )
+        j = parent.select(F.col(pkey).alias("__pk")).join(
+            keys, F.col("__pk") == F.col("__ck"), "left"
+        )
+        return j.agg(
+            F.lit(rel).alias("relation"),
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            F.sum(
+                F.when(F.col("__ck").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_violations"),
+        )
+
+    parts = [
+        orphan("orders->customer", orders, "o_custkey",
+               customer, "c_custkey", True),
+        orphan("lineitem->orders", lineitem, "l_orderkey",
+               orders, "o_orderkey", False),
+        orphan("lineitem->part", lineitem, "l_partkey",
+               part, "p_partkey", True),
+        orphan("lineitem->supplier", lineitem, "l_suppkey",
+               supplier, "s_suppkey", True),
+        coverage("customer<-orders", customer, "c_custkey",
+                 orders, "o_custkey"),
+        coverage("part<-lineitem", part, "p_partkey",
+                 lineitem, "l_partkey"),
+        coverage("supplier<-lineitem", supplier, "s_suppkey",
+                 lineitem, "l_suppkey"),
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility: tokens-per-word distribution under the BPE merges
+# ---------------------------------------------------------------------------
+
+def _bpe_fertility_sql() -> str:
+    from .catalog_round10 import _BPE_ROUNDS, _bpe_ctes
+
+    return _bpe_ctes() + f"""
+SELECT len(string_split(trim(enc, '|'), '||'))::BIGINT AS n_pieces,
+       count(*)::BIGINT AS n_word_types,
+       sum(freq)::BIGINT AS corpus_words
+FROM e{_BPE_ROUNDS} GROUP BY 1 ORDER BY 1"""
+
+
+@register(
+    "llm_bpe_fertility",
+    _bpe_fertility_sql(),
+    doc="Tokenizer FERTILITY distribution (tokens-per-word) under the "
+        "learned BPE merges — the standard readout for comparing "
+        "tokenizers and the per-word complement of "
+        "llm_bpe_compression_curve's corpus total: for each piece "
+        "count, the number of word types that segment into that many "
+        "pieces and the corpus words they cover. Rides the shared "
+        "train loop (llm_bpe_train's 5 unrolled merges) with ONE extra "
+        "vocabulary-sized aggregate — no additional corpus pass; the "
+        "oracle replays the whole merge chain and reads the same "
+        "distribution off the final encodings "
+        "(operators/llm/text.py:bpe_fertility).",
+    tags=("llm", "text", "train", "stats"),
+)
+def llm_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_round10 import _BPE_ROUNDS
+    from ..operators.llm.text import bpe_fertility
+
+    return bpe_fertility(
+        load_table(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
+    )

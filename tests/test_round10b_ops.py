@@ -522,3 +522,81 @@ def test_dq_expectations_null_is_failure(spark):
     assert rows["doc_min_length"] == 1       # NULL n_chars fails
     assert rows["ord_price_range"] == 1      # NULL price fails
     assert rows["doc_text_nonempty"] == 1    # NULL text fails
+
+
+def test_referential_integrity_directions(spark, sf_dir):
+    """Fixture contract: the synthetic star schema is fully dense — all
+    seven checks (4 orphan directions, 3 coverage directions) report
+    zero violations with per-table n_checked counts."""
+    from helium_arango_etl_lite_spark.plans.registry import QUERIES
+
+    rows = {
+        r.relation: (r.n_checked, r.n_violations)
+        for r in QUERIES["dq_referential_integrity"]
+        .spark_fn(spark, sf_dir).collect()
+    }
+    assert len(rows) == 7
+    assert all(v == 0 for _, v in rows.values())
+    assert all(n > 0 for n, _ in rows.values())
+
+
+def test_referential_integrity_violation_path(spark):
+    """The violation counters must actually fire: a broken fixture with
+    one orphan order (customer 99 missing) and one idle customer."""
+    import os
+    import tempfile
+
+    from helium_arango_etl_lite_spark.plans.catalog_round10b import (
+        dq_referential_integrity,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "a"), (2, "idle")], "c_custkey long, c_name string"
+        ).write.parquet(os.path.join(d, "customer.parquet"))
+        spark.createDataFrame(
+            [(10, 1, "O"), (11, 99, "O")],
+            "o_orderkey long, o_custkey long, o_orderstatus string",
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        spark.createDataFrame(
+            [(10, 5, 7), (12, 5, 7)],
+            "l_orderkey long, l_partkey long, l_suppkey long",
+        ).write.parquet(os.path.join(d, "lineitem.parquet"))
+        spark.createDataFrame(
+            [(5, "p")], "p_partkey long, p_name string"
+        ).write.parquet(os.path.join(d, "part.parquet"))
+        spark.createDataFrame(
+            [(7, "s")], "s_suppkey long, s_name string"
+        ).write.parquet(os.path.join(d, "supplier.parquet"))
+        rows = {
+            r.relation: (r.n_checked, r.n_violations)
+            for r in dq_referential_integrity(spark, d).collect()
+        }
+    assert rows["orders->customer"] == (2, 1)    # order 11 -> cust 99
+    assert rows["lineitem->orders"] == (2, 1)    # lineitem 12 orphan
+    assert rows["customer<-orders"] == (2, 1)    # customer 2 idle
+    assert rows["lineitem->part"] == (2, 0)
+    assert rows["part<-lineitem"] == (1, 0)
+
+
+def test_bpe_fertility_conserves_word_mass(spark, sf_dir):
+    """sum(corpus_words) over the fertility rows must equal the total
+    corpus occurrences of trainable words (distribution = partition),
+    and every word needs at least one piece."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_lite_spark.plans.registry import (
+        QUERIES, load_table,
+    )
+
+    fert = QUERIES["llm_bpe_fertility"].spark_fn(spark, sf_dir)
+    rows = fert.collect()
+    assert all(r.n_pieces >= 1 for r in rows)
+    total = sum(r.corpus_words for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    expect = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .count()
+    )
+    assert total == expect

@@ -44,6 +44,9 @@ fusion, and a retrieval-evaluation sweep.
 * ``llm_bpe_fertility`` — tokens-per-word distribution under the
   learned BPE merges, riding the shared train loop with one extra
   vocabulary-sized aggregate.
+* ``events_changepoint`` — single change-point per event type via the
+  one-pass prefix-sum variance-reduction identity; windows are
+  hourly-table-sized, never corpus-sized.
 
 Reference parity note: the reference ETL (helium-arango-etl-lite) has
 none of these; they extend the north-star storage + similarity +
@@ -1053,4 +1056,109 @@ def llm_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bpe_fertility(
         load_table(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
+    )
+
+
+# ---------------------------------------------------------------------------
+# change-point detection: best single split of each type's hourly series
+# ---------------------------------------------------------------------------
+
+def _changepoint_sql() -> str:
+    from .registry import EVENTS_NORM
+
+    return f"""
+WITH {EVENTS_NORM},
+h AS (SELECT event_type,
+             epoch(date_trunc('hour', ts))::BIGINT AS hs,
+             count(*)::BIGINT AS c
+      FROM events_norm GROUP BY 1, 2),
+p AS (SELECT event_type, hs, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY hs)
+               AS i,
+             sum(c) OVER (PARTITION BY event_type ORDER BY hs)::BIGINT
+               AS s,
+             count(*) OVER (PARTITION BY event_type)::BIGINT AS n,
+             sum(c) OVER (PARTITION BY event_type)::BIGINT AS t
+      FROM h),
+g AS (SELECT event_type, hs AS split_hs, i AS n_left,
+             (n - i) AS n_right, s AS sum_left, (t - s) AS sum_right,
+             floor(1000000.0 * ((s * s / i
+                                 + (t - s) * (t - s) / (n - i))
+                                - t * t / n))::BIGINT AS gain6
+      FROM p WHERE i < n),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY gain6 DESC, split_hs) AS rk FROM g)
+SELECT event_type, split_hs, n_left, n_right, sum_left, sum_right,
+       gain6
+FROM r WHERE rk = 1"""
+
+
+@register(
+    "events_changepoint",
+    _changepoint_sql(),
+    doc="Single change-point detection per event type: the hourly-count "
+        "series split that maximizes the between-segment variance "
+        "reduction (binary-segmentation step 1 / CUSUM argmax): gain = "
+        "S_l^2/n_l + S_r^2/n_r - T^2/n over integer prefix sums, the "
+        "classic identity that needs ONE pass over the hourly series — "
+        "no per-split rescans. DETERMINISM: all sums/products are "
+        "exact integers; the three divisions and the fixed-order "
+        "combine are the same IEEE-754 ops on both engines, quantized "
+        "to gain6 before the (gain6 DESC, split_hs ASC) argmax, so the "
+        "chosen split cannot differ. SCALE: the corpus pass is one "
+        "(type, hour) partial agg; everything after operates on the "
+        "HOURLY table (#hours x #types rows), windows partitioned by "
+        "event_type — never a corpus-sized window. The full "
+        "binary-segmentation recursion is this operator applied per "
+        "segment; each level costs one hourly-table pass.",
+    tags=("temporal", "agg", "analytics", "window"),
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import load_events
+
+    ev = load_events(spark, sf_dir)
+    h = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hs"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("hs")
+    p = h.select(
+        "event_type", "hs", "c",
+        F.row_number().over(wo).alias("i"),
+        F.sum("c").over(wo).cast("long").alias("s"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("n"),
+        F.sum("c").over(wt).cast("long").alias("t"),
+    )
+    g = p.filter(F.col("i") < F.col("n")).select(
+        "event_type",
+        F.col("hs").alias("split_hs"),
+        F.col("i").alias("n_left"),
+        (F.col("n") - F.col("i")).alias("n_right"),
+        F.col("s").alias("sum_left"),
+        (F.col("t") - F.col("s")).alias("sum_right"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * (
+                (
+                    F.col("s") * F.col("s") / F.col("i")
+                    + (F.col("t") - F.col("s"))
+                    * (F.col("t") - F.col("s"))
+                    / (F.col("n") - F.col("i"))
+                )
+                - F.col("t") * F.col("t") / F.col("n")
+            )
+        )
+        .cast("long")
+        .alias("gain6"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.desc("gain6"), F.asc("split_hs")
+        )
+    )
+    return (
+        g.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .drop("rk")
     )

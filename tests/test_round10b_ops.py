@@ -600,3 +600,43 @@ def test_bpe_fertility_conserves_word_mass(spark, sf_dir):
         .count()
     )
     assert total == expect
+
+
+def test_changepoint_finds_planted_step(spark):
+    """A planted step (rate 1/hour -> 5/hour at a known boundary) must
+    be recovered exactly, and the gain identity must be non-negative."""
+    import datetime as dt
+
+    from helium_arango_etl_lite_spark.plans.catalog_round10b import (
+        events_changepoint,
+    )
+    import os
+    import tempfile
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for hour in range(12):
+        per = 1 if hour < 7 else 5
+        for j in range(per):
+            rows.append(
+                (eid, base + dt.timedelta(hours=hour, minutes=j),
+                 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        out = events_changepoint(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    # the best split's LEFT segment is hours 0..6 (7 hours of rate 1)
+    assert r.n_left == 7 and r.sum_left == 7
+    assert r.n_right == 5 and r.sum_right == 25
+    assert r.split_hs == int(
+        (base + dt.timedelta(hours=6)).timestamp()
+    )
+    assert r.gain6 >= 0

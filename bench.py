@@ -165,6 +165,7 @@ HEADLINE = [
     "dq_referential_integrity",       # orphan keys + coverage, both ways
     "llm_bpe_fertility",              # tokens-per-word distribution
     "events_changepoint",             # argmax variance-reduction split
+    "dq_k_anonymity",                 # QI equivalence-class risk sweep
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -267,7 +268,7 @@ R10_COMPARABLE = R9_COMPARABLE | {
     "llm_eval_ndcg", "dq_expectations", "llm_unigram_segment",
     "llm_unigram_nll", "llm_unigram_em",
     "dq_referential_integrity", "llm_bpe_fertility",
-    "events_changepoint",
+    "events_changepoint", "dq_k_anonymity",
 }
 
 # Queries whose wall is dominated by Arrow/pandas Python workers — their
@@ -291,7 +292,7 @@ SMALL_OUTPUT = {
     "llm_rrf_fusion", "llm_eval_pr_at_k", "llm_eval_ndcg",
     "dq_expectations", "llm_unigram_segment", "llm_unigram_nll",
     "llm_unigram_em", "dq_referential_integrity", "llm_bpe_fertility",
-    "events_changepoint",
+    "events_changepoint", "dq_k_anonymity",
     "topk_accounts", "llm_topk_cosine", "llm_ann_lsh", "llm_ann_ivf",
     "graph_pagerank", "agg_event_funnel", "llm_bigram_topk",
     "llm_bm25_search", "llm_ann_ivf_pq", "llm_weighted_sample",

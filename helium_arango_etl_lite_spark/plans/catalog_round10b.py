@@ -47,6 +47,9 @@ fusion, and a retrieval-evaluation sweep.
 * ``events_changepoint`` — single change-point per event type via the
   one-pass prefix-sum variance-reduction identity; windows are
   hourly-table-sized, never corpus-sized.
+* ``dq_k_anonymity`` — equivalence-class privacy-risk sweep over a
+  quasi-identifier tuple: one QI-keyed pass, then a 4-row threshold
+  cross over the class-sized aggregate.
 
 Reference parity note: the reference ETL (helium-arango-etl-lite) has
 none of these; they extend the north-star storage + similarity +
@@ -1161,4 +1164,78 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.withColumn("rk", rk)
         .filter(F.col("rk") == 1)
         .drop("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity: equivalence-class privacy risk over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KA_THRESHOLDS = (2, 5, 10, 25)
+
+
+def _k_anonymity_sql() -> str:
+    ks = ", ".join(str(k) for k in _KA_THRESHOLDS)
+    return f"""
+WITH cls AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+                    count(*)::BIGINT AS sz
+             FROM documents GROUP BY 1, 2, 3),
+ks AS (SELECT unnest([{ks}])::BIGINT AS k)
+SELECT k,
+       count(*)::BIGINT AS n_classes,
+       sum(sz)::BIGINT AS n_rows,
+       sum(CASE WHEN sz < k THEN 1 ELSE 0 END)::BIGINT
+         AS violating_classes,
+       sum(CASE WHEN sz < k THEN sz ELSE 0 END)::BIGINT
+         AS rows_at_risk,
+       min(sz)::BIGINT AS achieved_k
+FROM cls, ks GROUP BY k ORDER BY k"""
+
+
+@register(
+    "dq_k_anonymity",
+    _k_anonymity_sql(),
+    doc="k-anonymity risk report over the documents quasi-identifier "
+        "tuple (lang, source, length bucket) — the privacy gate a "
+        "training-data release runs before publishing: rows whose QI "
+        "equivalence class is smaller than k are re-identifiable, so "
+        "the report sweeps k in "
+        f"{_KA_THRESHOLDS} and emits class counts, violating classes, "
+        "rows at risk, and the k the dataset actually achieves (the "
+        "min class size). SCALE: ONE partial-aggregatable pass builds "
+        "the class-size table (QI-keyed groupBy); the sweep is a tiny "
+        "cross join against a 4-row threshold table over the "
+        "CLASS-sized (not corpus-sized) aggregate. Suppression/"
+        "generalization would then drop or coarsen exactly the "
+        "violating classes — the follow-up this report feeds.",
+    tags=("dq", "quality", "agg", "profile"),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cls = docs.groupBy(
+        "lang", "source", (F.col("n_chars") / 100).cast("long")
+        .alias("len_bucket"),
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    ks = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(int(k),) for k in _KA_THRESHOLDS], "k long"
+        )
+    )
+    return (
+        cls.crossJoin(ks)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("sz").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("sz") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("violating_classes"),
+            F.sum(
+                F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.min("sz").cast("long").alias("achieved_k"),
+        )
+        .orderBy("k")
     )

@@ -640,3 +640,34 @@ def test_changepoint_finds_planted_step(spark):
         (base + dt.timedelta(hours=6)).timestamp()
     )
     assert r.gain6 >= 0
+
+
+def test_k_anonymity_hand_case(spark):
+    """Three QI classes of sizes 1, 2, 3 -> at k=2 only the singleton
+    violates; at k=5 everything does; achieved_k is the min size."""
+    import os
+    import tempfile
+
+    from helium_arango_etl_lite_spark.plans.catalog_round10b import (
+        dq_k_anonymity,
+    )
+
+    rows = (
+        [(i, "t", "en", "a", 10) for i in range(1)]
+        + [(10 + i, "t", "en", "b", 10) for i in range(2)]
+        + [(20 + i, "t", "fr", "a", 10) for i in range(3)]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r.k: (r.n_classes, r.n_rows, r.violating_classes,
+                  r.rows_at_risk, r.achieved_k)
+            for r in dq_k_anonymity(spark, d).collect()
+        }
+    assert got[2] == (3, 6, 1, 1, 1)
+    assert got[5] == (3, 6, 3, 6, 1)
+    assert got[10] == (3, 6, 3, 6, 1)

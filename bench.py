@@ -166,6 +166,7 @@ HEADLINE = [
     "llm_bpe_fertility",              # tokens-per-word distribution
     "events_changepoint",             # argmax variance-reduction split
     "dq_k_anonymity",                 # QI equivalence-class risk sweep
+    "llm_dataset_card",               # one-scan corpus release summary
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -268,7 +269,7 @@ R10_COMPARABLE = R9_COMPARABLE | {
     "llm_eval_ndcg", "dq_expectations", "llm_unigram_segment",
     "llm_unigram_nll", "llm_unigram_em",
     "dq_referential_integrity", "llm_bpe_fertility",
-    "events_changepoint", "dq_k_anonymity",
+    "events_changepoint", "dq_k_anonymity", "llm_dataset_card",
 }
 
 # Queries whose wall is dominated by Arrow/pandas Python workers — their
@@ -292,7 +293,7 @@ SMALL_OUTPUT = {
     "llm_rrf_fusion", "llm_eval_pr_at_k", "llm_eval_ndcg",
     "dq_expectations", "llm_unigram_segment", "llm_unigram_nll",
     "llm_unigram_em", "dq_referential_integrity", "llm_bpe_fertility",
-    "events_changepoint", "dq_k_anonymity",
+    "events_changepoint", "dq_k_anonymity", "llm_dataset_card",
     "topk_accounts", "llm_topk_cosine", "llm_ann_lsh", "llm_ann_ivf",
     "graph_pagerank", "agg_event_funnel", "llm_bigram_topk",
     "llm_bm25_search", "llm_ann_ivf_pq", "llm_weighted_sample",

@@ -50,6 +50,9 @@ fusion, and a retrieval-evaluation sweep.
 * ``dq_k_anonymity`` — equivalence-class privacy-risk sweep over a
   quasi-identifier tuple: one QI-keyed pass, then a 4-row threshold
   cross over the class-sized aggregate.
+* ``llm_dataset_card`` — the one-scan corpus release summary (volume,
+  diversity, duplication, length extremes), every statistic
+  partial-aggregatable in a single pass.
 
 Reference parity note: the reference ETL (helium-arango-etl-lite) has
 none of these; they extend the north-star storage + similarity +
@@ -1238,4 +1241,73 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("sz").cast("long").alias("achieved_k"),
         )
         .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dataset card: the one-scan release summary for the document corpus
+# ---------------------------------------------------------------------------
+
+_CARD_SQL = """
+WITH d AS (SELECT doc_id, lang, source, n_chars,
+                  len(string_split(text, ' '))::BIGINT AS n_tok,
+                  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                    AS fp
+           FROM documents)
+SELECT count(*)::BIGINT AS n_docs,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       sum(n_tok)::BIGINT AS total_ws_tokens,
+       sum(n_chars)::BIGINT AS total_chars,
+       min(n_chars)::BIGINT AS min_chars,
+       max(n_chars)::BIGINT AS max_chars,
+       (count(*) - count(DISTINCT fp))::BIGINT AS n_exact_dup_docs,
+       floor(sum(n_tok) * 1000000.0 / count(*) + 0.5)::BIGINT
+         AS mean_tokens6
+FROM d"""
+
+
+@register(
+    "llm_dataset_card",
+    _CARD_SQL,
+    doc="The dataset-card summary a corpus release ships — volume "
+        "(docs/tokens/chars), diversity (languages, sources), "
+        "duplication (normalized-fingerprint exact-dup count, the "
+        "llm_dedup_exact_norm key), and length extremes — computed in "
+        "ONE corpus scan: every statistic is a partial-aggregatable "
+        "count/sum/min/max or a count-distinct riding the same "
+        "aggregate; the mean is fixed-pointed AFTER the integer "
+        "totals. At 100 TB this is the same single-pass shape — the "
+        "two count-distincts are the only shuffled terms and both are "
+        "low-cardinality (langs, sources) except the fingerprint one, "
+        "which shuffles the 16-byte md5, not the text.",
+    tags=("llm", "text", "agg", "profile", "quality"),
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    )
+    d = docs.select(
+        "lang", "source", "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.md5(norm).alias("fp"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_tok").cast("long").alias("total_ws_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        (F.count(F.lit(1)) - F.countDistinct("fp"))
+        .cast("long")
+        .alias("n_exact_dup_docs"),
+        F.floor(
+            F.sum("n_tok") * F.lit(1_000_000.0) / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_tokens6"),
     )

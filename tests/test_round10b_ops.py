@@ -671,3 +671,20 @@ def test_k_anonymity_hand_case(spark):
     assert got[2] == (3, 6, 1, 1, 1)
     assert got[5] == (3, 6, 3, 6, 1)
     assert got[10] == (3, 6, 3, 6, 1)
+
+
+def test_dataset_card_consistency(spark, sf_dir):
+    """Card internals must agree with the tables they summarize."""
+    from helium_arango_etl_lite_spark.plans.registry import (
+        QUERIES, load_table,
+    )
+
+    card = QUERIES["llm_dataset_card"].spark_fn(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    assert card.n_docs == docs.count()
+    assert card.n_langs == docs.select("lang").distinct().count()
+    assert card.min_chars <= card.max_chars
+    assert 0 <= card.n_exact_dup_docs < card.n_docs
+    assert card.mean_tokens6 * card.n_docs // 1_000_000 <= (
+        card.total_ws_tokens + card.n_docs
+    )

@@ -167,6 +167,7 @@ HEADLINE = [
     "events_changepoint",             # argmax variance-reduction split
     "dq_k_anonymity",                 # QI equivalence-class risk sweep
     "llm_dataset_card",               # one-scan corpus release summary
+    "dq_k_anonymity_suppress",        # drop sub-k classes, certify k
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -270,6 +271,7 @@ R10_COMPARABLE = R9_COMPARABLE | {
     "llm_unigram_nll", "llm_unigram_em",
     "dq_referential_integrity", "llm_bpe_fertility",
     "events_changepoint", "dq_k_anonymity", "llm_dataset_card",
+    "dq_k_anonymity_suppress",
 }
 
 # Queries whose wall is dominated by Arrow/pandas Python workers — their
@@ -294,6 +296,7 @@ SMALL_OUTPUT = {
     "dq_expectations", "llm_unigram_segment", "llm_unigram_nll",
     "llm_unigram_em", "dq_referential_integrity", "llm_bpe_fertility",
     "events_changepoint", "dq_k_anonymity", "llm_dataset_card",
+    "dq_k_anonymity_suppress",
     "topk_accounts", "llm_topk_cosine", "llm_ann_lsh", "llm_ann_ivf",
     "graph_pagerank", "agg_event_funnel", "llm_bigram_topk",
     "llm_bm25_search", "llm_ann_ivf_pq", "llm_weighted_sample",

@@ -53,6 +53,9 @@ fusion, and a retrieval-evaluation sweep.
 * ``llm_dataset_card`` — the one-scan corpus release summary (volume,
   diversity, duplication, length extremes), every statistic
   partial-aggregatable in a single pass.
+* ``dq_k_anonymity_suppress`` — the enforcement step: drop sub-k QI
+  classes and certify the surviving release achieves k by
+  construction.
 
 Reference parity note: the reference ETL (helium-arango-etl-lite) has
 none of these; they extend the north-star storage + similarity +
@@ -1310,4 +1313,64 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("mean_tokens6"),
+    )
+
+
+_KA_K = 5
+
+
+def _k_suppress_sql() -> str:
+    return f"""
+WITH cls AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+                    count(*)::BIGINT AS sz
+             FROM documents GROUP BY 1, 2, 3)
+SELECT 'before' AS stage,
+       count(*)::BIGINT AS n_classes,
+       sum(sz)::BIGINT AS n_rows,
+       min(sz)::BIGINT AS achieved_k
+FROM cls
+UNION ALL
+SELECT 'after_suppress',
+       count(*)::BIGINT,
+       coalesce(sum(sz), 0)::BIGINT,
+       min(sz)::BIGINT
+FROM cls WHERE sz >= {_KA_K}"""
+
+
+@register(
+    "dq_k_anonymity_suppress",
+    _k_suppress_sql(),
+    doc="The ENFORCEMENT step dq_k_anonymity's report feeds: suppress "
+        f"(drop) every quasi-identifier class smaller than k={_KA_K} "
+        "and report the release before/after — row and class counts "
+        "plus the achieved k, which is >= k after suppression BY "
+        "CONSTRUCTION (dropping whole classes cannot shrink the "
+        "survivors; pytest pins the invariant). Suppression is the "
+        "conservative enforcement; generalization (coarsening the QI "
+        "buckets instead of dropping rows) is the recall-preserving "
+        "alternative and reuses the same class table. SCALE: the same "
+        "single QI-keyed pass as the report; applying the suppression "
+        "to the corpus is one broadcast semi-join of the violating "
+        "class keys against the fact.",
+    tags=("dq", "quality", "agg", "scrub"),
+)
+def dq_k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cls = docs.groupBy(
+        "lang", "source",
+        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    cls = cls.localCheckpoint(eager=False)  # before + after stages
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.coalesce(F.sum("sz"), F.lit(0)).cast("long")
+            .alias("n_rows"),
+            F.min("sz").cast("long").alias("achieved_k"),
+        )
+
+    return stage(cls, "before").unionByName(
+        stage(cls.filter(F.col("sz") >= _KA_K), "after_suppress")
     )

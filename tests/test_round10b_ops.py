@@ -688,3 +688,22 @@ def test_dataset_card_consistency(spark, sf_dir):
     assert card.mean_tokens6 * card.n_docs // 1_000_000 <= (
         card.total_ws_tokens + card.n_docs
     )
+
+
+def test_k_anonymity_suppress_invariant(spark, sf_dir):
+    """After suppressing classes below k, the surviving release must
+    achieve at least k (or be empty), with monotone counts."""
+    from helium_arango_etl_lite_spark.plans.catalog_round10b import (
+        _KA_K,
+    )
+    from helium_arango_etl_lite_spark.plans.registry import QUERIES
+
+    rows = {
+        r.stage: (r.n_classes, r.n_rows, r.achieved_k)
+        for r in QUERIES["dq_k_anonymity_suppress"]
+        .spark_fn(spark, sf_dir).collect()
+    }
+    before, after = rows["before"], rows["after_suppress"]
+    assert after[0] <= before[0] and after[1] <= before[1]
+    if after[0] > 0:
+        assert after[2] >= _KA_K

@@ -1091,9 +1091,9 @@ p AS (SELECT event_type, hs, c,
       FROM h),
 g AS (SELECT event_type, hs AS split_hs, i AS n_left,
              (n - i) AS n_right, s AS sum_left, (t - s) AS sum_right,
-             floor(1000000.0 * ((s * s / i
-                                 + (t - s) * (t - s) / (n - i))
-                                - t * t / n))::BIGINT AS gain6
+             floor(1000000.0 * ((s * 1.0 * s / i
+                                 + (t - s) * 1.0 * (t - s) / (n - i))
+                                - t * 1.0 * t / n))::BIGINT AS gain6
       FROM p WHERE i < n),
 r AS (SELECT *, row_number() OVER (PARTITION BY event_type
                 ORDER BY gain6 DESC, split_hs) AS rk FROM g)
@@ -1110,9 +1110,11 @@ FROM r WHERE rk = 1"""
         "reduction (binary-segmentation step 1 / CUSUM argmax): gain = "
         "S_l^2/n_l + S_r^2/n_r - T^2/n over integer prefix sums, the "
         "classic identity that needs ONE pass over the hourly series — "
-        "no per-split rescans. DETERMINISM: all sums/products are "
-        "exact integers; the three divisions and the fixed-order "
-        "combine are the same IEEE-754 ops on both engines, quantized "
+        "no per-split rescans. DETERMINISM: prefix sums are exact "
+        "integers; the squares are taken in DOUBLE (s * 1.0 * s) so a "
+        "type with >3e9 events cannot overflow BIGINT — the same "
+        "literal op order on both engines keeps every IEEE-754 step "
+        "bit-identical (counts stay exact in double up to 2^53), "
         "to gain6 before the (gain6 DESC, split_hs ASC) argmax, so the "
         "chosen split cannot differ. SCALE: the corpus pass is one "
         "(type, hour) partial agg; everything after operates on the "
@@ -1150,12 +1152,13 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1_000_000.0)
             * (
                 (
-                    F.col("s") * F.col("s") / F.col("i")
+                    F.col("s") * F.lit(1.0) * F.col("s") / F.col("i")
                     + (F.col("t") - F.col("s"))
+                    * F.lit(1.0)
                     * (F.col("t") - F.col("s"))
                     / (F.col("n") - F.col("i"))
                 )
-                - F.col("t") * F.col("t") / F.col("n")
+                - F.col("t") * F.lit(1.0) * F.col("t") / F.col("n")
             )
         )
         .cast("long")
@@ -1179,13 +1182,29 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KA_THRESHOLDS = (2, 5, 10, 25)
 
+# ONE definition of the quasi-identifier equivalence classes, shared by
+# the risk report and the suppression enforcement on BOTH engines —
+# the two entries must certify the same class definition or the
+# suppression proves k for something the report never measured.
+# length bucket: floor division on both sides (DuckDB // floors;
+# F.floor(col/100) floors — n_chars is far inside double exactness).
+_QI_CLS_SQL = """cls AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+                    count(*)::BIGINT AS sz
+             FROM documents GROUP BY 1, 2, 3)"""
+
+
+def _qi_classes(docs: DataFrame) -> DataFrame:
+    return docs.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+    ).agg(F.count(F.lit(1)).alias("sz"))
+
 
 def _k_anonymity_sql() -> str:
     ks = ", ".join(str(k) for k in _KA_THRESHOLDS)
     return f"""
-WITH cls AS (SELECT lang, source, n_chars // 100 AS len_bucket,
-                    count(*)::BIGINT AS sz
-             FROM documents GROUP BY 1, 2, 3),
+WITH {_QI_CLS_SQL},
 ks AS (SELECT unnest([{ks}])::BIGINT AS k)
 SELECT k,
        count(*)::BIGINT AS n_classes,
@@ -1218,10 +1237,7 @@ FROM cls, ks GROUP BY k ORDER BY k"""
 )
 def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    cls = docs.groupBy(
-        "lang", "source", (F.col("n_chars") / 100).cast("long")
-        .alias("len_bucket"),
-    ).agg(F.count(F.lit(1)).alias("sz"))
+    cls = _qi_classes(docs)
     ks = F.broadcast(
         docs.sparkSession.createDataFrame(
             [(int(k),) for k in _KA_THRESHOLDS], "k long"
@@ -1321,12 +1337,10 @@ _KA_K = 5
 
 def _k_suppress_sql() -> str:
     return f"""
-WITH cls AS (SELECT lang, source, n_chars // 100 AS len_bucket,
-                    count(*)::BIGINT AS sz
-             FROM documents GROUP BY 1, 2, 3)
+WITH {_QI_CLS_SQL}
 SELECT 'before' AS stage,
        count(*)::BIGINT AS n_classes,
-       sum(sz)::BIGINT AS n_rows,
+       coalesce(sum(sz), 0)::BIGINT AS n_rows,
        min(sz)::BIGINT AS achieved_k
 FROM cls
 UNION ALL
@@ -1356,10 +1370,7 @@ FROM cls WHERE sz >= {_KA_K}"""
 )
 def dq_k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    cls = docs.groupBy(
-        "lang", "source",
-        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
-    ).agg(F.count(F.lit(1)).alias("sz"))
+    cls = _qi_classes(docs)
     cls = cls.localCheckpoint(eager=False)  # before + after stages
 
     def stage(df: DataFrame, name: str) -> DataFrame:

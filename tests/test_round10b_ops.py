@@ -559,24 +559,28 @@ def test_referential_integrity_violation_path(spark):
             "o_orderkey long, o_custkey long, o_orderstatus string",
         ).write.parquet(os.path.join(d, "orders.parquet"))
         spark.createDataFrame(
-            [(10, 5, 7), (12, 5, 7)],
+            [(10, 5, 7), (12, 5, 8)],  # suppkey 8 does not exist
             "l_orderkey long, l_partkey long, l_suppkey long",
         ).write.parquet(os.path.join(d, "lineitem.parquet"))
         spark.createDataFrame(
-            [(5, "p")], "p_partkey long, p_name string"
+            [(5, "p"), (6, "unused")],  # part 6 never ordered
+            "p_partkey long, p_name string",
         ).write.parquet(os.path.join(d, "part.parquet"))
         spark.createDataFrame(
-            [(7, "s")], "s_suppkey long, s_name string"
+            [(7, "s"), (9, "idle")],  # supplier 9 never used
+            "s_suppkey long, s_name string",
         ).write.parquet(os.path.join(d, "supplier.parquet"))
         rows = {
             r.relation: (r.n_checked, r.n_violations)
             for r in dq_referential_integrity(spark, d).collect()
         }
-    assert rows["orders->customer"] == (2, 1)    # order 11 -> cust 99
-    assert rows["lineitem->orders"] == (2, 1)    # lineitem 12 orphan
-    assert rows["customer<-orders"] == (2, 1)    # customer 2 idle
+    assert rows["orders->customer"] == (2, 1)     # order 11 -> cust 99
+    assert rows["lineitem->orders"] == (2, 1)     # lineitem 12 orphan
+    assert rows["lineitem->supplier"] == (2, 1)   # suppkey 8 missing
+    assert rows["customer<-orders"] == (2, 1)     # customer 2 idle
+    assert rows["part<-lineitem"] == (2, 1)       # part 6 unordered
+    assert rows["supplier<-lineitem"] == (2, 1)   # supplier 9 unused
     assert rows["lineitem->part"] == (2, 0)
-    assert rows["part<-lineitem"] == (1, 0)
 
 
 def test_bpe_fertility_conserves_word_mass(spark, sf_dir):
@@ -613,7 +617,7 @@ def test_changepoint_finds_planted_step(spark):
     import os
     import tempfile
 
-    base = dt.datetime(2024, 1, 1)
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
     rows = []
     eid = 0
     for hour in range(12):

@@ -168,6 +168,7 @@ HEADLINE = [
     "dq_k_anonymity",                 # QI equivalence-class risk sweep
     "llm_dataset_card",               # one-scan corpus release summary
     "dq_k_anonymity_suppress",        # drop sub-k classes, certify k
+    "events_ohlc",                    # hourly candlesticks, pick-only
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -271,7 +272,7 @@ R10_COMPARABLE = R9_COMPARABLE | {
     "llm_unigram_nll", "llm_unigram_em",
     "dq_referential_integrity", "llm_bpe_fertility",
     "events_changepoint", "dq_k_anonymity", "llm_dataset_card",
-    "dq_k_anonymity_suppress",
+    "dq_k_anonymity_suppress", "events_ohlc",
 }
 
 # Queries whose wall is dominated by Arrow/pandas Python workers — their

@@ -56,6 +56,9 @@ fusion, and a retrieval-evaluation sweep.
 * ``dq_k_anonymity_suppress`` — the enforcement step: drop sub-k QI
   classes and certify the surviving release achieves k by
   construction.
+* ``events_ohlc`` — hourly open/high/low/close per event type: all
+  four readouts are PICKS (no float arithmetic), so raw doubles pass
+  the exact-match gate; windows partition by (type, hour).
 
 Reference parity note: the reference ETL (helium-arango-etl-lite) has
 none of these; they extend the north-star storage + similarity +
@@ -1384,4 +1387,79 @@ def dq_k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return stage(cls, "before").unionByName(
         stage(cls.filter(F.col("sz") >= _KA_K), "after_suppress")
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC rollup: per-type hourly open/high/low/close over the value stream
+# ---------------------------------------------------------------------------
+
+def _ohlc_sql() -> str:
+    from .registry import EVENTS_NORM
+
+    return f"""
+WITH {EVENTS_NORM},
+r AS (SELECT event_type,
+             epoch(date_trunc('hour', ts))::BIGINT AS hs,
+             value,
+             row_number() OVER (PARTITION BY event_type,
+                                             date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type,
+                                         date_trunc('hour', ts)) AS n
+      FROM events_norm)
+SELECT event_type, hs,
+       min(CASE WHEN rn = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       min(CASE WHEN rn = n THEN value END) AS close,
+       count(*)::BIGINT AS n_events
+FROM r GROUP BY 1, 2
+ORDER BY 1, 2"""
+
+
+@register(
+    "events_ohlc",
+    _ohlc_sql(),
+    doc="OHLC (open/high/low/close) hourly rollup of the event value "
+        "stream per type — the candlestick aggregation every metrics / "
+        "market pipeline ships. DETERMINISM WITHOUT ROUNDING: all four "
+        "readouts are PICKS, not sums — high/low are order-independent "
+        "min/max, open/close select the value at the (ts, event_id) "
+        "order extremes via a row_number keyed by that total order — "
+        "so raw doubles pass the exact-match gate with no float "
+        "arithmetic anywhere. SCALE: the window partitions by (type, "
+        "hour) — thousands of small partitions, never a global or "
+        "per-type-corpus window — and the final groupBy rides the same "
+        "key. (first()/last() over a window would be the compact "
+        "form; the rn-pick keeps both engines on the identical, "
+        "oracle-expressible plan.)",
+    tags=("temporal", "agg", "window", "timeseries"),
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import load_events
+
+    ev = load_events(spark, sf_dir)
+    hour = F.date_trunc("hour", "ts")
+    w = Window.partitionBy("event_type", hour).orderBy("ts", "event_id")
+    wc = Window.partitionBy("event_type", hour)
+    r = ev.select(
+        "event_type",
+        F.unix_timestamp(hour).alias("hs"),
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return (
+        r.groupBy("event_type", "hs")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min(
+                F.when(F.col("rn") == F.col("n"), F.col("value"))
+            ).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("event_type", "hs")
     )

@@ -711,3 +711,41 @@ def test_k_anonymity_suppress_invariant(spark, sf_dir):
     assert after[0] <= before[0] and after[1] <= before[1]
     if after[0] > 0:
         assert after[2] >= _KA_K
+
+
+def test_ohlc_hand_case(spark):
+    """Two hours with known extremes; open/close follow (ts, event_id)
+    order including the event_id tie-break within one timestamp."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from helium_arango_etl_lite_spark.plans.catalog_round10b import (
+        events_ohlc,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, tzinfo=dt.timezone.utc)
+    rows = [
+        # hour 10: open 5.0 (earliest), high 9.0, low 1.0, close 7.0
+        (1, t0 + dt.timedelta(minutes=0), 1, "m", 5.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), 1, "m", 9.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=20), 1, "m", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=30), 1, "m", 7.0, "{}"),
+        # hour 11: same timestamp twice -> event_id breaks the tie
+        (6, t0 + dt.timedelta(hours=1), 1, "m", 3.0, "{}"),
+        (5, t0 + dt.timedelta(hours=1), 1, "m", 2.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r.hs: (r.open, r.high, r.low, r.close, r.n_events)
+            for r in events_ohlc(spark, d).collect()
+        }
+    h10 = int(t0.timestamp())
+    h11 = int((t0 + dt.timedelta(hours=1)).timestamp())
+    assert got[h10] == (5.0, 9.0, 1.0, 7.0, 4)
+    assert got[h11] == (2.0, 3.0, 2.0, 3.0, 2)  # id 5 opens, id 6 closes

@@ -787,16 +787,34 @@ def _replay_dir(name: str) -> str:
     """Deterministic per-query scratch dir, wiped on entry.
 
     The replay queries materialize sink tables; one well-known path per
-    query (instead of ``mkdtemp`` per call) keeps repeated runs from
-    leaking a directory per invocation (ADVICE r4), and the wipe
-    guarantees each run starts from an empty table so the value hash is
-    independent of run order.
+    (process, query) — instead of ``mkdtemp`` per call — keeps repeated
+    runs from leaking a directory per invocation (ADVICE r4), and the
+    wipe guarantees each run starts from an empty table so the value
+    hash is independent of run order. The path is keyed by PID because
+    a path shared ACROSS processes races: two concurrent Spark sessions
+    running the same replay (e.g. pytest alongside the driver replica)
+    both wipe/write ``.../<name>/_temporary/0`` and one aborts with
+    FileNotFoundException. Scratch roots left by exited processes are
+    swept opportunistically so the per-PID scheme cannot accumulate.
     """
     import os
     import shutil
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), "spark_graft_replay", name)
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_replay")
+    try:
+        for entry in os.listdir(root):
+            if not entry.isdigit() or int(entry) == os.getpid():
+                continue
+            try:
+                os.kill(int(entry), 0)  # raises if that PID is gone
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            except PermissionError:
+                pass  # live process owned by someone else: leave it
+    except FileNotFoundError:
+        pass
+    d = os.path.join(root, str(os.getpid()), name)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d

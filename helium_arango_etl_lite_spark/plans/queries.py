@@ -89,12 +89,19 @@ DRIVER_BATCH: list[str] = [
     "llm_unigram_segment",
     "llm_unigram_nll",
     "llm_unigram_em",
+    "dq_referential_integrity",
+    "llm_bpe_fertility",
+    "events_changepoint",
+    "dq_k_anonymity",
+    "dq_k_anonymity_suppress",
+    "llm_dataset_card",
+    "events_ohlc",
     # -- changed this round (3): PNG oracles moved to byte==char ASCII
     #    filtering; tar parser now requires the zero terminator ---------
     "llm_multimodal_decode_png",
     "llm_multimodal_quarantine_png",
     "llm_shard_quarantine",
-    # -- re-checks (26): r5-stale entries, stalest-first rotation -------
+    # -- re-checks (19): r5-stale entries, stalest-first rotation -------
     "follow_replay",
     "graph_common_neighbors",
     "graph_degree_distribution",
@@ -113,25 +120,18 @@ DRIVER_BATCH: list[str] = [
     "tpch_q16_supplier_variety",
     "tpch_q17_small_quantity",
     "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_bilateral_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
     "window_first_last",
-    # (window_gap_islands / window_ntile_decile /
-    # window_ntile_decile_scalable / window_rank_distribution /
-    # window_sliding_time / window_time_range_sum /
-    # json_extract_props / llm_ccnet_buckets / llm_oov_rate /
-    # llm_seq_len_buckets / set_ops_customers / llm_importance_sample /
-    # llm_mix_rebalance / llm_char_entropy / join_salted_skew /
-    # llm_ngram_lm_score / llm_dedup_ngram_jaccard_capped — seventeen
-    # r5 shapes in all — rotate to round 11, displaced by the 21
-    # never-verified round-10 entries; every
-    # displaced shape has a later-round driver-green relative and stays
-    # covered by the full local replica)
+    # (tpch_q20/q21/q22/q2/q7/q8/q9, window_gap_islands /
+    # window_ntile_decile / window_ntile_decile_scalable /
+    # window_rank_distribution / window_sliding_time /
+    # window_time_range_sum / json_extract_props / llm_ccnet_buckets /
+    # llm_oov_rate / llm_seq_len_buckets / set_ops_customers /
+    # llm_importance_sample / llm_mix_rebalance / llm_char_entropy /
+    # join_salted_skew / llm_ngram_lm_score /
+    # llm_dedup_ngram_jaccard_capped — twenty-four r5 shapes in all —
+    # rotate to round 11, displaced by the 28 never-verified round-10
+    # entries; every displaced shape has a later-round driver-green
+    # relative and stays covered by the full local replica)
 ]
 
 

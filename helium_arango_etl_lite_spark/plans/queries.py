@@ -65,6 +65,7 @@ from . import catalog_round8f  # noqa: F401  (SCD2 lookup, modularity, Theil ind
 from . import catalog_round9  # noqa: F401  (PNG decode, capped shards, graph ANN)
 from . import catalog_round10  # noqa: F401  (ANN build reuse, capped gzip, salted interval join)
 from . import catalog_round10b  # noqa: F401  (zip container, RRF fusion, P/R@K eval)
+from . import catalog_round10c  # noqa: F401  (CDC merge, spatial join, bucketed join)
 
 DRIVER_BATCH: list[str] = [
     # -- new this round (10): never driver-verified ---------------------
@@ -96,12 +97,18 @@ DRIVER_BATCH: list[str] = [
     "dq_k_anonymity_suppress",
     "llm_dataset_card",
     "events_ohlc",
+    "cdc_apply",
+    "stream_cdc_replay",
+    "window_rolling_median",
+    "graph_resource_allocation",
+    "join_spatial_radius",
+    "storage_bucket_join",
     # -- changed this round (3): PNG oracles moved to byte==char ASCII
     #    filtering; tar parser now requires the zero terminator ---------
     "llm_multimodal_decode_png",
     "llm_multimodal_quarantine_png",
     "llm_shard_quarantine",
-    # -- re-checks (19): r5-stale entries, stalest-first rotation -------
+    # -- re-checks (13): r5-stale entries, stalest-first rotation -------
     "follow_replay",
     "graph_common_neighbors",
     "graph_degree_distribution",
@@ -114,22 +121,17 @@ DRIVER_BATCH: list[str] = [
     "tpch_q10_returned_items",
     "tpch_q11_important_parts",
     "tpch_q12_late_priority",
-    "tpch_q13_custdist",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety",
-    "tpch_q17_small_quantity",
-    "tpch_q19_disjunctive_revenue",
     "window_first_last",
-    # (tpch_q20/q21/q22/q2/q7/q8/q9, window_gap_islands /
+    # (tpch_q13/q14/q15/q16/q17/q19/q20/q21/q22/q2/q7/q8/q9,
+    # window_gap_islands /
     # window_ntile_decile / window_ntile_decile_scalable /
     # window_rank_distribution / window_sliding_time /
     # window_time_range_sum / json_extract_props / llm_ccnet_buckets /
     # llm_oov_rate / llm_seq_len_buckets / set_ops_customers /
     # llm_importance_sample / llm_mix_rebalance / llm_char_entropy /
     # join_salted_skew / llm_ngram_lm_score /
-    # llm_dedup_ngram_jaccard_capped — twenty-four r5 shapes in all —
-    # rotate to round 11, displaced by the 28 never-verified round-10
+    # llm_dedup_ngram_jaccard_capped — thirty r5 shapes in all —
+    # rotate to round 11, displaced by the 34 never-verified round-10
     # entries; every displaced shape has a later-round driver-green
     # relative and stays covered by the full local replica)
 ]

@@ -322,3 +322,75 @@ def scd2_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC merge: column-patch upserts + tombstone deletes, replayed as a stream
+# ---------------------------------------------------------------------------
+
+CDC_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("last_valc", LongType(), True),
+        StructField("last_attr", StringType(), True),
+        StructField("last_seq", LongType(), False),
+        StructField("n_live", LongType(), False),
+    ]
+)
+
+CDC_STATE = StructType(
+    [
+        StructField("valc", LongType(), True),
+        StructField("attr", StringType(), True),
+        StructField("seq", LongType(), False),
+        StructField("n", LongType(), False),
+    ]
+)
+
+
+def _cdc_update(key, pdfs, state: GroupState):
+    """Per-key CDC merge: an 'U' op patches only the columns it carries
+    (NULL columns leave prior state intact — column-level change
+    capture, not whole-row replace); a 'D' tombstone resets the key to
+    empty so later upserts rebuild from scratch. State is four scalars
+    per key; each batch emits the key's current materialized row and
+    readers keep the LAST emission per key, dropping keys whose final
+    state has n == 0 (deleted and never rebuilt) — the streaming dual
+    of plans/catalog_round10c.py:cdc_apply."""
+    if state.exists:
+        valc, attr, seq, n = state.get
+    else:
+        valc, attr, seq, n = None, None, 0, 0
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values("seq", kind="mergesort")
+    for op, row_seq, row_valc, row_attr in zip(
+        pdf["op"].values, pdf["seq"].values,
+        pdf["valc"].values, pdf["attr"].values,
+    ):
+        if op == "D":
+            valc, attr, n = None, None, 0
+        else:
+            n += 1
+            if not pd.isna(row_valc):
+                valc = int(row_valc)
+            if not (row_attr is None or row_attr != row_attr):  # NaN-safe
+                attr = row_attr
+        seq = int(row_seq)
+    state.update((valc, attr, int(seq), int(n)))
+    yield pd.DataFrame(
+        [(key[0], valc, attr, int(seq), int(n))],
+        columns=["user_id", "last_valc", "last_attr", "last_seq", "n_live"],
+    )
+
+
+def cdc_stream(changes: DataFrame) -> DataFrame:
+    """Streaming CDC merge; ``changes`` carries per-key monotone ``seq``,
+    ``op`` in {'U','D'}, and nullable patch columns ``valc``/``attr``."""
+    sel = changes.select("user_id", "seq", "op", "valc", "attr")
+    return sel.groupBy("user_id").applyInPandasWithState(
+        _cdc_update,
+        outputStructType=CDC_SCHEMA,
+        stateStructType=CDC_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,154 @@
+"""Targeted tests for the round-10 session-3 entries (CDC merge,
+spatial radius join, bucketed join, rolling median) — the oracle-parity
+suite already covers value equality; these pin the properties the
+oracle compare can't see: physical plans, blocking losslessness, and
+the delete/patch semantics on handcrafted logs."""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from helium_arango_etl_lite_spark.plans.catalog_round10c import (
+    _SP_R2,
+    _SP_SIDE,
+    _bucketed_sides,
+    join_spatial_radius,
+    window_rolling_median,
+)
+from helium_arango_etl_lite_spark.functions.hashing import hash32
+
+
+def test_bucket_join_plan_has_no_exchange(spark, sf_dir):
+    """The whole point of bucketing: the sort-merge join over two
+    tables bucketed on the join key must read both sides WITHOUT a
+    shuffle. 'Exchange' in the executed plan means the bucketed layout
+    was not used."""
+    bo, bc = _bucketed_sides(spark, sf_dir)
+    j = bo.hint("merge").join(bc, bo["o_custkey"] == bc["c_custkey"])
+    j.collect()  # force planning + execution
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    # control: the same join over the unbucketed parquet DOES shuffle
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    jj = o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"])
+    jj.collect()
+    assert "Exchange" in jj._jdf.queryExecution().executedPlan().toString()
+
+
+def test_spatial_blocking_is_lossless(spark, sf_dir):
+    """Grid blocking must find EXACTLY the pairs the all-pairs cross
+    finds — same fixture, brute-force in Spark (the DuckDB oracle is a
+    separate check; this one isolates the blocking step)."""
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    key_s = F.col("c_custkey").cast("string")
+    pts = cust.select(
+        F.col("c_custkey").cast("long").alias("k"),
+        (hash32(F.concat(F.lit("px|"), key_s)) % _SP_SIDE).alias("x"),
+        (hash32(F.concat(F.lit("py|"), key_s)) % _SP_SIDE).alias("y"),
+    )
+    a = pts.select(
+        F.col("k").alias("ka"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = pts.select(
+        F.col("k").alias("kb"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    d2 = (F.col("xa") - F.col("xb")) ** 2 + (F.col("ya") - F.col("yb")) ** 2
+    brute = (
+        a.crossJoin(b)
+        .filter((F.col("ka") < F.col("kb")) & (d2 <= _SP_R2))
+        .select("ka", "kb")
+    )
+    grid = join_spatial_radius(spark, sf_dir).select(
+        F.col("key_a").alias("ka"), F.col("key_b").alias("kb")
+    )
+    assert grid.count() == grid.distinct().count()  # each pair once
+    assert brute.exceptAll(grid).count() == 0
+    assert grid.exceptAll(brute).count() == 0
+
+
+def _run_cdc(spark, rows):
+    """Run the cdc merge core over a handcrafted (user, seq, op, valc,
+    attr) log — same expressions as cdc_apply, minus the fixture
+    derivation."""
+    from pyspark.sql import Window
+
+    log = spark.createDataFrame(
+        rows, "user_id long, seq long, op string, valc long, attr string"
+    )
+    del_seq = F.max(F.when(F.col("op") == "D", F.col("seq"))).over(
+        Window.partitionBy("user_id")
+    )
+    live = log.withColumn("del_seq", F.coalesce(del_seq, F.lit(0))).filter(
+        F.col("seq") > F.col("del_seq")
+    )
+
+    def last_non_null(col):
+        return F.max(F.when(F.col(col).isNotNull(), F.struct("seq", col)))[col]
+
+    out = live.groupBy("user_id").agg(
+        last_non_null("valc").alias("last_valc"),
+        last_non_null("attr").alias("last_attr"),
+        F.max("seq").alias("last_seq"),
+        F.count(F.lit(1)).alias("n_live"),
+    )
+    return {r["user_id"]: r.asDict() for r in out.collect()}
+
+
+def test_cdc_column_patches_merge_independently(spark):
+    """An update patches only its non-null columns: valc from seq 2
+    survives an attr-only patch at seq 3."""
+    got = _run_cdc(
+        spark,
+        [
+            (1, 1, "U", None, "a"),
+            (1, 2, "U", 10, None),
+            (1, 3, "U", None, "b"),
+        ],
+    )
+    assert got[1]["last_valc"] == 10
+    assert got[1]["last_attr"] == "b"
+    assert got[1]["last_seq"] == 3 and got[1]["n_live"] == 3
+
+
+def test_cdc_tombstone_resets_and_final_delete_removes(spark):
+    """A tombstone erases everything before it (user 1's pre-delete
+    valc must NOT leak into the rebuilt row); a log ENDING in a
+    tombstone removes the key entirely."""
+    got = _run_cdc(
+        spark,
+        [
+            (1, 1, "U", 99, "old"),
+            (1, 2, "D", None, None),
+            (1, 3, "U", None, "new"),
+            (2, 1, "U", 5, "x"),
+            (2, 2, "D", None, None),
+        ],
+    )
+    assert got[1]["last_valc"] is None  # 99 died with the tombstone
+    assert got[1]["last_attr"] == "new"
+    assert got[1]["n_live"] == 1
+    assert 2 not in got  # ends deleted => absent
+
+
+def test_rolling_median_edge_windows(spark, sf_dir):
+    """Edge rows see shorter windows (4..6 elements); the median must
+    still be an element OF the window and n_win must never exceed 7."""
+    rows = window_rolling_median(spark, sf_dir).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r["hour"])
+        cents = [r["cents"] for r in series]
+        for i, r in enumerate(series):
+            lo, hi = max(0, i - 3), min(len(series), i + 4)
+            window = sorted(cents[lo:hi])
+            assert r["n_win"] == len(window) <= 7
+            assert r["med_cents"] == window[(len(window) - 1) // 2]

@@ -169,6 +169,17 @@ HEADLINE = [
     "llm_dataset_card",               # one-scan corpus release summary
     "dq_k_anonymity_suppress",        # drop sub-k classes, certify k
     "events_ohlc",                    # hourly candlesticks, pick-only
+    "cdc_apply",                      # column-patch CDC merge, one window
+    "stream_cdc_replay",              # CDC as a stateful stream + deletes
+    "window_rolling_median",          # exact median over bounded frame
+    "graph_resource_allocation",      # degree-penalized link prediction
+    "join_spatial_radius",            # grid-blocked 2D radius self-join
+    "storage_bucket_join",            # exchange-free join off bucketed IO
+    "graph_hits",                     # hub/authority, integer 2-round
+    "dq_l_diversity",                 # sensitive-diversity privacy sweep
+    "events_attribution",             # last-touch credit, one window
+    "llm_zipf_slope",                 # integer-OLS Zipf fit per lang
+    "llm_eval_confusion",             # integer-exact P/R/F1 per class
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -273,6 +284,10 @@ R10_COMPARABLE = R9_COMPARABLE | {
     "dq_referential_integrity", "llm_bpe_fertility",
     "events_changepoint", "dq_k_anonymity", "llm_dataset_card",
     "dq_k_anonymity_suppress", "events_ohlc",
+    "cdc_apply", "stream_cdc_replay", "window_rolling_median",
+    "graph_resource_allocation", "join_spatial_radius",
+    "storage_bucket_join", "graph_hits", "dq_l_diversity",
+    "events_attribution", "llm_zipf_slope", "llm_eval_confusion",
 }
 
 # Queries whose wall is dominated by Arrow/pandas Python workers — their
@@ -298,6 +313,9 @@ SMALL_OUTPUT = {
     "llm_unigram_em", "dq_referential_integrity", "llm_bpe_fertility",
     "events_changepoint", "dq_k_anonymity", "llm_dataset_card",
     "dq_k_anonymity_suppress",
+    "storage_bucket_join", "graph_resource_allocation",
+    "window_rolling_median", "graph_hits", "dq_l_diversity",
+    "events_attribution", "llm_zipf_slope", "llm_eval_confusion",
     "topk_accounts", "llm_topk_cosine", "llm_ann_lsh", "llm_ann_ivf",
     "graph_pagerank", "agg_event_funnel", "llm_bigram_topk",
     "llm_bm25_search", "llm_ann_ivf_pq", "llm_weighted_sample",

@@ -66,6 +66,7 @@ from . import catalog_round9  # noqa: F401  (PNG decode, capped shards, graph AN
 from . import catalog_round10  # noqa: F401  (ANN build reuse, capped gzip, salted interval join)
 from . import catalog_round10b  # noqa: F401  (zip container, RRF fusion, P/R@K eval)
 from . import catalog_round10c  # noqa: F401  (CDC merge, spatial join, bucketed join)
+from . import catalog_round10d  # noqa: F401  (HITS, l-diversity, attribution, Zipf)
 
 DRIVER_BATCH: list[str] = [
     # -- new this round (10): never driver-verified ---------------------
@@ -103,12 +104,17 @@ DRIVER_BATCH: list[str] = [
     "graph_resource_allocation",
     "join_spatial_radius",
     "storage_bucket_join",
+    "graph_hits",
+    "dq_l_diversity",
+    "events_attribution",
+    "llm_zipf_slope",
+    "llm_eval_confusion",
     # -- changed this round (3): PNG oracles moved to byte==char ASCII
     #    filtering; tar parser now requires the zero terminator ---------
     "llm_multimodal_decode_png",
     "llm_multimodal_quarantine_png",
     "llm_shard_quarantine",
-    # -- re-checks (13): r5-stale entries, stalest-first rotation -------
+    # -- re-checks (8): r5-stale entries, stalest-first rotation --------
     "follow_replay",
     "graph_common_neighbors",
     "graph_degree_distribution",
@@ -116,13 +122,9 @@ DRIVER_BATCH: list[str] = [
     "llm_doc_pack_scalable",
     "llm_kmeans_iter",
     "llm_paragraph_dedup",
-    "llm_semdedup",
-    "llm_semdedup_capped",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_priority",
     "window_first_last",
-    # (tpch_q13/q14/q15/q16/q17/q19/q20/q21/q22/q2/q7/q8/q9,
+    # (llm_semdedup / llm_semdedup_capped / tpch_q10/q11/q12/q13/q14/
+    # q15/q16/q17/q19/q20/q21/q22/q2/q7/q8/q9,
     # window_gap_islands /
     # window_ntile_decile / window_ntile_decile_scalable /
     # window_rank_distribution / window_sliding_time /
@@ -130,8 +132,8 @@ DRIVER_BATCH: list[str] = [
     # llm_oov_rate / llm_seq_len_buckets / set_ops_customers /
     # llm_importance_sample / llm_mix_rebalance / llm_char_entropy /
     # join_salted_skew / llm_ngram_lm_score /
-    # llm_dedup_ngram_jaccard_capped — thirty r5 shapes in all —
-    # rotate to round 11, displaced by the 34 never-verified round-10
+    # llm_dedup_ngram_jaccard_capped — thirty-five r5 shapes in all —
+    # rotate to round 11, displaced by the 39 never-verified round-10
     # entries; every displaced shape has a later-round driver-green
     # relative and stays covered by the full local replica)
 ]

@@ -152,3 +152,76 @@ def test_rolling_median_edge_windows(spark, sf_dir):
             window = sorted(cents[lo:hi])
             assert r["n_win"] == len(window) <= 7
             assert r["med_cents"] == window[(len(window) - 1) // 2]
+
+
+def test_confusion_counts_are_consistent(spark, sf_dir):
+    """Single-label multi-class identities: sum(tp)+sum(fn) =
+    sum(tp)+sum(fp) = corpus size (every doc has exactly one true and
+    one predicted class), and micro-precision == micro-recall."""
+    from helium_arango_etl_lite_spark.plans.catalog_round10d import (
+        llm_eval_confusion,
+    )
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    rows = llm_eval_confusion(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    tp = sum(r["tp"] for r in rows)
+    fp = sum(r["fp"] for r in rows)
+    fn = sum(r["fn"] for r in rows)
+    assert tp + fn == n_docs
+    assert tp + fp == n_docs
+    assert fp == fn  # micro-P == micro-R
+    for r in rows:  # bounds + exact rational check on one class
+        assert 0 <= r["prec6"] <= 1_000_000
+        q = r["tp"] + r["fp"]
+        assert r["prec6"] == (2_000_000 * r["tp"] + q) // (2 * q)
+
+
+def test_attribution_conserves_purchases(spark, sf_dir):
+    """Every purchase is credited to exactly one channel; cents match
+    the purchase total to the cent."""
+    from helium_arango_etl_lite_spark.plans.catalog_round10d import (
+        events_attribution,
+    )
+    from helium_arango_etl_lite_spark.plans.registry import load_events
+
+    rows = events_attribution(spark, sf_dir).collect()
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    total = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    ).collect()[0]
+    assert sum(r["conversions"] for r in rows) == total["n"]
+    assert sum(r["cents"] for r in rows) == total["cents"]
+    assert {r["channel"] for r in rows} <= {
+        "click", "view", "signup", "direct"
+    }
+
+
+def test_hits_round1_matches_degree_identity(spark, sf_dir):
+    """After one unnormalized round, auth1(v) = sum of out-degrees of
+    v's in-neighbors; the entry reports round 2, so recompute round 1
+    locally from the edge list and cross-check the recurrence."""
+    from helium_arango_etl_lite_spark.plans.catalog_analytics import (
+        _money_flow_edges,
+    )
+    from helium_arango_etl_lite_spark.plans.catalog_round10d import graph_hits
+
+    edges = [(r["src"], r["dst"]) for r in _money_flow_edges(spark, sf_dir).collect()]
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    a1: dict = {}
+    for s, d in edges:
+        a1[d] = a1.get(d, 0) + outdeg[s]
+    h2: dict = {}
+    for s, d in edges:
+        h2[s] = h2.get(s, 0) + a1.get(d, 0)
+    a2: dict = {}
+    for s, d in edges:
+        a2[d] = a2.get(d, 0) + h2.get(s, 0)
+    got = {r["id"]: (r["hub2"], r["auth2"]) for r in graph_hits(spark, sf_dir).collect()}
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    assert set(got) == nodes
+    for n in nodes:
+        assert got[n] == (h2.get(n, 0), a2.get(n, 0))

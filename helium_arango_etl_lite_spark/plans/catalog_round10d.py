@@ -370,12 +370,13 @@ t AS (SELECT true_lang AS lang, count(*)::BIGINT AS n_true,
 p AS (SELECT pred_lang AS lang, count(*)::BIGINT AS n_pred
       FROM scored GROUP BY 1)
 SELECT lang, tp,
-       (n_pred - tp)::BIGINT AS fp,
+       (coalesce(n_pred, 0) - tp)::BIGINT AS fp,
        (n_true - tp)::BIGINT AS fn,
-       {_r6("tp", "n_pred")} AS prec6,
+       CASE WHEN coalesce(n_pred, 0) > 0
+            THEN {_r6("tp", "n_pred")} END AS prec6,
        {_r6("tp", "n_true")} AS rec6,
-       {_r6("2 * tp", "n_true + n_pred")} AS f16
-FROM t JOIN p USING (lang)"""
+       {_r6("2 * tp", "n_true + coalesce(n_pred, 0)")} AS f16
+FROM t LEFT JOIN p USING (lang)"""
 
 
 @register(
@@ -389,9 +390,15 @@ FROM t JOIN p USING (lang)"""
         "fp and fn are differences, no third pass), and every ratio "
         "is the round-half-up rational (2e6*num + den) // (2*den) — "
         "INTEGER arithmetic end to end, no transcendental, no float "
-        "sum, so the eval is bit-exact on both engines. The fixture "
-        "classifier is genuinely imperfect (short docs misclassify), "
-        "so all three counts are exercised.",
+        "sum, so the eval is bit-exact on both engines. Classes the "
+        "model never predicts KEEP their row (recall 0, precision "
+        "NULL) via a left join from the true-side — dropping them "
+        "inflates macro averages exactly when the classifier is at "
+        "its worst (observed on the x10 duplicated-corpus soak, "
+        "where smoothing shifts drop two classes from the "
+        "prediction range). The fixture classifier is genuinely "
+        "imperfect (short docs misclassify), so all three counts "
+        "are exercised.",
     tags=("llm", "eval"),
 )
 def llm_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,14 +419,17 @@ def llm_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.expr(f"(2000000 * ({num}) + ({den})) div (2 * ({den}))")
 
     return (
-        t.join(p, "lang")
+        t.join(p, "lang", "left")
+        .withColumn("n_pred0", F.coalesce("n_pred", F.lit(0)))
         .select(
             "lang",
             F.col("tp").cast("long").alias("tp"),
-            (F.col("n_pred") - F.col("tp")).cast("long").alias("fp"),
+            (F.col("n_pred0") - F.col("tp")).cast("long").alias("fp"),
             (F.col("n_true") - F.col("tp")).cast("long").alias("fn"),
-            r6("tp", "n_pred").cast("long").alias("prec6"),
+            F.when(F.col("n_pred0") > 0, r6("tp", "n_pred0"))
+            .cast("long")
+            .alias("prec6"),
             r6("tp", "n_true").cast("long").alias("rec6"),
-            r6("2 * tp", "n_true + n_pred").cast("long").alias("f16"),
+            r6("2 * tp", "n_true + n_pred0").cast("long").alias("f16"),
         )
     )

@@ -171,9 +171,13 @@ def test_confusion_counts_are_consistent(spark, sf_dir):
     assert tp + fn == n_docs
     assert tp + fp == n_docs
     assert fp == fn  # micro-P == micro-R
+    assert len(rows) == 5  # never-predicted classes keep their row
     for r in rows:  # bounds + exact rational check on one class
-        assert 0 <= r["prec6"] <= 1_000_000
         q = r["tp"] + r["fp"]
+        if q == 0:  # class never predicted: precision undefined
+            assert r["prec6"] is None and r["tp"] == 0
+            continue
+        assert 0 <= r["prec6"] <= 1_000_000
         assert r["prec6"] == (2_000_000 * r["tp"] + q) // (2 * q)
 
 

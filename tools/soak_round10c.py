@@ -37,6 +37,7 @@ def build(mult: int) -> str:
         "orders": f"o_orderkey + c * {off} AS o_orderkey, "
                   f"o_custkey + c * {off} AS o_custkey",
         "lineitem": f"l_orderkey + c * {off} AS l_orderkey",
+        "documents": f"doc_id + c * {off} AS doc_id",
     }
     for name, rep in replaces.items():
         con.sql(

@@ -180,6 +180,8 @@ HEADLINE = [
     "events_attribution",             # last-touch credit, one window
     "llm_zipf_slope",                 # integer-OLS Zipf fit per lang
     "llm_eval_confusion",             # integer-exact P/R/F1 per class
+    "storage_partition_prune",        # directory-level scan pruning
+    "llm_mmr_diversify",              # greedy MMR re-rank, unrolled oracle
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -288,6 +290,7 @@ R10_COMPARABLE = R9_COMPARABLE | {
     "graph_resource_allocation", "join_spatial_radius",
     "storage_bucket_join", "graph_hits", "dq_l_diversity",
     "events_attribution", "llm_zipf_slope", "llm_eval_confusion",
+    "storage_partition_prune", "llm_mmr_diversify",
 }
 
 # Queries whose wall is dominated by Arrow/pandas Python workers — their

@@ -67,6 +67,7 @@ from . import catalog_round10  # noqa: F401  (ANN build reuse, capped gzip, salt
 from . import catalog_round10b  # noqa: F401  (zip container, RRF fusion, P/R@K eval)
 from . import catalog_round10c  # noqa: F401  (CDC merge, spatial join, bucketed join)
 from . import catalog_round10d  # noqa: F401  (HITS, l-diversity, attribution, Zipf)
+from . import catalog_round10e  # noqa: F401  (partition pruning, MMR diversify)
 
 DRIVER_BATCH: list[str] = [
     # -- new this round (10): never driver-verified ---------------------
@@ -109,21 +110,22 @@ DRIVER_BATCH: list[str] = [
     "events_attribution",
     "llm_zipf_slope",
     "llm_eval_confusion",
+    "storage_partition_prune",
+    "llm_mmr_diversify",
     # -- changed this round (3): PNG oracles moved to byte==char ASCII
     #    filtering; tar parser now requires the zero terminator ---------
     "llm_multimodal_decode_png",
     "llm_multimodal_quarantine_png",
     "llm_shard_quarantine",
-    # -- re-checks (8): r5-stale entries, stalest-first rotation --------
+    # -- re-checks (6): r5-stale entries, stalest-first rotation --------
     "follow_replay",
     "graph_common_neighbors",
     "graph_degree_distribution",
     "graph_label_propagation",
     "llm_doc_pack_scalable",
-    "llm_kmeans_iter",
-    "llm_paragraph_dedup",
     "window_first_last",
-    # (llm_semdedup / llm_semdedup_capped / tpch_q10/q11/q12/q13/q14/
+    # (llm_kmeans_iter / llm_paragraph_dedup / llm_semdedup /
+    # llm_semdedup_capped / tpch_q10/q11/q12/q13/q14/
     # q15/q16/q17/q19/q20/q21/q22/q2/q7/q8/q9,
     # window_gap_islands /
     # window_ntile_decile / window_ntile_decile_scalable /
@@ -132,8 +134,8 @@ DRIVER_BATCH: list[str] = [
     # llm_oov_rate / llm_seq_len_buckets / set_ops_customers /
     # llm_importance_sample / llm_mix_rebalance / llm_char_entropy /
     # join_salted_skew / llm_ngram_lm_score /
-    # llm_dedup_ngram_jaccard_capped — thirty-five r5 shapes in all —
-    # rotate to round 11, displaced by the 39 never-verified round-10
+    # llm_dedup_ngram_jaccard_capped — thirty-seven r5 shapes in all —
+    # rotate to round 11, displaced by the 41 never-verified round-10
     # entries; every displaced shape has a later-round driver-green
     # relative and stays covered by the full local replica)
 ]

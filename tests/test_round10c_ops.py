@@ -229,3 +229,85 @@ def test_hits_round1_matches_degree_identity(spark, sf_dir):
     assert set(got) == nodes
     for n in nodes:
         assert got[n] == (h2.get(n, 0), a2.get(n, 0))
+
+
+def test_partition_prune_reads_only_surviving_dirs(spark, sf_dir):
+    """The two-type predicate must prune at the DIRECTORY level: the
+    scan plan carries PartitionFilters and every file actually read
+    lives under a surviving event_type= directory."""
+    from helium_arango_etl_lite_spark.plans.catalog_round10e import (
+        _PRUNE_TYPES,
+        _partitioned_events,
+    )
+
+    back = _partitioned_events(spark, sf_dir).filter(
+        F.col("event_type").isin(*_PRUNE_TYPES)
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan
+    files = [
+        r[0]
+        for r in back.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files
+    for f in files:
+        assert any(f"event_type={t}/" in f for t in _PRUNE_TYPES), f
+
+
+def test_mmr_greedy_is_locally_optimal(spark, sf_dir):
+    """Recompute the greedy objective from scratch (candidates + all
+    pairwise sims, python floats): every rank-r pick must maximize
+    lambda*rel - (1-lambda)*max-sim-to-selected over the remaining
+    candidates, with the (mmr desc, vec_id) tie-break."""
+    from helium_arango_etl_lite_spark.operators.llm.similarity import cosine
+    from helium_arango_etl_lite_spark.plans.catalog_round10e import (
+        _MMR_LAMBDA,
+        _MMR_N,
+        llm_mmr_diversify,
+    )
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    got = sorted(
+        llm_mmr_diversify(spark, sf_dir).collect(), key=lambda r: r["rank"]
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "v",
+            F.round(cosine(F.col("v"), F.col("qv")), 4).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_N)
+        .collect()
+    )
+    rel = {r["vec_id"]: r["rel"] for r in cand}
+    vecs = {r["vec_id"]: r["v"] for r in cand}
+
+    def cos4(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return round(num / (na * nb), 4)
+
+    lam, one_m = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 1)
+    selected: list = []
+    for r in got:
+        remaining = [v for v in rel if v not in selected]
+        scored = []
+        for c in remaining:
+            if selected:
+                ms = max(cos4(vecs[c], vecs[s]) for s in selected)
+                scored.append((lam * rel[c] - one_m * ms, c))
+            else:
+                scored.append((lam * rel[c], c))
+        best = max(scored, key=lambda t: (t[0], -t[1]))
+        assert r["vec_id"] == best[1], (r["rank"], r["vec_id"], best)
+        assert abs(r["mmr"] - round(best[0], 6)) < 1e-9
+        selected.append(best[1])

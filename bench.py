@@ -182,6 +182,10 @@ HEADLINE = [
     "llm_eval_confusion",             # integer-exact P/R/F1 per class
     "storage_partition_prune",        # directory-level scan pruning
     "llm_mmr_diversify",              # greedy MMR re-rank, unrolled oracle
+    "cdc_snapshot_diff",              # I/U/D feed from two snapshots
+    "storage_schema_evolution",       # mergeSchema read, NULL-filled drift
+    "events_markov_transitions",      # integer-rational transition matrix
+    "llm_eval_calibration",           # accuracy per confidence quintile
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -291,6 +295,8 @@ R10_COMPARABLE = R9_COMPARABLE | {
     "storage_bucket_join", "graph_hits", "dq_l_diversity",
     "events_attribution", "llm_zipf_slope", "llm_eval_confusion",
     "storage_partition_prune", "llm_mmr_diversify",
+    "cdc_snapshot_diff", "storage_schema_evolution",
+    "events_markov_transitions", "llm_eval_calibration",
 }
 
 # Queries whose wall is dominated by Arrow/pandas Python workers — their

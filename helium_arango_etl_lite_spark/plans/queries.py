@@ -23,25 +23,23 @@ queries, so it was removed on advisor direction).
   pytest replica ``tests/test_oracle_parity.py`` covers the whole catalog
   on every run regardless of this ordering).
 
-Round-10 batch (applied): what the r9 verdict ordered plus the session-2
-additions — the 21 never-driver-verified round-10 entries first (the
-graph-ANN build/search split whose oracle unrolls two beam walks over
-ONE shared edge graph, the member-capped gzip-JSONL pack + quarantine
-twin, the salt-capped interval-overlap join, the iterative BPE
-trainer/encoder whose oracles unroll all five merge rounds, windowed
-audio features over the real WAV decode, the ZIP container family
-whose EOCD check catches the member-boundary cut gzip provably
-cannot, RRF hybrid-retrieval fusion, the P/R@K and nDCG@K evaluation sweeps, and the declarative DQ expectation suite),
-then the 3 round-9 entries whose ORACLE/CODE changed this round (the
-PNG pair moved to byte==char ASCII-filtered oracles per the r9
-advice; llm_shard_quarantine's parser now rejects boundary-cut tars
-missing the zero terminator), then 26 of the 43 r5-stale entries (the
-16 extended TPC-H shapes, semdedup, doc-pack-scalable, kmeans, label
-propagation, follow_replay, … — tools/batch_staleness.py lists them;
-the remaining seventeen r5 shapes rotate to round 11, displaced by the
-never-verified entries, per this file's own ordering policy). The
-full catalog is still locally replicated green every round —
-tools/driver_replica.py.
+Round-10 batch (applied, final session-3 revision): the 45
+never-driver-verified round-10 entries first — sessions 1-2 (graph-ANN
+build/search split, member-capped gzip, salt-capped interval join, BPE
+trainer/encoder, audio features, the ZIP container family, RRF fusion,
+P/R@K + nDCG@K sweeps, DQ expectations, unigram-LM segmentation + EM,
+referential integrity, BPE fertility, changepoint, k-anonymity pair,
+dataset card, OHLC) and session 3 (CDC merge batch+stream, rolling
+median, resource-allocation index, spatial radius join, bucketed join,
+HITS, l-diversity, attribution, Zipf fit, confusion + calibration
+evals, partition pruning, MMR diversify, snapshot diff, schema
+evolution, Markov transitions) — then the 3 round-9 entries whose
+ORACLE/CODE changed this round (PNG pair on byte==char ASCII oracles;
+tar parser requires the zero terminator), then 2 r5-stale re-checks.
+The forty-one remaining r5 shapes rotate to round 11, displaced by the
+never-verified entries per this file's own ordering policy; the full
+catalog is still locally replicated green every round
+(tools/driver_replica.py).
 """
 
 from __future__ import annotations
@@ -68,6 +66,7 @@ from . import catalog_round10b  # noqa: F401  (zip container, RRF fusion, P/R@K 
 from . import catalog_round10c  # noqa: F401  (CDC merge, spatial join, bucketed join)
 from . import catalog_round10d  # noqa: F401  (HITS, l-diversity, attribution, Zipf)
 from . import catalog_round10e  # noqa: F401  (partition pruning, MMR diversify)
+from . import catalog_round10f  # noqa: F401  (snapshot diff, schema evolution)
 
 DRIVER_BATCH: list[str] = [
     # -- new this round (10): never driver-verified ---------------------
@@ -112,19 +111,21 @@ DRIVER_BATCH: list[str] = [
     "llm_eval_confusion",
     "storage_partition_prune",
     "llm_mmr_diversify",
+    "cdc_snapshot_diff",
+    "storage_schema_evolution",
+    "events_markov_transitions",
+    "llm_eval_calibration",
     # -- changed this round (3): PNG oracles moved to byte==char ASCII
     #    filtering; tar parser now requires the zero terminator ---------
     "llm_multimodal_decode_png",
     "llm_multimodal_quarantine_png",
     "llm_shard_quarantine",
-    # -- re-checks (6): r5-stale entries, stalest-first rotation --------
+    # -- re-checks (2): r5-stale entries, stalest-first rotation --------
     "follow_replay",
-    "graph_common_neighbors",
-    "graph_degree_distribution",
-    "graph_label_propagation",
-    "llm_doc_pack_scalable",
     "window_first_last",
-    # (llm_kmeans_iter / llm_paragraph_dedup / llm_semdedup /
+    # (graph_common_neighbors / graph_degree_distribution /
+    # graph_label_propagation / llm_doc_pack_scalable /
+    # llm_kmeans_iter / llm_paragraph_dedup / llm_semdedup /
     # llm_semdedup_capped / tpch_q10/q11/q12/q13/q14/
     # q15/q16/q17/q19/q20/q21/q22/q2/q7/q8/q9,
     # window_gap_islands /
@@ -134,8 +135,8 @@ DRIVER_BATCH: list[str] = [
     # llm_oov_rate / llm_seq_len_buckets / set_ops_customers /
     # llm_importance_sample / llm_mix_rebalance / llm_char_entropy /
     # join_salted_skew / llm_ngram_lm_score /
-    # llm_dedup_ngram_jaccard_capped — thirty-seven r5 shapes in all —
-    # rotate to round 11, displaced by the 41 never-verified round-10
+    # llm_dedup_ngram_jaccard_capped — forty-one r5 shapes in all —
+    # rotate to round 11, displaced by the 45 never-verified round-10
     # entries; every displaced shape has a later-round driver-green
     # relative and stays covered by the full local replica)
 ]

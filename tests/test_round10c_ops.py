@@ -311,3 +311,97 @@ def test_mmr_greedy_is_locally_optimal(spark, sf_dir):
         assert r["vec_id"] == best[1], (r["rank"], r["vec_id"], best)
         assert abs(r["mmr"] - round(best[0], 6)) < 1e-9
         selected.append(best[1])
+
+
+def test_snapshot_diff_roundtrip_reproduces_new_state(spark, sf_dir):
+    """Applying the diff ops to the OLD snapshot must reproduce the
+    NEW snapshot exactly: upsert I/U rows, delete D keys."""
+    import helium_arango_etl_lite_spark.plans.catalog_round10f as r10f
+    from helium_arango_etl_lite_spark.plans.registry import load_events
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    cut = lo + (hi - lo) * 2 // 3
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def state(df):
+        rows = (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_type").alias("attr"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            .collect()
+        )
+        return {r["user_id"]: (r["attr"], r["cents"]) for r in rows}
+
+    old = state(ev.filter(F.unix_micros("ts") < cut))
+    new = {
+        k: v for k, v in state(ev).items() if v[0] != "error"
+    }
+    applied = dict(old)
+    ops = r10f.cdc_snapshot_diff(spark, sf_dir).collect()
+    assert ops  # the fixture exercises the diff
+    kinds = {r["op"] for r in ops}
+    # 'I' needs a user whose FIRST event lands after the 2/3 cut; at
+    # sf0.001 every user's history spans the whole range, so only the
+    # U and D paths are guaranteed by the fixture. The roundtrip below
+    # verifies all paths that fired.
+    assert {"U", "D"} <= kinds
+    for r in ops:
+        if r["op"] == "D":
+            assert r["attr"] is None and r["cents"] is None
+            applied.pop(r["user_id"])
+        else:
+            applied[r["user_id"]] = (r["attr"], r["cents"])
+    assert applied == new
+
+
+def test_markov_rows_are_distributions(spark, sf_dir):
+    """Per-prev p6 must sum to 1e6 within per-cell rounding, and counts
+    must conserve the number of transitions."""
+    import helium_arango_etl_lite_spark.plans.catalog_round10f as r10f
+    from helium_arango_etl_lite_spark.plans.registry import load_events
+
+    rows = r10f.events_markov_transitions(spark, sf_dir).collect()
+    by_prev: dict = {}
+    for r in rows:
+        by_prev.setdefault(r["prev"], []).append(r)
+    for prev, cells in by_prev.items():
+        total_p6 = sum(c["p6"] for c in cells)
+        assert abs(total_p6 - 1_000_000) <= len(cells), prev
+    n_users = load_events(spark, sf_dir).select("user_id").distinct().count()
+    n_events = load_events(spark, sf_dir).count()
+    assert sum(r["n"] for r in rows) == n_events - n_users  # lag drops 1/user
+
+
+def test_schema_evolution_nullfills_old_batch(spark, sf_dir):
+    """The merged read must expose the channel column with NULLs
+    exactly on pre-cut rows."""
+    import helium_arango_etl_lite_spark.plans.catalog_round10f as r10f
+    from helium_arango_etl_lite_spark.plans.registry import load_events
+
+    out = {r["event_type"]: r for r in
+           r10f.storage_schema_evolution(spark, sf_dir).collect()}
+    ev = load_events(spark, sf_dir)
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    cut = lo + (hi - lo) // 2
+    per_type = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.unix_micros("ts") >= cut).cast("long")).alias("post"),
+        )
+        .collect()
+    }
+    for t, r in out.items():
+        assert r["n"] == per_type[t]["n"]
+        assert r["n_with_channel"] == per_type[t]["post"]  # NULLs = pre-cut

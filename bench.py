@@ -186,6 +186,8 @@ HEADLINE = [
     "storage_schema_evolution",       # mergeSchema read, NULL-filled drift
     "events_markov_transitions",      # integer-rational transition matrix
     "llm_eval_calibration",           # accuracy per confidence quintile
+    "llm_eval_rbo",                   # rank-biased overlap, literal weights
+    "events_conversion_latency",      # signup->purchase latency histogram
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -297,6 +299,7 @@ R10_COMPARABLE = R9_COMPARABLE | {
     "storage_partition_prune", "llm_mmr_diversify",
     "cdc_snapshot_diff", "storage_schema_evolution",
     "events_markov_transitions", "llm_eval_calibration",
+    "llm_eval_rbo", "events_conversion_latency",
 }
 
 # Queries whose wall is dominated by Arrow/pandas Python workers — their

@@ -67,6 +67,7 @@ from . import catalog_round10c  # noqa: F401  (CDC merge, spatial join, bucketed
 from . import catalog_round10d  # noqa: F401  (HITS, l-diversity, attribution, Zipf)
 from . import catalog_round10e  # noqa: F401  (partition pruning, MMR diversify)
 from . import catalog_round10f  # noqa: F401  (snapshot diff, schema evolution)
+from . import catalog_round10g  # noqa: F401  (RBO agreement, conversion latency)
 
 DRIVER_BATCH: list[str] = [
     # -- new this round (10): never driver-verified ---------------------

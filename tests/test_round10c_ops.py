@@ -405,3 +405,48 @@ def test_schema_evolution_nullfills_old_batch(spark, sf_dir):
     for t, r in out.items():
         assert r["n"] == per_type[t]["n"]
         assert r["n_with_channel"] == per_type[t]["post"]  # NULLs = pre-cut
+
+
+def test_conversion_latency_conserves_eligible_purchases(spark, sf_dir):
+    """Histogram counts must sum to exactly the purchases that have a
+    preceding signup, and every bucket must be in [0, 24]."""
+    import helium_arango_etl_lite_spark.plans.catalog_round10g as r10g
+    from helium_arango_etl_lite_spark.plans.registry import load_events
+    from pyspark.sql import Window
+
+    rows = r10g.events_conversion_latency(spark, sf_dir).collect()
+    assert rows and all(0 <= r["hours"] <= 24 for r in rows)
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    eligible = (
+        ev.withColumn(
+            "s",
+            F.last(
+                F.when(F.col("event_type") == "signup", F.col("ts")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter((F.col("event_type") == "purchase") & F.col("s").isNotNull())
+        .count()
+    )
+    assert sum(r["n"] for r in rows) == eligible
+
+
+def test_rbo_overlap_is_monotone_and_bounded(spark, sf_dir):
+    """overlap@d is non-decreasing, bounded by d, and rbo is a
+    non-decreasing partial sum bounded by 1."""
+    import helium_arango_etl_lite_spark.plans.catalog_round10g as r10g
+
+    rows = sorted(
+        r10g.llm_eval_rbo(spark, sf_dir).collect(), key=lambda r: r["d"]
+    )
+    assert [r["d"] for r in rows] == list(range(1, 11))
+    prev_ov, prev_rbo = 0, 0.0
+    for r in rows:
+        assert prev_ov <= r["overlap"] <= r["d"]
+        assert prev_rbo <= r["rbo"] <= 1.0
+        prev_ov, prev_rbo = r["overlap"], r["rbo"]

@@ -188,6 +188,7 @@ HEADLINE = [
     "llm_eval_calibration",           # accuracy per confidence quintile
     "llm_eval_rbo",                   # rank-biased overlap, literal weights
     "events_conversion_latency",      # signup->purchase latency histogram
+    "stream_attribution_replay",      # cross-batch carry state, batch oracle
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -300,6 +301,7 @@ R10_COMPARABLE = R9_COMPARABLE | {
     "cdc_snapshot_diff", "storage_schema_evolution",
     "events_markov_transitions", "llm_eval_calibration",
     "llm_eval_rbo", "events_conversion_latency",
+    "stream_attribution_replay",
 }
 
 # Queries whose wall is dominated by Arrow/pandas Python workers — their

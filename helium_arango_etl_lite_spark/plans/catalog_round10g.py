@@ -2,15 +2,15 @@
 conversion-latency readouts.
 
 * ``llm_eval_rbo`` — Rank-Biased Overlap (Webber, Moffat & Zobel 2010)
-  between the lexical (BM25) and dense (cosine) top-10 rankings the
-  RRF entry fuses: the top-weighted agreement measure for INDEFINITE
-  rankings, where plain Kendall/Spearman need both lists to cover the
-  same items. Per-depth weights (1-p)p^(d-1)/d are injected as
-  identical 12dp literals into both engines (the nDCG discount-table
-  discipline), overlap@d is an exact integer, so every term is one
-  literal*integer product and the running RBO is deterministic.
-  Answers the hybrid-retrieval design question RRF raises: HOW
-  different are the two systems being fused?
+  between the full BM25 top-10 and a tf-only top-10 of the SAME query
+  terms: the top-weighted agreement measure for INDEFINITE rankings,
+  where plain Kendall/Spearman need both lists to cover the same
+  items — here it quantifies how much idf + length normalization
+  reorder the retrieval head. Per-depth weights (1-p)p^(d-1)/d are
+  injected as identical 12dp literals into both engines (the nDCG
+  discount-table discipline), overlap@d is an exact integer, so every
+  term is one literal*integer product and the running RBO is
+  deterministic.
 * ``events_conversion_latency`` — signup-to-purchase latency
   distribution: each purchase pairs with the user's most recent
   preceding signup (the events_attribution carry window, carrying the
@@ -19,6 +19,11 @@ conversion-latency readouts.
   agg_event_funnel (which counts stage reach, not time-to-convert).
   One user-keyed window shuffle; the histogram is 26 rows at any
   corpus size.
+* ``stream_attribution_replay`` — last-touch attribution as a STATEFUL
+  STREAM verified against the identical batch oracle: one nullable
+  string of state per user, purchases emit credit rows append-style,
+  and the family gains its cross-batch-carry member (a touch in
+  micro-batch 1 must credit a purchase in micro-batch 3).
 
 Reference parity note: the reference ETL (helium-arango-etl-lite) has
 none of these; they extend the north-star eval/analytics families
@@ -31,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog_llm import _BM25_TERMS, _bm25_sql
+from .catalog_round10d import _ATTR_SQL
 from .registry import EVENTS_NORM, load_events, load_table, register
 
 # ---------------------------------------------------------------------------
@@ -210,4 +216,90 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(lat_h, F.lit(_LAT_CAP_H)).cast("long").alias("hours")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# attribution as a stateful stream, verified against the batch oracle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_attribution_replay",
+    _ATTR_SQL,
+    doc="Last-touch attribution as a STATEFUL STREAM, hash-verified "
+        "against the IDENTICAL batch oracle (events_attribution's "
+        "SQL): events replay as three event-time-split micro-batches; "
+        "applyInPandasWithState carries ONE nullable string per user "
+        "(the most recent touch type), and each purchase emits one "
+        "credit row the moment it is seen — append semantics, so the "
+        "reader is a plain channel rollup with no last-wins dedup. "
+        "The sixth member of the batch=stream equivalence family "
+        "(totals, CUSUM, sessions, SCD2, CDC): this one pins "
+        "CROSS-BATCH carry — a touch in batch 1 must still credit a "
+        "purchase in batch 3 "
+        "(streaming/stateful.py:attribution_stream).",
+    tags=("streaming", "stateful", "analytics"),
+)
+def stream_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..streaming.stateful import attribution_stream
+    from .catalog_core import _replay_dir
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.row_number().over(w).cast("long").alias("seq"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    src = _replay_dir("stream_attr/src")
+    res = _replay_dir("stream_attr/res")
+    ckpt = _replay_dir("stream_attr/ckpt")
+    lo, hi = base.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    c1 = lo + (hi - lo) // 3
+    c2 = lo + 2 * (hi - lo) // 3
+    for i, cond in enumerate(
+        [
+            F.col("ts_us") < c1,
+            (F.col("ts_us") >= c1) & (F.col("ts_us") < c2),
+            F.col("ts_us") >= c2,
+        ]
+    ):
+        pdf = base.filter(cond).drop("ts_us").toPandas()
+        path = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, seq long, event_type string, cents long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        attribution_stream(stream)
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(res)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(res)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("conversions"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
     )

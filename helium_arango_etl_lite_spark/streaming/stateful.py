@@ -394,3 +394,61 @@ def cdc_stream(changes: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution as a stream: one string of state per user
+# ---------------------------------------------------------------------------
+
+ATTR_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("channel", StringType(), False),
+        StructField("cents", LongType(), False),
+        StructField("seq", LongType(), False),
+    ]
+)
+
+ATTR_STATE = StructType([StructField("last_touch", StringType(), True)])
+
+_ATTR_TOUCHES = ("click", "view", "signup")
+
+
+def _attr_update(key, pdfs, state: GroupState):
+    """Carry the user's most recent touch type across micro-batches;
+    every purchase emits ONE credit row (channel = carried touch or
+    'direct') the moment it is seen — append semantics, so the reader
+    aggregates all emissions without last-wins dedup. State is one
+    nullable string per user; the batch twin is
+    plans/catalog_round10d.py:events_attribution."""
+    (last,) = state.get if state.exists else (None,)
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values("seq", kind="mergesort")
+    out = []
+    for et, seq, cents in zip(
+        pdf["event_type"].values, pdf["seq"].values, pdf["cents"].values
+    ):
+        if et in _ATTR_TOUCHES:
+            last = et
+        elif et == "purchase":
+            out.append(
+                (key[0], last if last is not None else "direct",
+                 int(cents), int(seq))
+            )
+    state.update((last,))
+    yield pd.DataFrame(
+        out, columns=["user_id", "channel", "cents", "seq"]
+    )
+
+
+def attribution_stream(events: DataFrame) -> DataFrame:
+    """Streaming last-touch attribution; ``events`` carries per-user
+    monotone ``seq``, ``event_type`` and integer ``cents``."""
+    sel = events.select("user_id", "seq", "event_type", "cents")
+    return sel.groupBy("user_id").applyInPandasWithState(
+        _attr_update,
+        outputStructType=ATTR_SCHEMA,
+        stateStructType=ATTR_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

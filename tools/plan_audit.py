@@ -91,6 +91,10 @@ BNLJ_OK = {
     "llm_eval_pr_at_k": "1-row query-vector + 1-row n_pos crosses",
     "llm_eval_ndcg": "1-row query-vector cross (cosine ranking)",
     "llm_unigram_em": "two 1-row piece-total crosses (one per EM round)",
+    "llm_eval_rbo": "10-row depth-table x <=10-row common-list "
+                    "inequality join + 1-row bm25-stats cross — both "
+                    "sides bounded by the ranking depth, never the "
+                    "corpus",
 }
 
 # Streaming replay harnesses drive micro-batches and read results back;

@@ -189,6 +189,9 @@ HEADLINE = [
     "llm_eval_rbo",                   # rank-biased overlap, literal weights
     "events_conversion_latency",      # signup->purchase latency histogram
     "stream_attribution_replay",      # cross-batch carry state, batch oracle
+    "llm_random_projection",          # JL reduce + distortion readout
+    "events_funnel_timed",            # strict ordered funnel, step bounds
+    "graph_bfs_distance",             # bounded-depth multi-source BFS
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -301,7 +304,8 @@ R10_COMPARABLE = R9_COMPARABLE | {
     "cdc_snapshot_diff", "storage_schema_evolution",
     "events_markov_transitions", "llm_eval_calibration",
     "llm_eval_rbo", "events_conversion_latency",
-    "stream_attribution_replay",
+    "stream_attribution_replay", "llm_random_projection",
+    "events_funnel_timed", "graph_bfs_distance",
 }
 
 # Queries whose wall is dominated by Arrow/pandas Python workers — their

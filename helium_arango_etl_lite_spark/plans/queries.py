@@ -68,6 +68,7 @@ from . import catalog_round10d  # noqa: F401  (HITS, l-diversity, attribution, Z
 from . import catalog_round10e  # noqa: F401  (partition pruning, MMR diversify)
 from . import catalog_round10f  # noqa: F401  (snapshot diff, schema evolution)
 from . import catalog_round10g  # noqa: F401  (RBO agreement, conversion latency)
+from . import catalog_round10h  # noqa: F401  (JL projection, timed funnel, BFS)
 
 DRIVER_BATCH: list[str] = [
     # -- new this round (10): never driver-verified ---------------------

@@ -450,3 +450,50 @@ def test_rbo_overlap_is_monotone_and_bounded(spark, sf_dir):
         assert prev_ov <= r["overlap"] <= r["d"]
         assert prev_rbo <= r["rbo"] <= 1.0
         prev_ov, prev_rbo = r["overlap"], r["rbo"]
+
+
+def test_funnel_timed_counts_are_monotone(spark, sf_dir):
+    """Each step requires the previous: qualified-click users are a
+    subset of signup users; converted users a subset of those."""
+    import helium_arango_etl_lite_spark.plans.catalog_round10h as r10h
+
+    r = r10h.events_funnel_timed(spark, sf_dir).collect()[0]
+    assert r["n_signup"] >= r["n_qualified_click"] >= r["n_converted"] >= 0
+    assert r["n_signup"] > 0
+
+
+def test_bfs_distances_satisfy_edge_relaxation(spark, sf_dir):
+    """dist(seed) == 0 and |dist(u) - dist(v)| <= 1 across every edge
+    where both ends are reached (BFS layers differ by at most one)."""
+    import helium_arango_etl_lite_spark.plans.catalog_round10h as r10h
+    from helium_arango_etl_lite_spark.plans.catalog_analytics import (
+        _money_flow_edges,
+    )
+
+    dist = {
+        r["id"]: r["dist"]
+        for r in r10h.graph_bfs_distance(spark, sf_dir).collect()
+    }
+    assert dist and all(v >= 0 for v in dist.values())
+    for n, d in dist.items():
+        assert (d == 0) == (n % 7 == 0)
+    for r in _money_flow_edges(spark, sf_dir).collect():
+        a, b = r["src"], r["dst"]
+        if a in dist and b in dist:
+            assert abs(dist[a] - dist[b]) <= 1, (a, b)
+
+
+def test_random_projection_errors_are_bounded(spark, sf_dir):
+    """Cosines stay in [-1, 1] on both sides and err == |orig - proj|
+    to 4dp; the mean distortion should be small but nonzero (the
+    projection genuinely loses information at 16 of 64 dims)."""
+    import helium_arango_etl_lite_spark.plans.catalog_round10h as r10h
+
+    rows = r10h.llm_random_projection(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert -1.0 <= r["cos_orig"] <= 1.0
+        assert -1.0 <= r["cos_proj"] <= 1.0
+        assert abs(r["err"] - round(abs(r["cos_orig"] - r["cos_proj"]), 4)) < 1e-9
+    errs = [r["err"] for r in rows]
+    assert max(errs) > 0.0  # lossy, as it must be

@@ -192,6 +192,7 @@ HEADLINE = [
     "llm_random_projection",          # JL reduce + distortion readout
     "events_funnel_timed",            # strict ordered funnel, step bounds
     "graph_bfs_distance",             # bounded-depth multi-source BFS
+    "llm_uncertainty_sample",         # margin bottom-K labeling picks
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -306,6 +307,7 @@ R10_COMPARABLE = R9_COMPARABLE | {
     "llm_eval_rbo", "events_conversion_latency",
     "stream_attribution_replay", "llm_random_projection",
     "events_funnel_timed", "graph_bfs_distance",
+    "llm_uncertainty_sample",
 }
 
 # Queries whose wall is dominated by Arrow/pandas Python workers — their

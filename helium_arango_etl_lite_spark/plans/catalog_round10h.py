@@ -23,6 +23,11 @@ timed funnels, and bounded-depth graph traversal.
   joined to the broadcast distance vector — the bounded-depth form of
   the iterate-by-broadcast discipline pagerank/HITS use, and the
   traversal primitive two_hop generalizes from.
+* ``llm_uncertainty_sample`` — margin-based uncertainty sampling over
+  the shared per-(doc, class) NB score table: the active-learning rule
+  for spending a labeling budget where the model is least sure; the
+  margin is a difference of two fixed-point BIGINT scores, so the
+  bottom-K selection is exact.
 
 Reference parity note: the reference ETL (helium-arango-etl-lite) has
 none of these; they extend the north-star similarity/analytics/graph
@@ -313,4 +318,63 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         F.col("id").cast("long").alias("id"),
         F.col("dist").cast("long").alias("dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# margin-based uncertainty sampling (active-learning labeling budget)
+# ---------------------------------------------------------------------------
+
+_UNC_K = 20
+
+
+def _uncertainty_sql() -> str:
+    from .catalog_round8d import _NB_FINAL_CTES
+
+    return f"""{_NB_FINAL_CTES}
+SELECT a.doc_id, a.lang AS pred_lang,
+       (a.score6 - b.score6)::BIGINT AS margin6
+FROM final a JOIN final b ON a.doc_id = b.doc_id AND b.rk = 2
+WHERE a.rk = 1
+ORDER BY margin6, a.doc_id LIMIT {_UNC_K}"""
+
+
+@register(
+    "llm_uncertainty_sample",
+    _uncertainty_sql(),
+    doc=f"Margin-based uncertainty sampling: the {_UNC_K} documents "
+        "where the NB classifier's top-two class scores are closest — "
+        "the active-learning selection rule for spending a labeling "
+        "budget where the model is least sure (Lewis & Gale 1994's "
+        "uncertainty sampling, margin variant). The margin is a "
+        "difference of two fixed-point micro-nat BIGINTs (the scorer's "
+        "integer dot products), so selection is exact and the "
+        "(margin6, doc_id) order total. Rides the SHARED per-(doc, "
+        "class) score table (_nb_class_scores) — the rk<=2 pivot is "
+        "one self-join on the already-ranked frame, and the global "
+        "bottom-K is a TakeOrderedAndProject, no corpus sort. "
+        "Completes the labeling loop next to llm_eval_confusion "
+        "(where is the model wrong) and llm_eval_calibration (does "
+        "confidence rank it): this one says which rows to LABEL NEXT.",
+    tags=("llm", "eval", "sampling"),
+)
+def llm_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_round8d import _nb_class_scores
+
+    s = _nb_class_scores(spark, sf_dir).localCheckpoint(eager=False)
+    a = s.filter(F.col("rk") == 1).select(
+        "doc_id", F.col("lang").alias("pred_lang"),
+        F.col("score6").alias("s1"),
+    )
+    b = s.filter(F.col("rk") == 2).select(
+        "doc_id", F.col("score6").alias("s2")
+    )
+    return (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id", "pred_lang",
+            (F.col("s1") - F.col("s2")).cast("long").alias("margin6"),
+        )
+        .orderBy("margin6", "doc_id")
+        .limit(_UNC_K)
     )

@@ -183,7 +183,9 @@ def llm_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the per-doc score becomes a BIGINT dot product (order-free).
 _FP6 = "floor({x} * 1000000 + 0.5)::BIGINT"
 
-_NB_SCORE_SQL = f"""
+# Everything up to the per-(doc, class) ranked score table — shared by
+# the argmax scorer below and round-10h's margin-uncertainty sampler.
+_NB_FINAL_CTES = f"""
 WITH {_NB_BASE},
 model AS (SELECT lang, token,
                  {_FP6.format(x=f"ln((c + {_NB_ALPHA}) / (total + {_NB_ALPHA} * vocab))")}
@@ -216,7 +218,9 @@ final AS (SELECT scored.doc_id, scored.lang,
                  row_number() OVER (PARTITION BY scored.doc_id
                      ORDER BY (scored.like6 + prior.prior6) DESC,
                               scored.lang) AS rk
-          FROM scored JOIN prior USING (lang))
+          FROM scored JOIN prior USING (lang))"""
+
+_NB_SCORE_SQL = f"""{_NB_FINAL_CTES}
 SELECT f.doc_id, f.lang AS pred_lang, f.score6,
        d.lang AS true_lang,
        (f.lang = d.lang) AS correct
@@ -246,6 +250,23 @@ WHERE f.rk = 1"""
     tags=("llm", "text", "train", "scale"),
 )
 def llm_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    final = _nb_class_scores(spark, sf_dir).filter(F.col("rk") == 1)
+    return final.join(
+        d.select("doc_id", F.col("lang").alias("true_lang")), "doc_id"
+    ).select(
+        "doc_id",
+        F.col("lang").alias("pred_lang"),
+        "score6",
+        "true_lang",
+        (F.col("lang") == F.col("true_lang")).alias("correct"),
+    )
+
+
+def _nb_class_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, class) fixed-point NB scores ranked per doc (rk 1 =
+    argmax) — the shared core of the argmax scorer above and the
+    margin-uncertainty sampler (catalog_round10h)."""
     d = load_table(spark, sf_dir, "documents")
     # ONE corpus explode feeds BOTH sides: the per-doc token counts the
     # scorer consumes AND (re-aggregated — summing doc-level counts is
@@ -323,22 +344,12 @@ def llm_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = Window.partitionBy("doc_id").orderBy(
         F.desc("score6"), F.asc("lang")
     )
-    final = (
+    return (
         scored.join(F.broadcast(prior), "lang")
         .withColumn(
             "score6", (F.col("like6") + F.col("prior6")).cast("long")
         )
         .withColumn("rk", F.row_number().over(wd))
-        .filter(F.col("rk") == 1)
-    )
-    return final.join(
-        d.select("doc_id", F.col("lang").alias("true_lang")), "doc_id"
-    ).select(
-        "doc_id",
-        F.col("lang").alias("pred_lang"),
-        "score6",
-        "true_lang",
-        (F.col("lang") == F.col("true_lang")).alias("correct"),
     )
 
 

@@ -95,6 +95,9 @@ BNLJ_OK = {
                     "inequality join + 1-row bm25-stats cross — both "
                     "sides bounded by the ranking depth, never the "
                     "corpus",
+    "events_funnel_timed": "two 1-row x 1-row crosses assembling the "
+                           "three funnel-stage scalar counts into one "
+                           "readout row",
 }
 
 # Streaming replay harnesses drive micro-batches and read results back;

@@ -193,6 +193,7 @@ HEADLINE = [
     "events_funnel_timed",            # strict ordered funnel, step bounds
     "graph_bfs_distance",             # bounded-depth multi-source BFS
     "llm_uncertainty_sample",         # margin bottom-K labeling picks
+    "llm_multimodal_resize",          # real PNG decode + NN thumbnail
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -324,6 +325,7 @@ PY_BOUND = {
     "llm_gzip_jsonl_capped", "llm_gzip_quarantine_capped",
     "llm_zip_shard_index", "llm_zip_index_capped", "llm_zip_fetch",
     "llm_zip_quarantine",
+    "llm_multimodal_resize",
     "agg_reservoir_per_group",
 }
 

@@ -1135,3 +1135,65 @@ def decode_png_quarantine(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, QUARANTINE_PNG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# nearest-neighbor resize over decoded PNG rasters
+# ---------------------------------------------------------------------------
+
+PNG_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("src_w", LongType(), True),
+        StructField("src_h", LongType(), True),
+        StructField("out_w", LongType(), True),
+        StructField("out_h", LongType(), True),
+        StructField("sum_r", LongType(), True),
+        StructField("sum_g", LongType(), True),
+        StructField("sum_b", LongType(), True),
+    ]
+)
+
+
+def resize_nn(px: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Nearest-neighbor resample of an (h, w, ch) raster to
+    (out_h, out_w, ch): output cell (j, k) takes source pixel
+    (floor(j*h/out_h), floor(k*w/out_w)) — the floor convention both
+    down- and up-samples (rows repeat when out_h > h) and is exactly
+    reproducible in SQL, which is why it is the fixture's choice over
+    center-sampling (floor((j+0.5)*h/out_h))."""
+    h, w = px.shape[0], px.shape[1]
+    ri = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    ci = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return px[ri][:, ci]
+
+
+def png_resize_stats(
+    media: DataFrame, out_h: int, out_w: int
+) -> DataFrame:
+    """Decode each PNG (:func:`parse_png`) and nearest-neighbor resize
+    to (out_h, out_w), reporting per-channel sums of the RESIZED
+    raster — the thumbnail/normalize stage every multimodal training
+    pipeline runs after decode, map-only Arrow batches like the
+    decode stage (rows of one image are sequential by PNG spec;
+    images are embarrassingly parallel)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                meta, px = parse_png(bytes(buf))
+                small = resize_nn(px, out_h, out_w)
+                csum = small.sum(axis=(0, 1), dtype=np.int64)
+                if meta["channels"] == 1:
+                    csum = np.repeat(csum, 3)
+                rows.append(
+                    (
+                        int(mid), meta["width"], meta["height"],
+                        out_w, out_h,
+                        int(csum[0]), int(csum[1]), int(csum[2]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=PNG_RESIZE_SCHEMA.fieldNames())
+
+    return media.mapInPandas(batches, PNG_RESIZE_SCHEMA)

@@ -394,9 +394,9 @@ FROM t LEFT JOIN p USING (lang)"""
         "model never predicts KEEP their row (recall 0, precision "
         "NULL) via a left join from the true-side — dropping them "
         "inflates macro averages exactly when the classifier is at "
-        "its worst (observed on the x10 duplicated-corpus soak, "
-        "where smoothing shifts drop two classes from the "
-        "prediction range). The fixture classifier is genuinely "
+        "its worst (observed on the sf0.1 corpus, where the "
+        "+1-smoothed model stops predicting two classes entirely). "
+        "The fixture classifier is genuinely "
         "imperfect (short docs misclassify), so all three counts "
         "are exercised.",
     tags=("llm", "eval"),

@@ -378,3 +378,68 @@ def llm_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("margin6", "doc_id")
         .limit(_UNC_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# nearest-neighbor thumbnail resize over REAL decoded PNGs
+# ---------------------------------------------------------------------------
+
+_RSZ_OUT = 4  # 8xH rasters -> 4x4 thumbnails
+
+
+def _resize_sql() -> str:
+    from ..operators.llm import multimodal as mm
+    from .catalog_round9 import _PNG_ASCII, _PNG_ROW
+
+    t = _RSZ_OUT
+    return f"""
+WITH d AS (SELECT doc_id, text,
+                  least({mm.PNG_MAX_H}, length(text) // {_PNG_ROW}) AS h
+           FROM documents
+           WHERE length(text) >= {_PNG_ROW} AND {_PNG_ASCII}),
+g AS (SELECT doc_id, text, h, ch,
+             (((j * h) // {t}) * {mm.PNG_WIDTH}
+              + (k * {mm.PNG_WIDTH}) // {t}) * 3 + ch + 1 AS i
+      FROM d,
+           (SELECT unnest(generate_series(0, {t - 1})) AS j),
+           (SELECT unnest(generate_series(0, {t - 1})) AS k),
+           (SELECT unnest(generate_series(0, 2)) AS ch))
+SELECT doc_id AS media_id,
+       {mm.PNG_WIDTH}::BIGINT AS src_w, h::BIGINT AS src_h,
+       {t}::BIGINT AS out_w, {t}::BIGINT AS out_h,
+       sum(CASE WHEN ch = 0 THEN ord(substr(text, i, 1)) END)::BIGINT
+         AS sum_r,
+       sum(CASE WHEN ch = 1 THEN ord(substr(text, i, 1)) END)::BIGINT
+         AS sum_g,
+       sum(CASE WHEN ch = 2 THEN ord(substr(text, i, 1)) END)::BIGINT
+         AS sum_b
+FROM g GROUP BY doc_id, h"""
+
+
+@register(
+    "llm_multimodal_resize",
+    _resize_sql(),
+    doc=f"REAL image resize over REAL decoded PNGs: each document's "
+        "PNG (five filter types, zlib IDAT, per-chunk CRC — the "
+        "decode_png fixture) decodes and nearest-neighbor resamples "
+        f"to {_RSZ_OUT}x{_RSZ_OUT} (output cell (j,k) takes source "
+        "pixel (j*h//4, k*w//4) — the floor convention that both "
+        "down- and up-samples and is exactly replayable in SQL), and "
+        "the oracle predicts the RESIZED per-channel sums straight "
+        "from the source text with ord() at the sampled indices — a "
+        "resampler off by one pixel in EITHER axis mismatches. The "
+        "thumbnail/normalize stage every multimodal training "
+        "pipeline runs after decode: map-only Arrow batches, zero "
+        "shuffle, embarrassingly parallel across images "
+        "(operators/llm/multimodal.py:png_resize_stats).",
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")  # ASCII: byte == char
+    )
+    return mm.png_resize_stats(
+        mm.encode_png_from_text(docs), out_h=_RSZ_OUT, out_w=_RSZ_OUT
+    )

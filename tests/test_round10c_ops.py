@@ -497,3 +497,24 @@ def test_random_projection_errors_are_bounded(spark, sf_dir):
         assert abs(r["err"] - round(abs(r["cos_orig"] - r["cos_proj"]), 4)) < 1e-9
     errs = [r["err"] for r in rows]
     assert max(errs) > 0.0  # lossy, as it must be
+
+
+def test_resize_nn_down_and_up_samples_exactly():
+    """Handcrafted rasters: 4x4 -> 2x2 picks rows/cols {0,2}; 2x2 ->
+    4x4 repeats each source pixel 2x2 (floor convention)."""
+    import numpy as np
+
+    from helium_arango_etl_lite_spark.operators.llm.multimodal import (
+        resize_nn,
+    )
+
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    small = resize_nn(px, 2, 2)
+    assert small[:, :, 0].tolist() == [[0, 2], [8, 10]]
+    up = resize_nn(small, 4, 4)
+    assert up[:, :, 0].tolist() == [
+        [0, 0, 2, 2], [0, 0, 2, 2], [8, 8, 10, 10], [8, 8, 10, 10]
+    ]
+    tall = resize_nn(np.arange(6, dtype=np.uint8).reshape(3, 2, 1), 4, 4)
+    assert tall.shape == (4, 4, 1)  # 3 rows -> indices 0,0,1,2
+    assert [r[0] for r in tall[:, :, 0].tolist()] == [0, 0, 2, 4]

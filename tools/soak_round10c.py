@@ -45,8 +45,7 @@ def build(mult: int) -> str:
             f"FROM '{SRC}/{name}.parquet', {copies}) "
             f"TO '{out}/{name}.parquet' (FORMAT PARQUET)"
         )
-    for name in ("supplier", "region", "nation", "part",
-                 "documents", "embeddings"):
+    for name in ("supplier", "region", "nation", "part", "embeddings"):
         src = f"{SRC}/{name}.parquet"
         if os.path.exists(src):
             con.sql(

@@ -122,10 +122,15 @@ DRIVER_BATCH: list[str] = [
     "llm_multimodal_decode_png",
     "llm_multimodal_quarantine_png",
     "llm_shard_quarantine",
-    # -- re-checks (2): r5-stale entries, stalest-first rotation --------
-    "follow_replay",
-    "window_first_last",
-    # (graph_common_neighbors / graph_degree_distribution /
+    # -- session-3 tail (2): flagship newcomers take the re-check slots
+    #    this round — with 53 never-verified entries the bottleneck is
+    #    first verification, and the staleness floor (r5) is unchanged
+    #    whether 0 or 2 re-checks run; the full r5 rotation resumes in
+    #    round 11 ------------------------------------------------------
+    "llm_multimodal_resize",
+    "stream_attribution_replay",
+    # (follow_replay / window_first_last /
+    # graph_common_neighbors / graph_degree_distribution /
     # graph_label_propagation / llm_doc_pack_scalable /
     # llm_kmeans_iter / llm_paragraph_dedup / llm_semdedup /
     # llm_semdedup_capped / tpch_q10/q11/q12/q13/q14/
@@ -137,10 +142,11 @@ DRIVER_BATCH: list[str] = [
     # llm_oov_rate / llm_seq_len_buckets / set_ops_customers /
     # llm_importance_sample / llm_mix_rebalance / llm_char_entropy /
     # join_salted_skew / llm_ngram_lm_score /
-    # llm_dedup_ngram_jaccard_capped — forty-one r5 shapes in all —
-    # rotate to round 11, displaced by the 45 never-verified round-10
-    # entries; every displaced shape has a later-round driver-green
-    # relative and stays covered by the full local replica)
+    # llm_dedup_ngram_jaccard_capped — forty-three r5 shapes in all —
+    # rotate to round 11, displaced by the 47 never-verified round-10
+    # entries in this batch; every displaced shape has a later-round
+    # driver-green relative and stays covered by the full local
+    # replica, which ran green over the whole catalog this session)
 ]
 
 

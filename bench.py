@@ -194,6 +194,7 @@ HEADLINE = [
     "graph_bfs_distance",             # bounded-depth multi-source BFS
     "llm_uncertainty_sample",         # margin bottom-K labeling picks
     "llm_multimodal_resize",          # real PNG decode + NN thumbnail
+    "llm_kcenter_coreset",            # farthest-point coverage picks
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow

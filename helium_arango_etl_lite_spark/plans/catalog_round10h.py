@@ -28,6 +28,14 @@ timed funnels, and bounded-depth graph traversal.
   for spending a labeling budget where the model is least sure; the
   margin is a difference of two fixed-point BIGINT scores, so the
   bottom-K selection is exact.
+* ``llm_multimodal_resize`` — nearest-neighbor thumbnail resize over
+  REAL decoded PNGs, with the oracle predicting the resized
+  per-channel sums straight from the source text at the sampled
+  pixel indices.
+* ``llm_kcenter_coreset`` — Gonzalez farthest-point k-center
+  selection: each round one corpus scan against the broadcast
+  selected set; the maxsim column is the coverage-radius curve and
+  the oracle unrolls every greedy round.
 
 Reference parity note: the reference ETL (helium-arango-etl-lite) has
 none of these; they extend the north-star similarity/analytics/graph
@@ -443,3 +451,98 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.png_resize_stats(
         mm.encode_png_from_text(docs), out_h=_RSZ_OUT, out_w=_RSZ_OUT
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset: Gonzalez farthest-point traversal
+# ---------------------------------------------------------------------------
+
+_KC_K = 6
+
+_KC_COS4 = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+)
+
+
+def _kcenter_sql() -> str:
+    head = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s1 AS (SELECT vec_id, v, 1.0 AS ms FROM e WHERE vec_id = 0)"""
+    parts = [head]
+    prev = "s1"
+    for r in range(2, _KC_K + 1):
+        parts.append(f""",
+r{r} AS (SELECT e.vec_id, e.v,
+               max({_KC_COS4.format(a="e.v", b="s.v")}) AS ms
+        FROM e JOIN {prev} s ON e.vec_id <> s.vec_id
+        WHERE e.vec_id NOT IN (SELECT vec_id FROM {prev})
+        GROUP BY e.vec_id, e.v
+        ORDER BY ms, e.vec_id LIMIT 1),
+s{r} AS (SELECT vec_id, v, ms FROM {prev}
+         UNION ALL SELECT vec_id, v, ms FROM r{r})""")
+        prev = f"s{r}"
+    ranked = " UNION ALL ".join(
+        [f"SELECT 1 AS rank, vec_id, round(ms, 4) AS maxsim FROM s1"]
+        + [
+            f"SELECT {r} AS rank, vec_id, round(ms, 4) AS maxsim FROM r{r}"
+            for r in range(2, _KC_K + 1)
+        ]
+    )
+    return "".join(parts) + "\n" + ranked
+
+
+@register(
+    "llm_kcenter_coreset",
+    _kcenter_sql(),
+    doc=f"k-center coreset selection by farthest-point traversal "
+        "(Gonzalez 1985; the geometric data-selection rule modern "
+        "embedding-coverage samplers build on): starting from vector "
+        f"0, each of {_KC_K - 1} rounds adds the point whose maximum "
+        "cosine to the already-selected set is SMALLEST — the point "
+        "the current coreset covers worst — so the selected set "
+        "spreads to cover the embedding space and the final maxsim "
+        "column IS the coverage radius curve. The geometry-based "
+        "complement to llm_uncertainty_sample's model-based picks. "
+        "Each round is ONE corpus scan joined to the broadcast "
+        "selected set (<= 6 rows) with a TakeOrdered(1) — the scan "
+        "count is k, never k*n pairs materialized. Similarities "
+        "round to 4dp before the argmin on both engines; ties break "
+        "on vec_id. The oracle unrolls every round, so the greedy "
+        "recursion is verified, not just the final membership.",
+    tags=("llm", "similarity", "sampling"),
+)
+def llm_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb = emb.localCheckpoint(eager=False)  # scanned once per round
+    first = emb.filter(F.col("vec_id") == 0).collect()[0]
+    picked = [(1, int(first["vec_id"]), 1.0)]
+    sel = [(int(first["vec_id"]), first["v"])]
+    for r in range(2, _KC_K + 1):
+        sel_df = F.broadcast(
+            emb.sparkSession.createDataFrame(
+                sel, "sid long, sv array<double>"
+            )
+        )
+        nxt = (
+            emb.filter(~F.col("vec_id").isin([s[0] for s in sel]))
+            .crossJoin(sel_df)
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.round(cosine(F.col("v"), F.col("sv")), 4)
+                ).alias("ms")
+            )
+            .orderBy("ms", "vec_id")
+            .limit(1)
+            .join(emb, "vec_id")
+            .collect()[0]
+        )
+        picked.append((r, int(nxt["vec_id"]), float(nxt["ms"])))
+        sel.append((int(nxt["vec_id"]), nxt["v"]))
+    return emb.sparkSession.createDataFrame(
+        picked, "rank int, vec_id long, maxsim double"
+    ).select("rank", "vec_id", F.round("maxsim", 4).alias("maxsim"))

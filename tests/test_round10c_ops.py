@@ -518,3 +518,42 @@ def test_resize_nn_down_and_up_samples_exactly():
     tall = resize_nn(np.arange(6, dtype=np.uint8).reshape(3, 2, 1), 4, 4)
     assert tall.shape == (4, 4, 1)  # 3 rows -> indices 0,0,1,2
     assert [r[0] for r in tall[:, :, 0].tolist()] == [0, 0, 2, 4]
+
+
+def test_kcenter_recursion_is_locally_greedy(spark, sf_dir):
+    """Recompute farthest-point traversal from scratch in python: each
+    rank-r pick must have the SMALLEST max-cosine-to-selected among
+    the remaining vectors ((ms, vec_id) tie-break), and the coverage
+    curve (rank >= 2) must be non-decreasing."""
+    import helium_arango_etl_lite_spark.plans.catalog_round10h as r10h
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    got = sorted(
+        r10h.llm_kcenter_coreset(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos4(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return round(num / (na * nb), 4)
+
+    assert got[0]["vec_id"] == 0 and got[0]["maxsim"] == 1.0
+    selected = [0]
+    for r in got[1:]:
+        best = min(
+            (
+                (max(cos4(emb[c], emb[s]) for s in selected), c)
+                for c in emb
+                if c not in selected
+            ),
+        )
+        assert (r["maxsim"], r["vec_id"]) == (round(best[0], 4), best[1])
+        selected.append(best[1])
+    sims = [r["maxsim"] for r in got[1:]]
+    assert sims == sorted(sims)  # coverage radius tightens monotonically

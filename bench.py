@@ -10,6 +10,7 @@ except top-k queries whose output is tiny (collect is the realistic action).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -310,6 +311,10 @@ R10_COMPARABLE = R9_COMPARABLE | {
     "stream_attribution_replay", "llm_random_projection",
     "events_funnel_timed", "graph_bfs_distance",
     "llm_uncertainty_sample",
+    # added in r10's final commit, restored here in r11 (ADVICE r10: it
+    # was an oversight, not an exclusion — same driver-side greedy-loop
+    # shape as llm_mmr_diversify, which is in)
+    "llm_kcenter_coreset",
 }
 
 # Queries whose wall is dominated by Arrow/pandas Python workers — their
@@ -574,13 +579,21 @@ def main() -> None:
     # the judge re-deriving it. Regressions > 1.25x normalized are
     # flagged by name; the full table lands in BENCH_DETAIL.json and the
     # printed line carries the count + the worst offenders.
-    detail_file = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    #
+    # r10 verdict task 3: BENCH_DETAIL.json is the MUTABLE output (every
+    # run overwrites it; gitignored so a driver run can't dirty the
+    # committed tree), while the comparison BASELINE is read from the
+    # newest committed run-stamped BENCH_DETAIL_r{NN}.json — immutable
+    # once committed, re-baselined deliberately by committing a new stamp
+    # from a clean uncontended run.
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_file = os.path.join(here, "BENCH_DETAIL.json")
+    stamped = sorted(glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json")))
+    baseline_file = stamped[-1] if stamped else detail_file
     norm_summary: dict = {}
     norm_detail: dict = {}
     try:
-        with open(detail_file) as f:
+        with open(baseline_file) as f:
             prev = json.load(f)
         if prev.get("sf") != (
             float(sf) if sf.replace(".", "").isdigit() else sf
@@ -616,6 +629,7 @@ def main() -> None:
             if shared else None
         )
         norm_detail = {
+            "baseline_file": os.path.basename(baseline_file),
             "prev_calib": {
                 "calib_sec": prev["calib_sec"],
                 "calib_py_sec": prev["calib_py_sec"],

@@ -795,21 +795,42 @@ def _replay_dir(name: str) -> str:
     running the same replay (e.g. pytest alongside the driver replica)
     both wipe/write ``.../<name>/_temporary/0`` and one aborts with
     FileNotFoundException. Scratch roots left by exited processes are
-    swept opportunistically so the per-PID scheme cannot accumulate.
+    swept opportunistically so the per-PID scheme cannot accumulate;
+    because a dead owner's PID can be recycled by an unrelated live
+    process (which would make the liveness probe keep the orphan
+    forever) — and because pre-PID-scheme legacy dirs are not
+    digit-named at all — any entry whose mtime is older than one day is
+    reclaimed regardless of name or PID liveness (ADVICE r10). A
+    same-named Spark session cannot plausibly sit idle that long, and a
+    false sweep costs only a re-materialization.
     """
     import os
     import shutil
     import tempfile
+    import time
 
     root = os.path.join(tempfile.gettempdir(), "spark_graft_replay")
+    stale_before = time.time() - 24 * 3600
     try:
         for entry in os.listdir(root):
-            if not entry.isdigit() or int(entry) == os.getpid():
+            path = os.path.join(root, entry)
+            if entry.isdigit() and int(entry) == os.getpid():
+                continue
+            try:
+                aged_out = os.path.getmtime(path) < stale_before
+            except OSError:
+                aged_out = False
+            if aged_out:
+                shutil.rmtree(path, ignore_errors=True)
+                continue
+            if not entry.isdigit():
+                # fresh non-digit dir: not ours to judge by PID — it ages
+                # out via the mtime path above once it's a day old
                 continue
             try:
                 os.kill(int(entry), 0)  # raises if that PID is gone
             except ProcessLookupError:
-                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+                shutil.rmtree(path, ignore_errors=True)
             except PermissionError:
                 pass  # live process owned by someone else: leave it
     except FileNotFoundError:

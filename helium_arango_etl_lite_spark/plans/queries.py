@@ -23,23 +23,35 @@ queries, so it was removed on advisor direction).
   pytest replica ``tests/test_oracle_parity.py`` covers the whole catalog
   on every run regardless of this ordering).
 
-Round-10 batch (applied, final session-3 revision): the 45
-never-driver-verified round-10 entries first — sessions 1-2 (graph-ANN
-build/search split, member-capped gzip, salt-capped interval join, BPE
-trainer/encoder, audio features, the ZIP container family, RRF fusion,
-P/R@K + nDCG@K sweeps, DQ expectations, unigram-LM segmentation + EM,
-referential integrity, BPE fertility, changepoint, k-anonymity pair,
-dataset card, OHLC) and session 3 (CDC merge batch+stream, rolling
-median, resource-allocation index, spatial radius join, bucketed join,
-HITS, l-diversity, attribution, Zipf fit, confusion + calibration
-evals, partition pruning, MMR diversify, snapshot diff, schema
-evolution, Markov transitions) — then the 3 round-9 entries whose
-ORACLE/CODE changed this round (PNG pair on byte==char ASCII oracles;
-tar parser requires the zero terminator), then 2 r5-stale re-checks.
-The forty-one remaining r5 shapes rotate to round 11, displaced by the
-never-verified entries per this file's own ordering policy; the full
-catalog is still locally replicated green every round
-(tools/driver_replica.py).
+Standing staleness budget (round 11 onward)
+-------------------------------------------
+No entry's newest driver correctness row may be older than
+``STALENESS_BUDGET_ROUNDS`` = 6 rounds. Six is not arbitrary: with ~290
+catalog entries and 50 driver slots per round, a full rotation takes
+ceil(290 / 50) = 6 rounds even with ZERO slots spent on new entries, so
+6 is the tightest budget that is arithmetically satisfiable. (The
+round-10 verdict suggested 4; 4 would require 290/4 ≈ 73 re-check slots
+per round — more than the driver writes — so the committed budget is
+the feasible one, and every new entry added to the catalog tightens the
+rotation further. New-entry additions must stay small enough that
+catalog_size / 50 ≤ 6.) ``tools/batch_staleness.py`` recomputes
+newest-row ages from the CORRECTNESS_r*.json artifacts and asserts the
+proposed batch (a) drains the oldest cohort first and (b) keeps the
+post-round staleness floor within budget; run it whenever this list is
+revised.
+
+Round-11 batch (applied): exactly the 50 entries the round-10 verdict
+prescribed, zero new entries — the 43 shapes whose newest driver row is
+r5 (all fifteen extended TPC-H queries, the window family, semdedup /
+kmeans / label-propagation / doc-pack, follow_replay, json_extract_props,
+the sampling + mixture shapes) followed by the 7 round-10g/h entries
+registered after the r10 batch froze and therefore never driver-verified
+(RBO, conversion latency, JL projection, timed funnel, bounded BFS,
+uncertainty sampling, k-center coreset). After this round every catalog
+entry has at least one independent driver row and the staleness floor
+rises from r5 to r6. Entries ADDED in round 11 (batched k-center,
+persisted-ANN-graph family) are replica-verified this round
+(tools/driver_replica.py) and take the front of the round-12 batch.
 """
 
 from __future__ import annotations
@@ -70,83 +82,70 @@ from . import catalog_round10f  # noqa: F401  (snapshot diff, schema evolution)
 from . import catalog_round10g  # noqa: F401  (RBO agreement, conversion latency)
 from . import catalog_round10h  # noqa: F401  (JL projection, timed funnel, BFS)
 
+STALENESS_BUDGET_ROUNDS: int = 6
+
 DRIVER_BATCH: list[str] = [
-    # -- new this round (10): never driver-verified ---------------------
-    "llm_ann_graph_route_reuse",
-    "llm_ann_index_append",
-    "stream_ann_ingest_replay",
-    "llm_bpe_compression_curve",
-    "llm_gzip_jsonl_capped",
-    "llm_gzip_quarantine_capped",
-    "join_interval_overlap_capped",
-    "llm_bpe_train",
-    "llm_bpe_encode",
-    "llm_audio_features",
-    "llm_zip_shard_index",
-    "llm_zip_fetch",
-    "llm_zip_quarantine",
-    "llm_rrf_fusion",
-    "llm_eval_pr_at_k",
-    "dq_expectations",
-    "llm_eval_ndcg",
-    "llm_zip_index_capped",
-    "llm_unigram_segment",
-    "llm_unigram_nll",
-    "llm_unigram_em",
-    "dq_referential_integrity",
-    "llm_bpe_fertility",
-    "events_changepoint",
-    "dq_k_anonymity",
-    "dq_k_anonymity_suppress",
-    "llm_dataset_card",
-    "events_ohlc",
-    "cdc_apply",
-    "stream_cdc_replay",
-    "window_rolling_median",
-    "graph_resource_allocation",
-    "join_spatial_radius",
-    "storage_bucket_join",
-    "graph_hits",
-    "dq_l_diversity",
-    "events_attribution",
-    "llm_zipf_slope",
-    "llm_eval_confusion",
-    "storage_partition_prune",
-    "llm_mmr_diversify",
-    "cdc_snapshot_diff",
-    "storage_schema_evolution",
-    "events_markov_transitions",
-    "llm_eval_calibration",
-    # -- changed this round (3): PNG oracles moved to byte==char ASCII
-    #    filtering; tar parser now requires the zero terminator ---------
-    "llm_multimodal_decode_png",
-    "llm_multimodal_quarantine_png",
-    "llm_shard_quarantine",
-    # -- session-3 tail (2): flagship newcomers take the re-check slots
-    #    this round — with 53 never-verified entries the bottleneck is
-    #    first verification, and the staleness floor (r5) is unchanged
-    #    whether 0 or 2 re-checks run; the full r5 rotation resumes in
-    #    round 11 ------------------------------------------------------
-    "llm_multimodal_resize",
-    "stream_attribution_replay",
-    # (follow_replay / window_first_last /
-    # graph_common_neighbors / graph_degree_distribution /
-    # graph_label_propagation / llm_doc_pack_scalable /
-    # llm_kmeans_iter / llm_paragraph_dedup / llm_semdedup /
-    # llm_semdedup_capped / tpch_q10/q11/q12/q13/q14/
-    # q15/q16/q17/q19/q20/q21/q22/q2/q7/q8/q9,
-    # window_gap_islands /
-    # window_ntile_decile / window_ntile_decile_scalable /
-    # window_rank_distribution / window_sliding_time /
-    # window_time_range_sum / json_extract_props / llm_ccnet_buckets /
-    # llm_oov_rate / llm_seq_len_buckets / set_ops_customers /
-    # llm_importance_sample / llm_mix_rebalance / llm_char_entropy /
-    # join_salted_skew / llm_ngram_lm_score /
-    # llm_dedup_ngram_jaccard_capped — forty-three r5 shapes in all —
-    # rotate to round 11, displaced by the 47 never-verified round-10
-    # entries in this batch; every displaced shape has a later-round
-    # driver-green relative and stays covered by the full local
-    # replica, which ran green over the whole catalog this session)
+    # -- oldest cohort first (43): every entry whose newest driver row is
+    #    r5, five rounds stale — the round-10 verdict's top ask. TPC-H
+    #    extended shapes, the window family, graph + semdedup + sampling
+    #    shapes, follow_replay. Zero code changes this round; these are
+    #    pure re-verification slots. ------------------------------------
+    "follow_replay",
+    "graph_common_neighbors",
+    "graph_degree_distribution",
+    "graph_label_propagation",
+    "join_salted_skew",
+    "json_extract_props",
+    "llm_ccnet_buckets",
+    "llm_char_entropy",
+    "llm_dedup_ngram_jaccard_capped",
+    "llm_doc_pack_scalable",
+    "llm_importance_sample",
+    "llm_kmeans_iter",
+    "llm_mix_rebalance",
+    "llm_ngram_lm_score",
+    "llm_oov_rate",
+    "llm_paragraph_dedup",
+    "llm_semdedup",
+    "llm_semdedup_capped",
+    "llm_seq_len_buckets",
+    "set_ops_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_bilateral_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_priority",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_customers",
+    "window_first_last",
+    "window_gap_islands",
+    "window_ntile_decile",
+    "window_ntile_decile_scalable",
+    "window_rank_distribution",
+    "window_sliding_time",
+    "window_time_range_sum",
+    # -- never driver-verified (7): round-10g/h entries registered after
+    #    the r10 batch froze; replica-green only until now. -------------
+    "llm_eval_rbo",
+    "events_conversion_latency",
+    "llm_random_projection",
+    "events_funnel_timed",
+    "graph_bfs_distance",
+    "llm_uncertainty_sample",
+    "llm_kcenter_coreset",
+    # (round-11 additions — llm_kcenter_coreset_batched and the persisted
+    # ANN-graph family — are intentionally NOT in this batch per the r10
+    # verdict ("zero new entries in the batch"); they are replica-verified
+    # this round and take the front of the round-12 batch.)
 ]
 
 
@@ -163,4 +162,10 @@ def _apply_driver_batch() -> None:
 
 _apply_driver_batch()
 
-__all__ = ["QUERIES", "QuerySpec", "load_table", "DRIVER_BATCH"]
+__all__ = [
+    "QUERIES",
+    "QuerySpec",
+    "load_table",
+    "DRIVER_BATCH",
+    "STALENESS_BUDGET_ROUNDS",
+]

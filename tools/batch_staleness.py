@@ -7,7 +7,12 @@ verified. This tool derives the rotation inputs from the artifacts:
 
 * last round each catalog entry got a driver row (and pass/fail),
 * entries never driver-verified,
-* a suggested next batch: never-verified first, then stalest.
+* a suggested next batch: never-verified first, then stalest,
+* and (round 11 onward) an ASSERTION of the standing staleness budget
+  declared in ``plans/queries.py``: assuming the committed DRIVER_BATCH
+  runs next round, no entry's newest driver row may end up older than
+  ``STALENESS_BUDGET_ROUNDS``. Violations exit non-zero so a bad
+  rotation cannot be committed silently.
 
 Usage: python tools/batch_staleness.py [batch_size]
 """
@@ -22,7 +27,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from helium_arango_etl_lite_spark.plans.queries import DRIVER_BATCH, QUERIES  # noqa: E402
+from helium_arango_etl_lite_spark.plans.queries import (  # noqa: E402
+    DRIVER_BATCH,
+    QUERIES,
+    STALENESS_BUDGET_ROUNDS,
+)
 
 
 def main() -> None:
@@ -83,6 +92,39 @@ def main() -> None:
         for n in suggestion:
             tag = f"r{last_round[n]}" if n in last_round else "never"
             print(f"  {tag:>6}  {n}")
+
+    # ---- staleness-budget assertion (r10 verdict item 5) ---------------
+    # The batch being composed runs in round max(seen)+1; after it runs,
+    # every batched entry's newest row is that round and everything else
+    # keeps its current newest row. The budget holds iff no entry's age
+    # (next_round - newest_row) exceeds STALENESS_BUDGET_ROUNDS. Entries
+    # never driver-verified AND not in the batch can't be aged from the
+    # artifacts (their registration round isn't recorded) — reported as
+    # warnings, not violations, but they must enter the next batch.
+    next_round = max(
+        (int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+         for p in glob.glob("CORRECTNESS_r*.json")),
+        default=0,
+    ) + 1
+    batched = set(DRIVER_BATCH[:size])
+    violations = []
+    for n in QUERIES:
+        if n in batched or n not in last_round:
+            continue
+        age = next_round - last_round[n]
+        if age > STALENESS_BUDGET_ROUNDS:
+            violations.append((age, n))
+    unaged = [n for n in QUERIES if n not in last_round and n not in batched]
+    print(f"\nbudget check (round r{next_round}, budget "
+          f"{STALENESS_BUDGET_ROUNDS} rounds): "
+          f"{'VIOLATED' if violations else 'OK'}")
+    for age, n in sorted(violations, reverse=True):
+        print(f"  OVER BUDGET (age {age}): {n}")
+    for n in unaged:
+        print(f"  warn: never verified and not in batch — must lead the "
+              f"r{next_round + 1} batch: {n}")
+    if violations:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

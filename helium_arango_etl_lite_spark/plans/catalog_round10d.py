@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.detln import ln_u6_select_items, with_ln_u6
 from .registry import EVENTS_NORM, load_events, load_table, register
 
 # ---------------------------------------------------------------------------
@@ -261,6 +262,10 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ZIPF_TOP = 100
 
+# Both engines evaluate the SAME generated arithmetic for ln (ADVICE
+# r10): functions/detln.py stages a range-reduced Horner atanh series
+# out of IEEE + - * / only, so x6/y6 are bit-identical by construction
+# instead of trusting libm and Math.log to agree near a .5 boundary.
 _ZIPF_SQL = f"""
 WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
              FROM documents),
@@ -269,10 +274,11 @@ ranked AS (SELECT lang, f,
                   row_number() OVER (PARTITION BY lang
                                      ORDER BY f DESC, w) AS rk
            FROM freq),
-pts AS (SELECT lang,
-               floor(ln(rk) * 1000000 + 0.5)::BIGINT AS x6,
-               floor(ln(f) * 1000000 + 0.5)::BIGINT AS y6
-        FROM ranked WHERE rk <= {_ZIPF_TOP}),
+pts AS (SELECT lang, x6, y6 FROM
+          (SELECT lang,
+                  {ln_u6_select_items('rk', 'x6')},
+                  {ln_u6_select_items('f', 'y6')}
+           FROM ranked WHERE rk <= {_ZIPF_TOP}) lifted),
 s AS (SELECT lang, count(*)::BIGINT AS n,
              sum(x6)::BIGINT AS sx, sum(y6)::BIGINT AS sy,
              sum(x6 * y6)::BIGINT AS sxy, sum(x6 * x6)::BIGINT AS sxx
@@ -296,9 +302,13 @@ FROM s"""
         "term's log-log coordinates are fixed-pointed to integer "
         "micro-units FIRST, so the OLS moments are exact BIGINT sums "
         "(aggregation order cannot move them) and the slope is one "
-        "bigint-ratio division rounded at the end. One corpus "
-        "tokenize feeds a vocabulary-sized shuffle; the ranked "
-        f"window runs on the per-lang top-{_ZIPF_TOP} only.",
+        "bigint-ratio division rounded at the end; the micro-unit ln "
+        "itself is the shared deterministic series from "
+        "functions/detln.py, evaluated by identical IEEE arithmetic "
+        "in both engines, so no libm-vs-Math.log ulp can flip a "
+        "coordinate (ADVICE r10). One corpus tokenize feeds a "
+        "vocabulary-sized shuffle; the ranked window and the ln "
+        f"stages run on the per-lang top-{_ZIPF_TOP} only.",
     tags=("llm", "text", "quality"),
 )
 def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,18 +321,9 @@ def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = F.row_number().over(
         Window.partitionBy("lang").orderBy(F.desc("f"), "w")
     )
-    pts = (
-        freq.withColumn("rk", rk)
-        .filter(F.col("rk") <= _ZIPF_TOP)
-        .select(
-            "lang",
-            F.floor(F.log(F.col("rk")) * 1_000_000 + F.lit(0.5))
-            .cast("long")
-            .alias("x6"),
-            F.floor(F.log(F.col("f")) * 1_000_000 + F.lit(0.5))
-            .cast("long")
-            .alias("y6"),
-        )
+    ranked = freq.withColumn("rk", rk).filter(F.col("rk") <= _ZIPF_TOP)
+    pts = with_ln_u6(with_ln_u6(ranked, "rk", "x6"), "f", "y6").select(
+        "lang", "x6", "y6"
     )
     s = pts.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n"),

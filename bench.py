@@ -317,6 +317,10 @@ R10_COMPARABLE = R9_COMPARABLE | {
     "llm_kcenter_coreset",
 }
 
+R11_COMPARABLE = R10_COMPARABLE | {
+    "llm_kcenter_coreset_batched", "llm_ann_graph_persist",
+}
+
 # Queries whose wall is dominated by Arrow/pandas Python workers — their
 # cross-round deltas are normalized by calib_py_sec, not the JVM
 # calib_sec (the r8 lesson: the JVM axis over-corrects them).
@@ -567,6 +571,9 @@ def main() -> None:
         ),
         "warm_total_r10_subset": round(
             sum(v for q, v in timings.items() if q in R10_COMPARABLE), 3
+        ),
+        "warm_total_r11_subset": round(
+            sum(v for q, v in timings.items() if q in R11_COMPARABLE), 3
         ),
     }
 

@@ -1290,13 +1290,20 @@ def route_on_graph(
     hops: int = 3, beam: int = 8, n_entries: int = 4, entry_mod: int = 16,
     query_mod: int = 25, query_rem: int = 0,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    round_dp: int = 4,
+    round_dp: int = 4, entries: DataFrame | None = None,
 ) -> DataFrame:
     """SEARCH half of the graph-routed ANN: coarse entry layer + beam
     walk over a prebuilt ``edges`` graph (see :func:`build_route_graph`
     and :func:`graph_route_topk` for semantics). ``query_rem`` selects
     the query batch (``id % query_mod == query_rem``) so successive
-    batches can replay over ONE build."""
+    batches can replay over ONE build. ``entries`` optionally supplies
+    the coarse routing layer as a persisted single-column (``nid``)
+    table — the build-nightly/route-all-day deployment persists BOTH
+    halves of the index (edges + entry sample) and this is how the
+    reader hands them back (r10 verdict item 6; see
+    plans/catalog_round11.py:llm_ann_graph_persist); when None the
+    sample is derived from ``emb`` by ``id % entry_mod == 0`` as
+    before."""
     from pyspark.sql import Window
 
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
@@ -1308,8 +1315,12 @@ def route_on_graph(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
         norm(F.col("v")).alias("qn"),
     )
-    sample = e.filter(F.col(id_col) % entry_mod == 0).select(
-        F.col(id_col).alias("nid")
+    sample = (
+        entries.select("nid")
+        if entries is not None
+        else e.filter(F.col(id_col) % entry_mod == 0).select(
+            F.col(id_col).alias("nid")
+        )
     )
 
     def score(cand: DataFrame) -> DataFrame:

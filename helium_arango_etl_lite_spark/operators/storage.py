@@ -26,16 +26,24 @@ def write_bucketed(
     num_buckets: int = 32,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (optionally sorted) catalog table.
 
     ``sort_cols`` additionally sorts within each bucket file, upgrading
     later joins from hash to merge-without-sort and making per-key range
-    scans sequential.
+    scans sequential. ``path`` makes the table EXTERNAL at that
+    location — callers that may run concurrently (pytest alongside the
+    driver replica) must pass a per-process scratch path so two
+    sessions' ``_temporary`` staging dirs cannot collide; ``mode=
+    "append"`` with a matching bucket spec adds files to an existing
+    table (the incremental-index ingest path).
     """
     writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

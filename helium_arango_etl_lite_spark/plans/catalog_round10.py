@@ -106,7 +106,11 @@ def llm_ann_graph_route_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 _APPEND_MOD = 10  # new batch = vec_id % 10 == 0 (10% ingest)
 
 
-def _ann_append_sql() -> str:
+def _ann_append_graph_parts() -> tuple[str, str]:
+    """(CTE head, union-select body) of the append-graph oracle —
+    shared between llm_ann_index_append (whose final select is the
+    edge list itself) and round 11's llm_ann_graph_persist (which
+    names the same union ``edges`` and unrolls a beam walk over it)."""
     from .catalog_round9 import _gr_bucket_expr
 
     cos = ("round(list_dot_product(a.v, c.v)"
@@ -136,11 +140,17 @@ nk{t} AS (SELECT src, dst FROM (
         sels.append(f"SELECT src, dst FROM ok{t}")
         sels.append(f"SELECT src, dst FROM nk{t}")
         sels.append(f"SELECT dst AS src, src AS dst FROM nk{t}")
-    return f"""
+    head = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 eo AS (SELECT * FROM e WHERE vec_id % {_APPEND_MOD} != 0),
-en AS (SELECT * FROM e WHERE vec_id % {_APPEND_MOD} = 0),{",".join(parts)}
-SELECT DISTINCT src, dst FROM ({" UNION ALL ".join(sels)})"""
+en AS (SELECT * FROM e WHERE vec_id % {_APPEND_MOD} = 0),{",".join(parts)}"""
+    return head, " UNION ALL ".join(sels)
+
+
+def _ann_append_sql() -> str:
+    head, union_sel = _ann_append_graph_parts()
+    return f"""{head}
+SELECT DISTINCT src, dst FROM ({union_sel})"""
 
 
 @register(

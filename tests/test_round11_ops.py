@@ -1,0 +1,105 @@
+"""Targeted tests for the round-11 entries — oracle parity covers value
+equality; these pin what the oracle compare can't see: the batched
+k-center's relationship to the unbatched traversal, and that the
+persisted ANN index really is (a) a bucketed stored table and (b)
+equivalent to routing over the in-memory appended graph."""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from helium_arango_etl_lite_spark.plans.catalog_round11 import (
+    _KCB_K,
+    _KCB_M,
+    _KCB_SCANS,
+    llm_ann_graph_persist,
+    llm_kcenter_coreset_batched,
+)
+
+
+def test_kcenter_batched_shape_and_first_pick(spark, sf_dir):
+    """Ranks are contiguous 1.._KCB_K starting at seed vec 0; the
+    coverage column is non-increasing only in the weak sense (the
+    batch relaxation can locally reorder), but the FIRST pick of scan
+    one must equal pure Gonzalez's rank-2 pick — both are the argmin
+    of max-cos against the seed alone."""
+    from helium_arango_etl_lite_spark.plans.catalog_round10h import (
+        llm_kcenter_coreset,
+    )
+
+    batched = llm_kcenter_coreset_batched(spark, sf_dir).collect()
+    assert [r["rank"] for r in sorted(batched, key=lambda r: r["rank"])] == (
+        list(range(1, _KCB_K + 1))
+    )
+    by_rank = {r["rank"]: r for r in batched}
+    assert by_rank[1]["vec_id"] == 0 and by_rank[1]["maxsim"] == 1.0
+
+    pure = {r["rank"]: r for r in llm_kcenter_coreset(spark, sf_dir).collect()}
+    assert by_rank[2]["vec_id"] == pure[2]["vec_id"]
+    assert by_rank[2]["maxsim"] == pure[2]["maxsim"]
+
+
+def test_kcenter_batched_scan_arithmetic():
+    assert _KCB_SCANS == -(-(_KCB_K - 1) // _KCB_M)  # ceil((k-1)/m)
+    assert 1 + _KCB_SCANS * _KCB_M == _KCB_K
+
+
+def test_ann_persist_writes_bucketed_table_and_matches_memory(
+    spark, sf_dir
+):
+    """After the entry runs, sg_ann_edges must be a real stored table
+    with the declared bucket spec, and the routed result must equal
+    routing the SAME query batch over the in-memory appended graph
+    (append_route_graph) — persistence must not change semantics."""
+    from helium_arango_etl_lite_spark.operators.llm.similarity import (
+        append_route_graph,
+        route_on_graph,
+    )
+    from helium_arango_etl_lite_spark.plans.catalog_llm import (
+        EMB_DIM,
+        NEAR_DUP_PLANES,
+    )
+    from helium_arango_etl_lite_spark.plans.catalog_round9 import (
+        _GR_BEAM, _GR_EDGE_K, _GR_EMOD, _GR_ENTRIES, _GR_HOPS, _GR_K,
+        _GR_QMOD, _GR_SEEDS,
+    )
+    from helium_arango_etl_lite_spark.plans.catalog_round10 import (
+        _APPEND_MOD,
+    )
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    got = llm_ann_graph_persist(spark, sf_dir).collect()
+
+    desc = spark.sql("DESCRIBE EXTENDED sg_ann_edges").collect()
+    desc_map = {r["col_name"]: r["data_type"] for r in desc}
+    assert "Num Buckets" in desc_map, desc_map
+    assert "src" in desc_map.get("Bucket Columns", ""), desc_map
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mem_edges = append_route_graph(
+        emb, new_mod=_APPEND_MOD, edge_k=_GR_EDGE_K, seeds=_GR_SEEDS,
+        num_planes=NEAR_DUP_PLANES, dim=EMB_DIM,
+    )
+    want = route_on_graph(
+        emb, mem_edges, k=_GR_K, hops=_GR_HOPS, beam=_GR_BEAM,
+        n_entries=_GR_ENTRIES, entry_mod=_GR_EMOD, query_mod=_GR_QMOD,
+        query_rem=0,
+    ).collect()
+
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(
+        [(r["query_id"], r["rank"], r["nid"], r["cos_sim"]) for r in got]
+    ) == sorted(
+        [(r["query_id"], r["rank"], r["nid"], r["cos_sim"]) for r in want]
+    )
+
+
+def test_ann_persist_rerun_is_idempotent(spark, sf_dir):
+    """overwrite-then-append inside one call must yield the identical
+    table/result when the entry runs twice (the driver and bench both
+    re-run queries; a second run must not double the increment)."""
+    a = llm_ann_graph_persist(spark, sf_dir)
+    n_edges_1 = spark.table("sg_ann_edges").count()
+    rows_1 = sorted(map(tuple, a.collect()))
+    b = llm_ann_graph_persist(spark, sf_dir)
+    assert spark.table("sg_ann_edges").count() == n_edges_1
+    assert sorted(map(tuple, b.collect())) == rows_1

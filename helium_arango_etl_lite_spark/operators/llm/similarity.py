@@ -1388,6 +1388,72 @@ def route_on_graph(
     )
 
 
+def kcenter_coreset(
+    emb: DataFrame, k: int, m: int = 1, seed_id: int = 0,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """k-center coreset by (batched) farthest-point traversal
+    (Gonzalez 1985). ``m=1`` is the pure greedy: each corpus scan adds
+    the single point whose max cosine to the selected set is smallest
+    (ties on id) — k-1 scans for a k-point coreset. ``m>1`` is the
+    batched form (r10 verdict item 4): each scan adds the ``m`` most
+    uncovered points judged against the selected set AS OF the scan
+    start, cutting the scan count to ceil((k-1)/m) at the standard
+    batched-farthest-point price — batch members are chosen blind to
+    each other, so one batch can contain mutually-close points pure
+    Gonzalez would have spread. Every scan is one corpus pass against
+    the broadcast selected set (<= k rows) ending in a TakeOrdered(m);
+    pairs are never materialized corpus-wide. Returns
+    (rank, id, maxsim): rank in selection order (within a batch, by
+    (maxsim, id)), maxsim = coverage at selection time — the radius
+    curve. Scan count: ceil((k-1)/m) — the dial that makes k=1024
+    affordable (m=32 -> 32 scans, not 1023)."""
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
+    )
+    e = e.localCheckpoint(eager=False)  # scanned once per batch
+    first = e.filter(F.col("vec_id") == seed_id).collect()[0]
+    picked = [(1, int(first["vec_id"]), 1.0)]
+    sel = [(int(first["vec_id"]), first["v"])]
+    while len(picked) < k:
+        take = min(m, k - len(picked))
+        sel_df = F.broadcast(
+            e.sparkSession.createDataFrame(
+                sel, "sid long, sv array<double>"
+            )
+        )
+        batch = (
+            e.filter(~F.col("vec_id").isin([s[0] for s in sel]))
+            .crossJoin(sel_df)
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.round(cosine(F.col("v"), F.col("sv")), round_dp)
+                ).alias("ms")
+            )
+            .orderBy("ms", "vec_id")
+            .limit(take)
+            .join(e, "vec_id")
+            .collect()
+        )
+        # the limit->join can reorder the batch; rank follows the same
+        # (ms, vec_id) order the unrolled oracle's row_number uses
+        for row in sorted(batch, key=lambda r: (r["ms"], r["vec_id"])):
+            picked.append(
+                (len(picked) + 1, int(row["vec_id"]), float(row["ms"]))
+            )
+            sel.append((int(row["vec_id"]), row["v"]))
+    out = e.sparkSession.createDataFrame(
+        picked, "rank int, vec_id long, maxsim double"
+    )
+    return out.select(
+        "rank",
+        F.col("vec_id").alias(id_col) if id_col != "vec_id" else "vec_id",
+        F.round("maxsim", round_dp).alias("maxsim"),
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     id_col: str = "doc_id",

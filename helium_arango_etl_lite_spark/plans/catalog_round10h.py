@@ -508,41 +508,20 @@ s{r} AS (SELECT vec_id, v, ms FROM {prev}
         "count is k, never k*n pairs materialized. Similarities "
         "round to 4dp before the argmin on both engines; ties break "
         "on vec_id. The oracle unrolls every round, so the greedy "
-        "recursion is verified, not just the final membership.",
+        "recursion is verified, not just the final membership. For "
+        "large k, the scan count is the dial — delivered in round 11 "
+        "as llm_kcenter_coreset_batched (m picks per scan, "
+        "ceil((k-1)/m) scans; operators/llm/similarity.py:"
+        "kcenter_coreset is the shared traversal, this entry is its "
+        "m=1 form).",
     tags=("llm", "similarity", "sampling"),
 )
 def llm_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.llm.similarity import cosine
+    from ..operators.llm.similarity import kcenter_coreset
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # m=1 IS pure Gonzalez — the traversal loop lives in similarity.py
+    # since round 11 so the batched entry (llm_kcenter_coreset_batched,
+    # catalog_round11.py) and this one share one implementation
+    return kcenter_coreset(
+        load_table(spark, sf_dir, "embeddings"), k=_KC_K, m=1
     )
-    emb = emb.localCheckpoint(eager=False)  # scanned once per round
-    first = emb.filter(F.col("vec_id") == 0).collect()[0]
-    picked = [(1, int(first["vec_id"]), 1.0)]
-    sel = [(int(first["vec_id"]), first["v"])]
-    for r in range(2, _KC_K + 1):
-        sel_df = F.broadcast(
-            emb.sparkSession.createDataFrame(
-                sel, "sid long, sv array<double>"
-            )
-        )
-        nxt = (
-            emb.filter(~F.col("vec_id").isin([s[0] for s in sel]))
-            .crossJoin(sel_df)
-            .groupBy("vec_id")
-            .agg(
-                F.max(
-                    F.round(cosine(F.col("v"), F.col("sv")), 4)
-                ).alias("ms")
-            )
-            .orderBy("ms", "vec_id")
-            .limit(1)
-            .join(emb, "vec_id")
-            .collect()[0]
-        )
-        picked.append((r, int(nxt["vec_id"]), float(nxt["ms"])))
-        sel.append((int(nxt["vec_id"]), nxt["v"]))
-    return emb.sparkSession.createDataFrame(
-        picked, "rank int, vec_id long, maxsim double"
-    ).select("rank", "vec_id", F.round("maxsim", 4).alias("maxsim"))

@@ -120,45 +120,11 @@ s{b + 1} AS (SELECT vec_id, v, ms FROM {prev}
 def llm_kcenter_coreset_batched(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.llm.similarity import cosine
+    from ..operators.llm.similarity import kcenter_coreset
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    return kcenter_coreset(
+        load_table(spark, sf_dir, "embeddings"), k=_KCB_K, m=_KCB_M
     )
-    emb = emb.localCheckpoint(eager=False)  # scanned once per batch
-    first = emb.filter(F.col("vec_id") == 0).collect()[0]
-    picked = [(1, int(first["vec_id"]), 1.0)]
-    sel = [(int(first["vec_id"]), first["v"])]
-    for _ in range(_KCB_SCANS):
-        sel_df = F.broadcast(
-            emb.sparkSession.createDataFrame(
-                sel, "sid long, sv array<double>"
-            )
-        )
-        batch = (
-            emb.filter(~F.col("vec_id").isin([s[0] for s in sel]))
-            .crossJoin(sel_df)
-            .groupBy("vec_id")
-            .agg(
-                F.max(
-                    F.round(cosine(F.col("v"), F.col("sv")), 4)
-                ).alias("ms")
-            )
-            .orderBy("ms", "vec_id")
-            .limit(_KCB_M)
-            .join(emb, "vec_id")
-            .collect()
-        )
-        # the limit->join can reorder the m rows; rank follows the same
-        # (ms, vec_id) order the oracle's row_number uses
-        for row in sorted(batch, key=lambda r: (r["ms"], r["vec_id"])):
-            picked.append(
-                (len(picked) + 1, int(row["vec_id"]), float(row["ms"]))
-            )
-            sel.append((int(row["vec_id"]), row["v"]))
-    return emb.sparkSession.createDataFrame(
-        picked, "rank int, vec_id long, maxsim double"
-    ).select("rank", "vec_id", F.round("maxsim", 4).alias("maxsim"))
 
 
 # ---------------------------------------------------------------------------

@@ -143,10 +143,19 @@ DRIVER_BATCH: list[str] = [
     "graph_bfs_distance",
     "llm_uncertainty_sample",
     "llm_kcenter_coreset",
-    # (round-11 additions — llm_kcenter_coreset_batched and the persisted
-    # ANN-graph family — are intentionally NOT in this batch per the r10
-    # verdict ("zero new entries in the batch"); they are replica-verified
-    # this round and take the front of the round-12 batch.)
+    # (round-11 additions — llm_kcenter_coreset_batched and
+    # llm_ann_graph_persist — are intentionally NOT in this batch per the
+    # r10 verdict ("zero new entries in the batch"); they are
+    # replica-verified this round and take the front of the round-12
+    # batch. Changed-in-round-11 notes: llm_kcenter_coreset's traversal
+    # moved to similarity.py:kcenter_coreset (shared with the batched
+    # form) BEFORE its first driver row, so the batch verifies the
+    # current code; llm_zipf_slope's code AND oracle switched to the
+    # shared deterministic-ln pipeline (functions/detln.py, ADVICE r10)
+    # after its r10 row — replica-green this round, joins the r12 batch
+    # front with the two new entries; llm_ann_index_append's oracle
+    # generator was refactored for sharing with byte-identical output,
+    # which is no change.)
 ]
 
 

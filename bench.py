@@ -196,6 +196,10 @@ HEADLINE = [
     "llm_uncertainty_sample",         # margin bottom-K labeling picks
     "llm_multimodal_resize",          # real PNG decode + NN thumbnail
     "llm_kcenter_coreset",            # farthest-point coverage picks
+    # round 11
+    "llm_kcenter_coreset_batched",    # m picks per scan, ceil((k-1)/m) scans
+    "llm_ann_graph_persist",          # build->bucketed table->append->route
+    "llm_vocab_kl_drift",             # exact KL via shared detln pipeline
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -319,6 +323,7 @@ R10_COMPARABLE = R9_COMPARABLE | {
 
 R11_COMPARABLE = R10_COMPARABLE | {
     "llm_kcenter_coreset_batched", "llm_ann_graph_persist",
+    "llm_vocab_kl_drift",
 }
 
 # Queries whose wall is dominated by Arrow/pandas Python workers — their

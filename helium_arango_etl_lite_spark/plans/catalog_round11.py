@@ -14,6 +14,15 @@ bookkeeping — not operators).
   hidden; the oracle unrolls every scan so the exact batched recursion
   is certified, not just the final membership.
 
+* ``llm_vocab_kl_drift`` — the first new consumer of
+  ``functions/detln.py`` (built this round for the zipf fix): per-lang
+  KL divergence between the train and holdout splits' unigram
+  distributions, with every logarithm evaluated by the shared
+  deterministic-ln pipeline so the KL numerators are exact BIGINT sums
+  identical across engines — the distribution-drift check a training
+  pipeline runs before trusting a split, complementing llm_psi_drift's
+  binned-metric form with a vocabulary-level one.
+
 * ``llm_ann_graph_persist`` — the deployment story for the graph-ANN
   index (r10 verdict item 6): ``llm_ann_graph_route_reuse`` amortizes
   the build within one session via an eager checkpoint, but a real
@@ -234,4 +243,133 @@ def llm_ann_graph_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, edges_read, k=_GR_K, hops=_GR_HOPS, beam=_GR_BEAM,
         n_entries=_GR_ENTRIES, query_mod=_GR_QMOD, query_rem=0,
         entries=ent_read,
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary KL drift between splits: exact integer KL via shared detln
+# ---------------------------------------------------------------------------
+
+_KL_TOP = 100      # union-vocab cap per lang (bounds state + broadcast)
+_KL_HOLD_MOD = 10  # holdout = doc_id % 10 == 0 (the catalog's split rule)
+
+
+def _vocab_kl_sql() -> str:
+    from ..functions.detln import ln_u6_select_items
+
+    return f"""
+WITH tok AS (SELECT lang, (doc_id % {_KL_HOLD_MOD} = 0)::INT AS isq,
+                    unnest(string_split(text, ' ')) AS w
+             FROM documents),
+cnt AS (SELECT lang, w,
+               sum(CASE WHEN isq = 0 THEN 1 ELSE 0 END)::BIGINT AS cp,
+               sum(isq)::BIGINT AS cq
+        FROM tok GROUP BY 1, 2),
+top AS (SELECT lang, w, cp, cq FROM (
+          SELECT lang, w, cp, cq, row_number() OVER (
+              PARTITION BY lang ORDER BY cp + cq DESC, w) AS rk
+          FROM cnt) WHERE rk <= {_KL_TOP}),
+lifted AS (SELECT lang, cp, cq, ln_p, ln_q FROM (
+             SELECT lang, cp, cq,
+                    {ln_u6_select_items('cp + 1', 'ln_p')},
+                    {ln_u6_select_items('cq + 1', 'ln_q')}
+             FROM top) t),
+tots AS (SELECT lang, count(*)::BIGINT AS m_vocab,
+                sum(cp + 1)::BIGINT AS np, sum(cq + 1)::BIGINT AS nq
+         FROM top GROUP BY 1),
+tl AS (SELECT lang, m_vocab, np, nq, ln_np, ln_nq FROM (
+         SELECT lang, m_vocab, np, nq,
+                {ln_u6_select_items('np', 'ln_np')},
+                {ln_u6_select_items('nq', 'ln_nq')}
+         FROM tots) t),
+s AS (SELECT l.lang, any_value(t.m_vocab) AS m_vocab,
+             any_value(t.np) AS np, any_value(t.nq) AS nq,
+             sum((l.cp + 1) * (l.ln_p - t.ln_np - l.ln_q + t.ln_nq))::BIGINT
+               AS num_pq,
+             sum((l.cq + 1) * (l.ln_q - t.ln_nq - l.ln_p + t.ln_np))::BIGINT
+               AS num_qp
+      FROM lifted l JOIN tl t USING (lang) GROUP BY l.lang)
+SELECT lang, m_vocab,
+       round(num_pq / (np * 1000000.0E0), 6) AS kl_train_hold,
+       round(num_qp / (nq * 1000000.0E0), 6) AS kl_hold_train
+FROM s"""
+
+
+@register(
+    "llm_vocab_kl_drift",
+    _vocab_kl_sql(),
+    doc=f"Vocabulary-distribution drift between the train split "
+        f"(doc_id % {_KL_HOLD_MOD} != 0) and the holdout: per-lang KL "
+        "divergence BOTH directions over the add-1-smoothed top-"
+        f"{_KL_TOP} union vocabulary — the pre-training sanity check "
+        "that a split didn't concentrate a template flood or a "
+        "vocabulary shift on one side (llm_psi_drift is the binned-"
+        "metric twin; this is the token-distribution form, and "
+        "llm_split_leakage_check the membership form). EXACTNESS: "
+        "every ln comes from the shared deterministic pipeline "
+        "(functions/detln.py — round 11's zipf fix, reused here as a "
+        "primitive), so each KL numerator is an exact BIGINT sum of "
+        "count x micro-nat terms, bit-identical across engines; the "
+        "single double division + round happens once at the end. "
+        "SCALE: one corpus tokenize feeds a vocabulary-sized shuffle; "
+        f"the ln stages and the KL sum run on {_KL_TOP} rows per lang "
+        "(the ranked-window input is the grouped vocabulary, not the "
+        "corpus). Numerator terms stay under 2^53 for per-token "
+        "counts below ~2^40; beyond that split the sum (documented "
+        "dial, same class as the OLS moment bounds in llm_zipf_slope).",
+    tags=("llm", "text", "quality", "dq"),
+)
+def llm_vocab_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.detln import with_ln_u6
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        (F.col("doc_id") % _KL_HOLD_MOD == 0).cast("int").alias("isq"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    cnt = tok.groupBy("lang", "w").agg(
+        F.sum(F.when(F.col("isq") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cp"),
+        F.sum("isq").cast("long").alias("cq"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.desc(F.col("cp") + F.col("cq")), "w"
+        )
+    )
+    top = cnt.withColumn("rk", rk).filter(F.col("rk") <= _KL_TOP)
+    top = with_ln_u6(with_ln_u6(top, "cp + 1", "ln_p"), "cq + 1", "ln_q")
+    tots = top.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("m_vocab"),
+        F.sum(F.col("cp") + 1).cast("long").alias("np"),
+        F.sum(F.col("cq") + 1).cast("long").alias("nq"),
+    )
+    tots = with_ln_u6(with_ln_u6(tots, "np", "ln_np"), "nq", "ln_nq")
+    j = top.join(F.broadcast(tots), "lang")
+    s = j.groupBy("lang").agg(
+        F.first("m_vocab").alias("m_vocab"),
+        F.first("np").alias("np"),
+        F.first("nq").alias("nq"),
+        F.sum(
+            (F.col("cp") + 1)
+            * (F.col("ln_p") - F.col("ln_np") - F.col("ln_q") + F.col("ln_nq"))
+        ).cast("long").alias("num_pq"),
+        F.sum(
+            (F.col("cq") + 1)
+            * (F.col("ln_q") - F.col("ln_nq") - F.col("ln_p") + F.col("ln_np"))
+        ).cast("long").alias("num_qp"),
+    )
+    return s.select(
+        "lang",
+        "m_vocab",
+        F.round(F.col("num_pq") / (F.col("np") * F.lit(1e6)), 6).alias(
+            "kl_train_hold"
+        ),
+        F.round(F.col("num_qp") / (F.col("nq") * F.lit(1e6)), 6).alias(
+            "kl_hold_train"
+        ),
     )

@@ -103,3 +103,22 @@ def test_ann_persist_rerun_is_idempotent(spark, sf_dir):
     b = llm_ann_graph_persist(spark, sf_dir)
     assert spark.table("sg_ann_edges").count() == n_edges_1
     assert sorted(map(tuple, b.collect())) == rows_1
+
+
+def test_vocab_kl_is_nonnegative_and_finite(spark, sf_dir):
+    """Gibbs' inequality: with add-1 smoothing over a SHARED top-M
+    support, both KL directions are >= 0 (and 0 only for identical
+    distributions); smoothing guarantees finiteness. The integer
+    micro-nat quantization can push a true-zero to at most a few
+    micro-nats negative, never beyond."""
+    from helium_arango_etl_lite_spark.plans.catalog_round11 import (
+        llm_vocab_kl_drift,
+    )
+
+    rows = llm_vocab_kl_drift(spark, sf_dir).collect()
+    assert rows, "no langs"
+    for r in rows:
+        assert r["kl_train_hold"] >= -1e-4, r
+        assert r["kl_hold_train"] >= -1e-4, r
+        assert r["kl_train_hold"] < 10 and r["kl_hold_train"] < 10, r
+        assert 1 <= r["m_vocab"] <= 100

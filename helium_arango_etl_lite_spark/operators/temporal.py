@@ -31,6 +31,7 @@ def asof_join(
     value_cols: list[str],
     left_ts: str = "ts",
     right_ts: str = "ts",
+    tolerance=None,
 ) -> DataFrame:
     """Left as-of join (right.ts <= left.ts, latest wins).
 
@@ -39,6 +40,15 @@ def asof_join(
     sides match (right sorts first), mirroring SQL ``ASOF ... ON l.ts >=
     r.ts``. Output: every left row + the ``value_cols`` of its as-of
     match (NULL when no prior right row exists).
+
+    ``tolerance`` (optional) is the max-staleness bound pandas calls
+    ``merge_asof(tolerance=)``: a Column the engine can compare against
+    ``left.ts - matched.right.ts`` (e.g. ``F.expr("INTERVAL 30
+    MINUTES")`` for timestamps, a numeric literal for integer clocks).
+    A match older than the bound is nulled — correct by construction
+    because the as-of match IS the closest prior row, so nothing newer
+    could have qualified instead. Same plan shape: the matched right
+    timestamp rides the one forward-fill window; no extra shuffle.
     """
     left_cols = left.columns
     r = right.select(
@@ -61,13 +71,28 @@ def asof_join(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    fill_cols = list(value_cols)
+    if tolerance is not None:
+        unioned = unioned.withColumn(
+            "_rts", F.when(F.col("_side") == 0, F.col("_ts"))
+        )
+        fill_cols.append("_rts")
     filled = unioned.select(
         "*",
         *[
             F.last(F.col(c), ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in value_cols
+            for c in fill_cols
         ],
     )
+    if tolerance is not None:
+        fresh = F.col("_ts") - F.col("_asof__rts") <= tolerance
+        return filled.filter(F.col("_side") == 1).select(
+            *[F.col(c) for c in left_cols],
+            *[
+                F.when(fresh, F.col(f"_asof_{c}")).alias(c)
+                for c in value_cols
+            ],
+        )
     return filled.filter(F.col("_side") == 1).select(
         *[F.col(c) for c in left_cols],
         *[F.col(f"_asof_{c}").alias(c) for c in value_cols],

@@ -373,3 +373,76 @@ def llm_vocab_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_hold_train"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of join with staleness tolerance (pandas merge_asof(tolerance=))
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_MIN = 30  # max staleness of the attached purchase, minutes
+
+
+def _asof_tol_sql() -> str:
+    from .registry import EVENTS_NORM
+
+    return f"""WITH {EVENTS_NORM},
+purch AS (
+  SELECT user_id, ts,
+         max_by(value, event_id) AS purchase_value,
+         max(event_id) AS purchase_event
+  FROM events_norm WHERE event_type = 'purchase'
+  GROUP BY user_id, ts)
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       CASE WHEN p.ts IS NOT NULL
+                 AND e.ts - p.ts <= INTERVAL {_ASOF_TOL_MIN} MINUTE
+            THEN p.purchase_value END AS purchase_value,
+       CASE WHEN p.ts IS NOT NULL
+                 AND e.ts - p.ts <= INTERVAL {_ASOF_TOL_MIN} MINUTE
+            THEN p.purchase_event END AS purchase_event
+FROM events_norm e ASOF LEFT JOIN purch p
+  ON e.user_id = p.user_id AND e.ts >= p.ts"""
+
+
+@register(
+    "join_asof_tolerance",
+    _asof_tol_sql(),
+    doc="As-of join with a staleness TOLERANCE — pandas "
+        "merge_asof(tolerance=), QuestDB ASOF+window: every event gets "
+        "its user's latest prior-or-equal purchase ONLY if that "
+        f"purchase is at most {_ASOF_TOL_MIN} minutes old, else NULL "
+        "(a feature older than the bound is a training-data bug, not "
+        "a feature — the point-in-time-correctness guard). Correct by "
+        "construction from the plain as-of: the as-of match is the "
+        "CLOSEST prior row, so masking it by age can never miss a "
+        "different qualifying row. Implementation rides the matched "
+        "right timestamp through the SAME union + "
+        "last-ignorenulls-window pass as join_asof — one shuffle per "
+        "input row, no range-join blow-up, tolerance applied as a "
+        "post-window mask (operators/temporal.py:asof_join). Oracle: "
+        "native ASOF LEFT JOIN + the same age mask.",
+    tags=("join", "temporal"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+    from .registry import load_events
+
+    en = load_events(spark, sf_dir)
+    purch = (
+        en.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("purchase_value"),
+            F.max("event_id").alias("purchase_event"),
+        )
+    )
+    joined = asof_join(
+        en.select("event_id", "ts", "user_id", "event_type"),
+        purch,
+        key="user_id",
+        value_cols=["purchase_value", "purchase_event"],
+        tolerance=F.expr(f"INTERVAL {_ASOF_TOL_MIN} MINUTES"),
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "event_type",
+        "purchase_value", "purchase_event",
+    )

@@ -122,3 +122,60 @@ def test_vocab_kl_is_nonnegative_and_finite(spark, sf_dir):
         assert r["kl_hold_train"] >= -1e-4, r
         assert r["kl_train_hold"] < 10 and r["kl_hold_train"] < 10, r
         assert 1 <= r["m_vocab"] <= 100
+
+
+def test_asof_tolerance_masks_only_stale_matches(spark, sf_dir):
+    """Tolerance must (a) change nothing when infinite, (b) null exactly
+    the matches older than the bound — checked row-by-row against the
+    plain as-of join plus the age predicate."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_lite_spark.operators.temporal import asof_join
+    from helium_arango_etl_lite_spark.plans.registry import load_events
+
+    en = load_events(spark, sf_dir)
+    purch = (
+        en.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("pv"))
+    )
+    left = en.select("event_id", "ts", "user_id").limit(2000)
+    plain = asof_join(
+        left, purch.withColumnRenamed("ts", "pts").withColumnRenamed(
+            "pv", "pv"
+        ).select(F.col("user_id"), F.col("pts").alias("ts"), "pv"),
+        key="user_id", value_cols=["pv"],
+    )
+    # plain join with the right ts attached for the reference mask
+    with_ts = asof_join(
+        left,
+        purch.select(
+            "user_id", "ts", "pv", F.col("ts").alias("match_ts")
+        ),
+        key="user_id", value_cols=["pv", "match_ts"],
+    )
+    tol = asof_join(
+        left, purch.select("user_id", "ts", "pv"),
+        key="user_id", value_cols=["pv"],
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    )
+    ref = {
+        r["event_id"]: (
+            r["pv"]
+            if r["match_ts"] is not None
+            and (r["ts"] - r["match_ts"]).total_seconds() <= 1800
+            else None
+        )
+        for r in with_ts.collect()
+    }
+    got = {r["event_id"]: r["pv"] for r in tol.collect()}
+    assert got == ref
+    # infinite tolerance == plain
+    inf = asof_join(
+        left, purch.select("user_id", "ts", "pv"),
+        key="user_id", value_cols=["pv"],
+        tolerance=F.expr("INTERVAL 100000 DAYS"),
+    )
+    assert {r["event_id"]: r["pv"] for r in inf.collect()} == {
+        r["event_id"]: r["pv"] for r in plain.collect()
+    }

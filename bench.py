@@ -202,6 +202,7 @@ HEADLINE = [
     "llm_vocab_kl_drift",             # exact KL via shared detln pipeline
     "join_asof_tolerance",            # merge_asof(tolerance=) staleness mask
     "graph_personalized_pagerank",    # seed-restart rank, unrolled oracle
+    "events_cuped",                   # variance-reduced A/B readout
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -326,7 +327,7 @@ R10_COMPARABLE = R9_COMPARABLE | {
 R11_COMPARABLE = R10_COMPARABLE | {
     "llm_kcenter_coreset_batched", "llm_ann_graph_persist",
     "llm_vocab_kl_drift", "join_asof_tolerance",
-    "graph_personalized_pagerank",
+    "graph_personalized_pagerank", "events_cuped",
 }
 
 # Queries whose wall is dominated by Arrow/pandas Python workers — their

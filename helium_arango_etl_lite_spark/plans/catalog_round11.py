@@ -568,3 +568,129 @@ def graph_personalized_pagerank(
     return ranks.select(
         F.col("id").alias("nation_id"), F.round("r", 8).alias("ppr")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout: exact integer moments
+# ---------------------------------------------------------------------------
+
+
+def _cuped_sql() -> str:
+    from .registry import EVENTS_NORM
+
+    return f"""WITH {EVENTS_NORM},
+b AS (SELECT (min(epoch(ts))::BIGINT + max(epoch(ts))::BIGINT) // 2
+        AS boundary FROM events_norm),
+u AS (SELECT user_id,
+             sum(CASE WHEN epoch(ts)::BIGINT < (SELECT boundary FROM b)
+                      AND event_type = 'purchase'
+                 THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS x,
+             sum(CASE WHEN epoch(ts)::BIGINT >= (SELECT boundary FROM b)
+                      AND event_type = 'purchase'
+                 THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS y
+      FROM events_norm GROUP BY user_id),
+g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+      FROM u),
+arm AS (SELECT (user_id % 2)::INTEGER AS arm, count(*)::BIGINT AS n_users,
+               sum(x)::BIGINT AS sxa, sum(y)::BIGINT AS sya
+        FROM u GROUP BY 1),
+d AS (SELECT arm, n_users, sxa, sya,
+            n::DOUBLE AS dn, sx::DOUBLE AS dsx, sy::DOUBLE AS dsy,
+            sxy::DOUBLE AS dsxy, sxx::DOUBLE AS dsxx, syy::DOUBLE AS dsyy
+     FROM arm, g)
+SELECT arm, n_users,
+       round(sya / n_users, 6) AS mean_post_cents,
+       round(sya / n_users
+             - ((dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx))
+               * (sxa / n_users - dsx / dn), 6) AS mean_adj_cents,
+       round((dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx), 6)
+         AS theta,
+       round(((dn * dsxy - dsx * dsy) * (dn * dsxy - dsx * dsy))
+             / ((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)), 6)
+         AS var_reduction
+FROM d"""
+
+
+@register(
+    "events_cuped",
+    _cuped_sql(),
+    doc="CUPED variance-reduced experiment readout (Deng et al. 2013, "
+        "the industry-standard A/B adjustment): per-user pre-period "
+        "purchase cents (before the corpus-midpoint boundary) is the "
+        "covariate X, post-period cents the metric Y; theta = "
+        "cov(X,Y)/var(X) is fit on ALL users pooled, and each arm "
+        "(user_id % 2) reports its raw and adjusted post-period mean "
+        "plus the variance-reduction factor rho^2. EXACTNESS: X/Y are "
+        "integer cents, so every moment (n, sum x, sum y, sum xy, "
+        "sum xx, sum yy) is an exact BIGINT — aggregation order "
+        "cannot move them — and theta/means are a fixed chain of "
+        "correctly-rounded double ops written identically in both "
+        "engines; the boundary is one integer scalar from the corpus "
+        "min/max epoch. SCALE: one user-keyed shuffle builds the "
+        "per-user pre/post table; the moment rollup is a partial-"
+        "aggregated scalar; arms aggregate the same table — no второй "
+        "corpus scan, no window.",
+    tags=("analytics", "events", "experiment"),
+)
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import load_events
+
+    en = load_events(spark, sf_dir)
+    bounds = en.agg(
+        F.min(F.unix_timestamp("ts")).alias("lo"),
+        F.max(F.unix_timestamp("ts")).alias("hi"),
+    ).collect()[0]
+    boundary = (int(bounds["lo"]) + int(bounds["hi"])) // 2
+    cents = F.round(F.col("value") * 100).cast("long")
+    is_purch = F.col("event_type") == "purchase"
+    pre = F.when(
+        (F.unix_timestamp("ts") < boundary) & is_purch, cents
+    ).otherwise(F.lit(0))
+    post = F.when(
+        (F.unix_timestamp("ts") >= boundary) & is_purch, cents
+    ).otherwise(F.lit(0))
+    u = en.groupBy("user_id").agg(
+        F.sum(pre).cast("long").alias("x"),
+        F.sum(post).cast("long").alias("y"),
+    )
+    g = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    arm = u.groupBy((F.col("user_id") % 2).cast("int").alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sxa"),
+        F.sum("y").cast("long").alias("sya"),
+    )
+    j = arm.crossJoin(F.broadcast(g))
+    dn, dsx, dsy, dsxy, dsxx, dsyy = (
+        F.col(c).cast("double")
+        for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    cov_n = dn * dsxy - dsx * dsy
+    varx_n = dn * dsxx - dsx * dsx
+    vary_n = dn * dsyy - dsy * dsy
+    theta = cov_n / varx_n
+    return j.select(
+        "arm",
+        "n_users",
+        F.round(F.col("sya") / F.col("n_users"), 6).alias(
+            "mean_post_cents"
+        ),
+        F.round(
+            F.col("sya") / F.col("n_users")
+            - theta
+            * (F.col("sxa") / F.col("n_users") - dsx / dn),
+            6,
+        ).alias("mean_adj_cents"),
+        F.round(theta, 6).alias("theta"),
+        F.round((cov_n * cov_n) / (varx_n * vary_n), 6).alias(
+            "var_reduction"
+        ),
+    )

@@ -50,7 +50,8 @@ registered after the r10 batch froze and therefore never driver-verified
 uncertainty sampling, k-center coreset). After this round every catalog
 entry has at least one independent driver row and the staleness floor
 rises from r5 to r6. Entries ADDED in round 11 (batched k-center,
-persisted-ANN-graph family) are replica-verified this round
+persisted ANN graph, vocab KL drift, tolerance as-of join, personalized
+PageRank, CUPED) are replica-verified this round
 (tools/driver_replica.py) and take the front of the round-12 batch.
 """
 
@@ -143,9 +144,11 @@ DRIVER_BATCH: list[str] = [
     "graph_bfs_distance",
     "llm_uncertainty_sample",
     "llm_kcenter_coreset",
-    # (round-11 additions — llm_kcenter_coreset_batched and
-    # llm_ann_graph_persist — are intentionally NOT in this batch per the
-    # r10 verdict ("zero new entries in the batch"); they are
+    # (round-11 additions — llm_kcenter_coreset_batched,
+    # llm_ann_graph_persist, llm_vocab_kl_drift, join_asof_tolerance,
+    # graph_personalized_pagerank and events_cuped — are intentionally
+    # NOT in this batch
+    # per the r10 verdict ("zero new entries in the batch"); they are
     # replica-verified this round and take the front of the round-12
     # batch. Changed-in-round-11 notes: llm_kcenter_coreset's traversal
     # moved to similarity.py:kcenter_coreset (shared with the batched

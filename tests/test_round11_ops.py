@@ -210,3 +210,28 @@ def test_ppr_mass_conserved_and_seed_biased(spark, sf_dir):
         .collect()
     }
     assert avg[True] > avg[False], avg
+
+
+def test_cuped_reduces_between_user_variance(spark, sf_dir):
+    """CUPED's contract: theta is the pooled OLS slope, rho^2 in [0,1],
+    and the adjustment preserves the OVERALL mean (sum over arms of
+    n_a * adjusted deviations cancels by construction of theta on the
+    pooled covariate)."""
+    from helium_arango_etl_lite_spark.plans.catalog_round11 import (
+        events_cuped,
+    )
+
+    rows = {r["arm"]: r for r in events_cuped(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1}
+    vr = rows[0]["var_reduction"]
+    assert rows[1]["var_reduction"] == vr
+    assert 0.0 <= vr <= 1.0, vr
+    assert rows[0]["theta"] == rows[1]["theta"]
+    n0, n1 = rows[0]["n_users"], rows[1]["n_users"]
+    raw = (
+        n0 * rows[0]["mean_post_cents"] + n1 * rows[1]["mean_post_cents"]
+    )
+    adj = (
+        n0 * rows[0]["mean_adj_cents"] + n1 * rows[1]["mean_adj_cents"]
+    )
+    assert abs(raw - adj) / max(abs(raw), 1.0) < 1e-6

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import glob
 import json
+import re
 import os
 import sys
 import time
@@ -604,7 +605,15 @@ def main() -> None:
     # from a clean uncontended run.
     here = os.path.dirname(os.path.abspath(__file__))
     detail_file = os.path.join(here, "BENCH_DETAIL.json")
-    stamped = sorted(glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json")))
+    # newest stamp by NUMERIC round (then name for same-round suffixes
+    # like r11b): lexicographic sort would mis-order r9 vs r11 vs r100
+    stamped = sorted(
+        glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json")),
+        key=lambda p: (
+            int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
+            os.path.basename(p),
+        ),
+    )
     baseline_file = stamped[-1] if stamped else detail_file
     norm_summary: dict = {}
     norm_detail: dict = {}

@@ -1408,7 +1408,10 @@ def kcenter_coreset(
     (rank, id, maxsim): rank in selection order (within a batch, by
     (maxsim, id)), maxsim = coverage at selection time — the radius
     curve. Scan count: ceil((k-1)/m) — the dial that makes k=1024
-    affordable (m=32 -> 32 scans, not 1023)."""
+    affordable (m=32 -> 32 scans, not 1023). If ``k`` exceeds the
+    corpus size the traversal stops when the corpus is exhausted and
+    returns every vector (fewer than k rows) rather than spinning on
+    empty scans (review r11 — the pre-refactor code crashed here)."""
     e = emb.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
     )
@@ -1437,6 +1440,8 @@ def kcenter_coreset(
             .join(e, "vec_id")
             .collect()
         )
+        if not batch:  # k > corpus size: nothing left to select
+            break
         # the limit->join can reorder the batch; rank follows the same
         # (ms, vec_id) order the unrolled oracle's row_number uses
         for row in sorted(batch, key=lambda r: (r["ms"], r["vec_id"])):

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -49,20 +50,43 @@ def asof_join(
     because the as-of match IS the closest prior row, so nothing newer
     could have qualified instead. Same plan shape: the matched right
     timestamp rides the one forward-fill window; no extra shuffle.
+
+    The fill carries ONE STRUCT per right row (timestamp + all value
+    columns together), not per-column fills: an ignorenulls fill per
+    column would skip a NULL value in the newest prior row and carry a
+    STALER row's value for that column only — splicing columns from
+    different right rows and, under ``tolerance``, certifying a
+    beyond-tolerance value as fresh (review r11). The struct is
+    non-null for every right row even when its members are null, so
+    the filled struct is always exactly the newest prior right row —
+    matching SQL ASOF JOIN, which attaches whole rows.
     """
     left_cols = left.columns
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c) for c in value_cols],
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c) for c in value_cols],
+        ).alias("_vals"),
         *[F.lit(None).alias(c) for c in left_cols if c != key],
     )
     l = left.select(
         F.col(key),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None)
+        .cast(
+            T.StructType(
+                [T.StructField("__rts", right.schema[right_ts].dataType)]
+                + [
+                    T.StructField(c, right.schema[c].dataType)
+                    for c in value_cols
+                ]
+            )
+        )
+        .alias("_vals"),
         *[F.col(c) for c in left_cols if c != key],
     )
     unioned = r.unionByName(l)
@@ -71,29 +95,21 @@ def asof_join(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fill_cols = list(value_cols)
-    if tolerance is not None:
-        unioned = unioned.withColumn(
-            "_rts", F.when(F.col("_side") == 0, F.col("_ts"))
-        )
-        fill_cols.append("_rts")
     filled = unioned.select(
         "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in fill_cols
-        ],
+        F.last(F.col("_vals"), ignorenulls=True).over(w).alias("_asof"),
     )
+    out = filled.filter(F.col("_side") == 1)
     if tolerance is not None:
-        fresh = F.col("_ts") - F.col("_asof__rts") <= tolerance
-        return filled.filter(F.col("_side") == 1).select(
+        fresh = F.col("_ts") - F.col("_asof.__rts") <= tolerance
+        return out.select(
             *[F.col(c) for c in left_cols],
             *[
-                F.when(fresh, F.col(f"_asof_{c}")).alias(c)
+                F.when(fresh, F.col(f"_asof.{c}")).alias(c)
                 for c in value_cols
             ],
         )
-    return filled.filter(F.col("_side") == 1).select(
+    return out.select(
         *[F.col(c) for c in left_cols],
-        *[F.col(f"_asof_{c}").alias(c) for c in value_cols],
+        *[F.col(f"_asof.{c}").alias(c) for c in value_cols],
     )

@@ -799,10 +799,13 @@ def _replay_dir(name: str) -> str:
     because a dead owner's PID can be recycled by an unrelated live
     process (which would make the liveness probe keep the orphan
     forever) — and because pre-PID-scheme legacy dirs are not
-    digit-named at all — any entry whose mtime is older than one day is
-    reclaimed regardless of name or PID liveness (ADVICE r10). A
-    same-named Spark session cannot plausibly sit idle that long, and a
-    false sweep costs only a re-materialization.
+    digit-named at all — entries ALSO age out by mtime after one day
+    (ADVICE r10). Liveness wins over age: a dir whose PID is alive and
+    probe-able is never swept, however old (its owner may still be
+    reading nested files the dir mtime doesn't reflect — review r11);
+    the age path reclaims only dirs whose owner is gone (dead PID),
+    un-probe-able (recycled PID now owned by another user), or unnamed
+    (legacy non-digit dirs).
     """
     import os
     import shutil
@@ -820,19 +823,22 @@ def _replay_dir(name: str) -> str:
                 aged_out = os.path.getmtime(path) < stale_before
             except OSError:
                 aged_out = False
-            if aged_out:
-                shutil.rmtree(path, ignore_errors=True)
-                continue
             if not entry.isdigit():
-                # fresh non-digit dir: not ours to judge by PID — it ages
-                # out via the mtime path above once it's a day old
+                # legacy/unknown dir: no PID to probe — age is the only
+                # signal, so sweep once it's a day old, never sooner
+                if aged_out:
+                    shutil.rmtree(path, ignore_errors=True)
                 continue
             try:
                 os.kill(int(entry), 0)  # raises if that PID is gone
             except ProcessLookupError:
                 shutil.rmtree(path, ignore_errors=True)
             except PermissionError:
-                pass  # live process owned by someone else: leave it
+                # PID exists but isn't ours — either a recycled PID
+                # (owner long gone: reclaim once aged) or genuinely
+                # someone else's session (fresh: leave it)
+                if aged_out:
+                    shutil.rmtree(path, ignore_errors=True)
     except FileNotFoundError:
         pass
     d = os.path.join(root, str(os.getpid()), name)

@@ -579,13 +579,14 @@ def _cuped_sql() -> str:
     from .registry import EVENTS_NORM
 
     return f"""WITH {EVENTS_NORM},
-b AS (SELECT (min(epoch(ts))::BIGINT + max(epoch(ts))::BIGINT) // 2
+b AS (SELECT (min(floor(epoch(ts))::BIGINT)
+              + max(floor(epoch(ts))::BIGINT)) // 2
         AS boundary FROM events_norm),
 u AS (SELECT user_id,
-             sum(CASE WHEN epoch(ts)::BIGINT < (SELECT boundary FROM b)
+             sum(CASE WHEN floor(epoch(ts))::BIGINT < (SELECT boundary FROM b)
                       AND event_type = 'purchase'
                  THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS x,
-             sum(CASE WHEN epoch(ts)::BIGINT >= (SELECT boundary FROM b)
+             sum(CASE WHEN floor(epoch(ts))::BIGINT >= (SELECT boundary FROM b)
                       AND event_type = 'purchase'
                  THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS y
       FROM events_norm GROUP BY user_id),

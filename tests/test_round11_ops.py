@@ -85,7 +85,6 @@ def test_ann_persist_writes_bucketed_table_and_matches_memory(
         query_rem=0,
     ).collect()
 
-    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
     assert sorted(
         [(r["query_id"], r["rank"], r["nid"], r["cos_sim"]) for r in got]
     ) == sorted(
@@ -235,3 +234,43 @@ def test_cuped_reduces_between_user_variance(spark, sf_dir):
         n0 * rows[0]["mean_adj_cents"] + n1 * rows[1]["mean_adj_cents"]
     )
     assert abs(raw - adj) / max(abs(raw), 1.0) < 1e-6
+
+
+def test_kcenter_exhausted_corpus_terminates(spark):
+    """k > corpus size must return every vector and STOP — the refactor
+    originally turned the old crash into an infinite empty-scan loop
+    (review r11)."""
+    from helium_arango_etl_lite_spark.operators.llm.similarity import (
+        kcenter_coreset,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = kcenter_coreset(emb, k=10, m=3).collect()
+    assert len(rows) == 4
+    assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4]
+
+
+def test_asof_fill_carries_whole_matched_row(spark):
+    """A NULL value in the NEWEST prior right row must yield NULL (the
+    matched row's value), never a staler row's non-null value — the
+    per-column fill bug (review r11); with tolerance the stale value
+    must also not leak through as 'fresh'."""
+    from pyspark.sql import functions as F
+
+    from helium_arango_etl_lite_spark.operators.temporal import asof_join
+
+    right = spark.createDataFrame(
+        [("u", 100, 5), ("u", 200, None)],
+        "k string, ts long, v int",
+    )
+    left = spark.createDataFrame([("u", 210)], "k string, ts long")
+    got = asof_join(left, right, key="k", value_cols=["v"]).collect()
+    assert got[0]["v"] is None, got  # matched row (ts=200) has v NULL
+
+    tol = asof_join(
+        left, right, key="k", value_cols=["v"], tolerance=F.lit(50)
+    ).collect()
+    assert tol[0]["v"] is None, tol  # and 5 (age 110 > 50) must not leak

@@ -366,6 +366,43 @@ SMALL_OUTPUT = {
 }
 
 
+def current_round(here: str) -> int:
+    """The round currently RUNNING, inferred from driver artifacts: one
+    past the newest CORRECTNESS_r{N}.json (the driver commits a round's
+    artifacts at round END, so while round N runs the newest correctness
+    file is r{N-1}). Returns a large sentinel when no artifacts exist so
+    no stamp is excluded."""
+    rounds = []
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)", os.path.basename(p))
+        if m:
+            rounds.append(int(m.group(1)))
+    return (max(rounds) + 1) if rounds else 1 << 30
+
+
+def pick_baseline_stamp(here: str) -> str | None:
+    """Choose the comparison baseline for normalized ratios: the newest
+    committed run-stamped BENCH_DETAIL_r{NN}.json from a PRIOR round.
+
+    Same-round stamps are excluded (r11 verdict task 3): in round 11 the
+    builder committed a clean same-round stamp hours before the driver's
+    bench run, and the newest-stamp rule normalized the driver's run
+    against it — measuring one hour of host drift instead of
+    round-over-round change (the artifact's norm_prev_shared_ratio read
+    1.287 while driver-to-driver was 1.00). Stamps whose round is >= the
+    currently-running round are therefore skipped, and stamps whose
+    suffix has no digits (e.g. a stray BENCH_DETAIL_rX.json) are ignored
+    rather than crashing the run (ADVICE r11, bench.py:613)."""
+    cur = current_round(here)
+    stamped = []
+    for p in glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json")):
+        m = re.search(r"_r(\d+)", os.path.basename(p))
+        if not m or int(m.group(1)) >= cur:
+            continue
+        stamped.append((int(m.group(1)), os.path.basename(p), p))
+    return max(stamped)[2] if stamped else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -605,16 +642,9 @@ def main() -> None:
     # from a clean uncontended run.
     here = os.path.dirname(os.path.abspath(__file__))
     detail_file = os.path.join(here, "BENCH_DETAIL.json")
-    # newest stamp by NUMERIC round (then name for same-round suffixes
-    # like r11b): lexicographic sort would mis-order r9 vs r11 vs r100
-    stamped = sorted(
-        glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json")),
-        key=lambda p: (
-            int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
-            os.path.basename(p),
-        ),
-    )
-    baseline_file = stamped[-1] if stamped else detail_file
+    # newest PRIOR-round stamp (same-round stamps excluded, malformed
+    # suffixes skipped) — see pick_baseline_stamp.
+    baseline_file = pick_baseline_stamp(here) or detail_file
     norm_summary: dict = {}
     norm_detail: dict = {}
     try:

@@ -1416,7 +1416,13 @@ def kcenter_coreset(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
     )
     e = e.localCheckpoint(eager=False)  # scanned once per batch
-    first = e.filter(F.col("vec_id") == seed_id).collect()[0]
+    seed_rows = e.filter(F.col("vec_id") == seed_id).collect()
+    if not seed_rows:  # empty corpus or absent seed (ADVICE r11)
+        raise ValueError(
+            f"kcenter_coreset: seed {id_col}={seed_id} not present in "
+            "the corpus (or the corpus is empty)"
+        )
+    first = seed_rows[0]
     picked = [(1, int(first["vec_id"]), 1.0)]
     sel = [(int(first["vec_id"]), first["v"])]
     while len(picked) < k:

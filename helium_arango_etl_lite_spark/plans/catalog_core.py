@@ -834,11 +834,13 @@ def _replay_dir(name: str) -> str:
             except ProcessLookupError:
                 shutil.rmtree(path, ignore_errors=True)
             except PermissionError:
-                # PID exists but isn't ours — either a recycled PID
-                # (owner long gone: reclaim once aged) or genuinely
-                # someone else's session (fresh: leave it)
-                if aged_out:
-                    shutil.rmtree(path, ignore_errors=True)
+                # PID exists but isn't ours: the process is ALIVE, so
+                # the dir is never swept regardless of age (ADVICE r11:
+                # the old age-based reclaim here could remove a >24h
+                # other-user session's in-use scratch; a recycled PID
+                # whose dir truly is orphaned gets cleaned the next
+                # time that PID is unoccupied)
+                pass
     except FileNotFoundError:
         pass
     d = os.path.join(root, str(os.getpid()), name)

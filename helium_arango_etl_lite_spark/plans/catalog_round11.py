@@ -604,12 +604,17 @@ d AS (SELECT arm, n_users, sxa, sya,
 SELECT arm, n_users,
        round(sya / n_users, 6) AS mean_post_cents,
        round(sya / n_users
-             - ((dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx))
+             - (CASE WHEN dn * dsxx - dsx * dsx = 0 THEN NULL
+                ELSE (dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx) END)
                * (sxa / n_users - dsx / dn), 6) AS mean_adj_cents,
-       round((dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx), 6)
+       round(CASE WHEN dn * dsxx - dsx * dsx = 0 THEN NULL
+             ELSE (dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx) END, 6)
          AS theta,
-       round(((dn * dsxy - dsx * dsy) * (dn * dsxy - dsx * dsy))
-             / ((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)), 6)
+       round(CASE WHEN (dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy) = 0
+             THEN NULL
+             ELSE ((dn * dsxy - dsx * dsy) * (dn * dsxy - dsx * dsy))
+                  / ((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)) END,
+             6)
          AS var_reduction
 FROM d"""
 
@@ -629,9 +634,14 @@ FROM d"""
         "cannot move them — and theta/means are a fixed chain of "
         "correctly-rounded double ops written identically in both "
         "engines; the boundary is one integer scalar from the corpus "
-        "min/max epoch. SCALE: one user-keyed shuffle builds the "
+        "min/max epoch; degenerate inputs (var(X)=0 or var(Y)=0, e.g. "
+        "all users identical pre-period spend) yield NULL theta/"
+        "var_reduction via an explicit guard written identically in "
+        "both engines, so DuckDB's version-dependent division-by-zero "
+        "behavior (NULL vs IEEE inf under ieee_floating_point_ops) "
+        "can never diverge. SCALE: one user-keyed shuffle builds the "
         "per-user pre/post table; the moment rollup is a partial-"
-        "aggregated scalar; arms aggregate the same table — no второй "
+        "aggregated scalar; arms aggregate the same table — no second "
         "corpus scan, no window.",
     tags=("analytics", "events", "experiment"),
 )
@@ -677,7 +687,10 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = dn * dsxy - dsx * dsy
     varx_n = dn * dsxx - dsx * dsx
     vary_n = dn * dsyy - dsy * dsy
-    theta = cov_n / varx_n
+    # Explicit degenerate-input guard (ADVICE r11): var(X)=0 must be NULL
+    # by construction in BOTH engines — DuckDB's x/0 is version-dependent
+    # (NULL historically, IEEE inf under ieee_floating_point_ops=true).
+    theta = F.when(varx_n != 0, cov_n / varx_n)
     return j.select(
         "arm",
         "n_users",
@@ -691,7 +704,10 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_adj_cents"),
         F.round(theta, 6).alias("theta"),
-        F.round((cov_n * cov_n) / (varx_n * vary_n), 6).alias(
-            "var_reduction"
-        ),
+        F.round(
+            F.when(
+                varx_n * vary_n != 0, (cov_n * cov_n) / (varx_n * vary_n)
+            ),
+            6,
+        ).alias("var_reduction"),
     )

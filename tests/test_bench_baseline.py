@@ -1,0 +1,91 @@
+"""Pin bench.py's normalized-ratio baseline selection (r11 verdict task 3).
+
+The bug being prevented: in round 11 the builder committed a clean
+same-round stamp (BENCH_DETAIL_r11b.json) hours before the driver's
+end-of-round bench run; the old newest-stamp rule normalized the driver's
+run against it, so the driver artifact's norm_prev_shared_ratio measured
+one hour of host drift (1.287, 60 phantom flags) instead of
+round-over-round change. The rule now excludes stamps from the
+currently-running round, where "currently running" is one past the newest
+committed CORRECTNESS_r{N}.json.
+"""
+
+import json
+import os
+
+import bench
+
+
+def _touch(d, name, payload=None):
+    with open(os.path.join(d, name), "w") as f:
+        json.dump(payload or {}, f)
+
+
+def test_current_round_is_one_past_newest_correctness(tmp_path):
+    d = str(tmp_path)
+    _touch(d, "CORRECTNESS_r09.json")
+    _touch(d, "CORRECTNESS_r11.json")
+    _touch(d, "CORRECTNESS_r10.json")
+    assert bench.current_round(d) == 12
+
+
+def test_current_round_without_artifacts_is_sentinel(tmp_path):
+    assert bench.current_round(str(tmp_path)) > 1 << 20
+
+
+def test_same_round_stamp_excluded(tmp_path):
+    """The exact r11 scenario: driver runs during round 11 (newest
+    correctness file r10), builder has committed a same-round clean stamp
+    r11b. Baseline must be the r10 stamp, not r11b."""
+    d = str(tmp_path)
+    for r in range(1, 11):
+        _touch(d, f"CORRECTNESS_r{r:02d}.json")
+    _touch(d, "BENCH_DETAIL_r09.json")
+    _touch(d, "BENCH_DETAIL_r10.json")
+    _touch(d, "BENCH_DETAIL_r11b.json")  # same-round: must be skipped
+    picked = bench.pick_baseline_stamp(d)
+    assert picked is not None
+    assert os.path.basename(picked) == "BENCH_DETAIL_r10.json"
+
+
+def test_prior_round_suffix_stamps_allowed(tmp_path):
+    """A suffixed stamp from a PRIOR round (builder's clean r11b) is the
+    right baseline for a round-12 run, beating the plain r11 stamp by
+    name order within the same round."""
+    d = str(tmp_path)
+    for r in range(1, 12):
+        _touch(d, f"CORRECTNESS_r{r:02d}.json")
+    _touch(d, "BENCH_DETAIL_r10.json")
+    _touch(d, "BENCH_DETAIL_r11.json")
+    _touch(d, "BENCH_DETAIL_r11b.json")
+    picked = bench.pick_baseline_stamp(d)
+    assert os.path.basename(picked) == "BENCH_DETAIL_r11b.json"
+
+
+def test_numeric_round_ordering_not_lexicographic(tmp_path):
+    d = str(tmp_path)
+    for r in range(1, 101):
+        _touch(d, f"CORRECTNESS_r{r:02d}.json")
+    _touch(d, "BENCH_DETAIL_r9.json")
+    _touch(d, "BENCH_DETAIL_r100.json")
+    picked = bench.pick_baseline_stamp(d)
+    assert os.path.basename(picked) == "BENCH_DETAIL_r100.json"
+
+
+def test_malformed_stamp_suffix_skipped_not_crash(tmp_path):
+    """ADVICE r11 (bench.py:613): a stray BENCH_DETAIL_rX.json used to
+    crash the whole bench run with AttributeError."""
+    d = str(tmp_path)
+    _touch(d, "CORRECTNESS_r05.json")
+    _touch(d, "BENCH_DETAIL_rX.json")
+    _touch(d, "BENCH_DETAIL_r04.json")
+    picked = bench.pick_baseline_stamp(d)
+    assert os.path.basename(picked) == "BENCH_DETAIL_r04.json"
+
+
+def test_no_eligible_stamp_returns_none(tmp_path):
+    d = str(tmp_path)
+    _touch(d, "CORRECTNESS_r05.json")
+    _touch(d, "BENCH_DETAIL_r06.json")  # same round — excluded
+    _touch(d, "BENCH_DETAIL_rX.json")   # malformed — skipped
+    assert bench.pick_baseline_stamp(d) is None

@@ -424,13 +424,21 @@ def dup_clusters(
                     F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)  # truncate lineage per round
+            # LAZY checkpoint: the convergence aggregate below is the
+            # first action over it, so ONE job both materializes the
+            # truncated-lineage blocks and returns the changed count.
+            # The old shape (eager checkpoint pass + a separate
+            # limit(1).count() job) paid two sequential job launches per
+            # round; this query's wall is dominated by exactly that
+            # fixed per-job latency, not data volume (r12 adjudication
+            # of the r11 llm_dup_clusters flag — SCALE_SOAK round 12).
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_full.filter(F.col("label") != F.col("old")).limit(1).count()
-        )
+        changed = new_full.agg(
+            F.sum((F.col("label") != F.col("old")).cast("int")).alias("c")
+        ).collect()[0]["c"]
         labels = new_full.select("node", "label")
-        if changed == 0:
+        if not changed:
             break
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

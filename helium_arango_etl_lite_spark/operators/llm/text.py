@@ -719,25 +719,57 @@ def cms_heavy_hitters(
     (``functions/hashing.py``), so the oracle reproduces the sketch
     exactly; ties at the top-k boundary break on ascending token.
     """
-    from ...functions.hashing import hash32
-
-    tok = df.select(F.explode(F.split(F.col(text), " ")).alias("t"))
-    buckets = [
-        (hash32(F.concat(F.lit(f"{d}_"), F.col("t"))) % width).alias(f"b{d}")
-        for d in range(depth)
-    ]
-    tb = tok.select(F.col("t"), *buckets).localCheckpoint(eager=False)
+    tb = cms_token_buckets(df, text=text, depth=depth, width=width)
+    tb = tb.localCheckpoint(eager=False)
     # sketch build: one explode to (row, bucket), one partial-agg'd
     # shuffle whose output is <= depth*width rows — corpus-size-free
     cells = (
-        tb.select(
-            F.posexplode(F.array(*[F.col(f"b{d}") for d in range(depth)]))
-            .alias("d", "b")
-        )
+        cms_cell_increments(tb, depth=depth)
         .groupBy("d", "b")
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)
     )
+    return cms_estimate_topk(tb, cells, depth=depth, k=k)
+
+
+def cms_token_buckets(
+    df: DataFrame, text: str = "text", depth: int = 3, width: int = 1024
+) -> DataFrame:
+    """Tokenize and bucket: ``(t, b0..b{depth-1})`` — one row per token
+    OCCURRENCE, bucket per hash row from the cross-engine md5 hash32.
+    Shared by the one-shot sketch build (:func:`cms_heavy_hitters`) and
+    the streaming sketch maintenance (``stream_heavy_hitters_replay``),
+    so both paths count the exact same cells."""
+    from ...functions.hashing import hash32
+
+    tok = df.select(F.explode(F.split(F.col(text), " ")).alias("t"))
+    buckets = [
+        (hash32(F.concat(F.lit(f"{d}_"), F.col("t"))) % width)
+        .cast("int")
+        .alias(f"b{d}")
+        for d in range(depth)
+    ]
+    return tok.select(F.col("t"), *buckets)
+
+
+def cms_cell_increments(tb: DataFrame, depth: int = 3) -> DataFrame:
+    """One ``(d, b)`` row per cell increment — the sketch's additive
+    event stream. Grouping+counting these IS the sketch build; in the
+    streaming form each micro-batch's increments flow into per-cell
+    state instead (the CMS's cell-wise mergeability, used literally)."""
+    return tb.select(
+        F.posexplode(
+            F.array(*[F.col(f"b{d}") for d in range(depth)])
+        ).alias("d", "b")
+    )
+
+
+def cms_estimate_topk(
+    tb: DataFrame, cells: DataFrame, depth: int = 3, k: int = 20
+) -> DataFrame:
+    """Estimate + top-k over a built sketch: per candidate token the
+    estimate is the MIN of its ``depth`` cells (always >= truth); the
+    tiny cell table broadcasts. ``cells`` must be ``(d, b, c)``."""
     cand = tb.distinct()
     est = cand
     for d in range(depth):

@@ -27,6 +27,7 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
     path: str | None = None,
+    partition_cols: list[str] | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (optionally sorted) catalog table.
 
@@ -37,9 +38,19 @@ def write_bucketed(
     driver replica) must pass a per-process scratch path so two
     sessions' ``_temporary`` staging dirs cannot collide; ``mode=
     "append"`` with a matching bucket spec adds files to an existing
-    table (the incremental-index ingest path).
+    table (the incremental-index ingest path). ``partition_cols``
+    composes directory partitioning WITH bucketing: rows are laid out
+    as ``<path>/<pcol>=<value>/bucket-files``, so an equality/IN filter
+    on a partition column prunes whole directories at plan time
+    (PartitionFilters in the scan) while joins on the bucket key stay
+    shuffle-free within what survives pruning — the layout a persisted
+    IVF index wants (partition by cell for probe pruning, bucket by id
+    for fetch joins).
     """
-    writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    writer = df.write.format("parquet").mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer = writer.bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     if path is not None:

@@ -1,0 +1,372 @@
+"""Round-12 catalog: the two operator items the r11 verdict named
+(items 7 and 8; its other asks were batch rotation, bench baseline
+selection, and adjudication — done in-place, not operators).
+
+* ``llm_ann_ivf_pq_persist`` — the persisted-index lifecycle for the
+  IVF-PQ family (r11 verdict item 7): ``llm_ann_ivf_pq`` re-derives its
+  centroids and codebook on every call, which is fine for one query but
+  wrong for the build-nightly/search-all-day deployment the graph-ANN
+  family already certifies (``llm_ann_graph_persist``). This entry
+  (1) TRAINS the IVF centroids (deterministic md5-ordered fixed-K set —
+  the same seed set a k-means refinement would start from; the
+  assignment dataflow is identical either way) and the PQ codebook,
+  and ENCODES the corpus to ``(vec_id, cell, code_0..3)``; (2) PERSISTS
+  the encoded corpus through ``operators/storage.write_bucketed``
+  PARTITIONED BY cell (probe filters prune whole cell directories at
+  plan time) and BUCKETED BY vec_id (fetch/rerank joins stay
+  shuffle-free), plus the centroids and codebook as small side tables;
+  (3) LOADS everything back; (4) SEARCHES a query batch using ONLY the
+  read-back artifacts: probe the nprobe nearest cells per query against
+  the read centroids, build per-query ADC lookup tables from the read
+  codebook, scan only the probed partitions, and rank by asymmetric
+  distance. The oracle recomputes train->encode->probe->ADC-search in
+  SQL (block/LUT generators shared with ``llm_ann_ivf_pq``), so one
+  driver hash certifies the whole lifecycle.
+
+* ``stream_heavy_hitters_replay`` — stateful streaming top-k (r11
+  verdict item 8): ``llm_heavy_hitters_cms``'s docstring claims the
+  sketch is "mergeable cell-wise across executors/micro-batches"; this
+  entry uses that literally. Token-occurrence cell increments replay as
+  three parquet micro-batches through ``applyInPandasWithState``
+  grouped BY CELL — the state store holds exactly the depth*width
+  sketch cells (bounded regardless of stream volume; an exact streaming
+  top-k would hold the whole Zipf-tailed vocabulary). The latest
+  update-mode emission per cell is the sketch; estimation + top-k run
+  batch-side over it, and the result must hash-equal the one-shot batch
+  sketch — the oracle IS the batch entry's SQL, extending the
+  batch=stream equivalence family from sums/CUSUM/CDC to sketches.
+
+Reference parity note: the reference ETL (follower.py:55-294) maintains
+no indexes or sketches; both entries are scale-path operators the
+100 TB deployment needs beyond the reference's surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog_core import _replay_dir
+from .catalog_llm import EMB_DIM, IVF_K
+from .catalog_round5 import (
+    _adc_lut_sql, _CMS_D, _CMS_K, _CMS_SQL, _CMS_W, _pq_block_sql,
+    _PQ_BLOCKS, _PQ_CODES,
+)
+from .registry import load_table, register
+
+# ---------------------------------------------------------------------------
+# persisted IVF-PQ index: train -> persist -> load -> search
+# ---------------------------------------------------------------------------
+
+_IPQ_NPROBE = 2
+_IPQ_QMOD = 50     # query batch: vec_id % 50 == 0 (10 queries at sf0.01)
+_IPQ_TOPK = 5
+_IPQ_BUCKETS = 4
+
+_COS6 = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _ivf_pq_persist_sql() -> str:
+    blocks = range(_PQ_BLOCKS)
+    return (
+        f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {IVF_K}),
+asg AS (SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS6.format(a='e.v', b='c.cv')} DESC, c.cid DESC) AS rn
+    FROM e, c) WHERE rn = 1),
+cb AS (SELECT list(v ORDER BY vec_id) AS cbs
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_PQ_CODES})),
+d AS (SELECT vec_id, """
+        + ", ".join(f"{_pq_block_sql(bi)} AS db_{bi}" for bi in blocks)
+        + """ FROM e, cb),
+codes AS (SELECT vec_id, """
+        + ", ".join(
+            f"list_position(db_{bi}, list_min(db_{bi})) AS code_{bi}"
+            for bi in blocks
+        )
+        + f""" FROM d),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {_IPQ_QMOD} = 0),
+probe AS (SELECT qid, cid FROM (
+    SELECT qs.qid, c.cid,
+           row_number() OVER (PARTITION BY qs.qid
+               ORDER BY {_COS6.format(a='c.cv', b='qs.qv')} DESC, c.cid DESC) AS rn
+    FROM qs, c) WHERE rn <= {_IPQ_NPROBE}),
+luts AS (SELECT qid, """
+        + ", ".join(f"{_adc_lut_sql(bi)} AS lut_{bi}" for bi in blocks)
+        + """ FROM qs, cb),
+cand AS (SELECT p.qid, a.vec_id,
+                round("""
+        + " + ".join(f"l.lut_{bi}[co.code_{bi}]" for bi in blocks)
+        + f""", 6) AS adc_dist
+         FROM probe p
+              JOIN asg a ON a.cell = p.cid
+              JOIN codes co ON co.vec_id = a.vec_id
+              JOIN luts l ON l.qid = p.qid
+         WHERE a.vec_id <> p.qid)
+SELECT qid, vec_id, rnk, adc_dist FROM (
+    SELECT qid, vec_id, adc_dist,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY adc_dist ASC, vec_id ASC)::INT AS rnk
+    FROM cand) WHERE rnk <= {_IPQ_TOPK}"""
+    )
+
+
+@register(
+    "llm_ann_ivf_pq_persist",
+    _ivf_pq_persist_sql(),
+    doc="PERSISTED IVF-PQ index (r11 verdict item 7): train the "
+        f"{IVF_K}-cell IVF centroid set (md5-ordered fixed-K — "
+        "deterministic, size independent of the corpus) and the "
+        f"{_PQ_CODES}-entry/{_PQ_BLOCKS}-block PQ codebook; encode the "
+        "corpus to (vec_id, cell, codes); persist the encoded corpus "
+        "via storage.write_bucketed PARTITIONED BY cell + BUCKETED BY "
+        "vec_id (probe filters prune cell directories at plan time — "
+        "PartitionFilters in the scan — and id joins stay pre-hashed), "
+        "with the centroids/codebook as side tables; then LOAD "
+        "everything back and ADC-search a query batch "
+        f"(vec_id % {_IPQ_QMOD} == 0, top-{_IPQ_TOPK}, "
+        f"nprobe={_IPQ_NPROBE}) using only read-back artifacts: the "
+        "per-query LUT build touches the 8-row codebook, the scan "
+        "reads ~nprobe/K of the corpus as 4-byte codes, never floats. "
+        "All similarities/distances round before every argmax/argmin "
+        "(ties: larger cid for cells, lower code for PQ, lower vec_id "
+        "for rank) so both engines pick identical cells, codes, and "
+        "ranks. SCALE: train is one O(n*K) broadcast pass + O(n*codes) "
+        "encode; search cost is independent of build (probed "
+        "partitions only) — the economics the persisted graph index "
+        "already certifies, now for the quantized family.",
+    tags=("llm", "similarity", "ann", "storage", "scale"),
+)
+def llm_ann_ivf_pq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.similarity import (
+        _as_double, dot, fixed_centroids, norm, pq_quantize,
+    )
+    from ..operators.storage import write_bucketed
+
+    scratch = _replay_dir("ivf_pq_persist")
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    sub = EMB_DIM // _PQ_BLOCKS
+
+    # ---- TRAIN: centroids + codebook; ENCODE the corpus ----------------
+    cents = fixed_centroids(e, IVF_K)  # (cid, cv), md5-deterministic
+    cb = (
+        e.orderBy("vec_id")
+        .limit(_PQ_CODES)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("vec_id"))
+            .alias("code"),  # 1-based, matching array_position/list_position
+            F.col("v").alias("cv"),
+        )
+    )
+    assigned = (
+        e.withColumn("nrm", norm(F.col("v")))
+        .crossJoin(F.broadcast(cents.withColumn("ncv", norm(F.col("cv")))))
+        .select(
+            "vec_id",
+            "cid",
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("ncv")),
+                6,
+            ).alias("asim"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max(F.struct("asim", "cid"))["cid"].alias("cell"))
+    )
+    codes = pq_quantize(
+        emb, n_blocks=_PQ_BLOCKS, n_codes=_PQ_CODES, dim=EMB_DIM
+    ).drop("mse")
+    index = assigned.join(codes, "vec_id").select(
+        "vec_id", *[f"code_{bi}" for bi in range(_PQ_BLOCKS)], "cell"
+    )
+
+    # ---- PERSIST: partition-pruned + pre-hashed layout ------------------
+    write_bucketed(
+        index, "sg_ivfpq_codes", ["vec_id"], num_buckets=_IPQ_BUCKETS,
+        sort_cols=["vec_id"], mode="overwrite",
+        path=os.path.join(scratch, "codes"), partition_cols=["cell"],
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(scratch, "centroids"))
+    cb.write.mode("overwrite").parquet(os.path.join(scratch, "codebook"))
+
+    # ---- LOAD + SEARCH against the stored index only ---------------------
+    codes_r = spark.table("sg_ivfpq_codes")
+    cents_r = spark.read.parquet(os.path.join(scratch, "centroids"))
+    cb_r = spark.read.parquet(os.path.join(scratch, "codebook"))
+
+    qs = e.filter(F.col("vec_id") % _IPQ_QMOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        norm(F.col("v")).alias("qn"),
+    )
+    probe = (
+        qs.crossJoin(F.broadcast(cents_r.withColumn("ncv", norm(F.col("cv")))))
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                dot(F.col("cv"), F.col("qv")) / (F.col("ncv") * F.col("qn")),
+                6,
+            ).alias("qsim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("qsim"), F.desc("cid")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _IPQ_NPROBE)
+        .select("qid", "cid")
+        .localCheckpoint(eager=True)  # consumed twice: cell list + join
+    )
+    # bounded O(K) collect: the DISTINCT probed cells (<= IVF_K values
+    # however large the query batch is) become literal partition filters
+    # so the index scan prunes unprobed cell directories at plan time
+    probed_cells = sorted(
+        r["cid"] for r in probe.select("cid").distinct().collect()
+    )
+
+    def lut_dist(bi: int) -> F.Column:
+        qsl = F.slice(F.col("qv"), bi * sub + 1, sub)
+        csl = F.slice(F.col("cv"), bi * sub + 1, sub)
+        return F.round(
+            F.aggregate(
+                F.zip_with(qsl, csl, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+            6,
+        )
+
+    luts = (
+        qs.crossJoin(F.broadcast(cb_r))
+        .select(
+            "qid",
+            "code",
+            *[lut_dist(bi).alias(f"ld_{bi}") for bi in range(_PQ_BLOCKS)],
+        )
+        # consumed once per block join below: materialize the
+        # O(queries x codes) LUT once instead of re-scanning the query
+        # batch + codebook four times
+        .localCheckpoint(eager=False)
+    )
+
+    cand = codes_r.filter(F.col("cell").isin(probed_cells)).join(
+        F.broadcast(probe), codes_r["cell"] == probe["cid"]
+    )
+    for bi in range(_PQ_BLOCKS):
+        lb = luts.select(
+            F.col("qid").alias(f"q{bi}"),
+            F.col("code").alias(f"code_{bi}"),
+            f"ld_{bi}",
+        )
+        cand = cand.join(
+            F.broadcast(lb),
+            (F.col("qid") == F.col(f"q{bi}"))
+            & (cand[f"code_{bi}"] == lb[f"code_{bi}"]),
+        ).drop(f"q{bi}")
+    adc = F.lit(0.0)
+    for bi in range(_PQ_BLOCKS):
+        adc = adc + F.col(f"ld_{bi}")
+    ranked = (
+        cand.filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(adc, 6).alias("adc_dist"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.asc("adc_dist"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= _IPQ_TOPK)
+    )
+    return ranked.select("qid", "vec_id", "rnk", "adc_dist")
+
+
+# ---------------------------------------------------------------------------
+# streaming heavy hitters: CMS maintained in per-cell state
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_heavy_hitters_replay",
+    _CMS_SQL,
+    doc="Stateful streaming top-k via a Count-Min Sketch maintained in "
+        "per-cell state (r11 verdict item 8): documents replay as three "
+        "parquet micro-batches; each batch's token-occurrence cell "
+        "increments (same hash32 buckets as the batch sketch — shared "
+        "cms_token_buckets) flow through applyInPandasWithState grouped "
+        f"by (d, b), so the state store holds exactly the {_CMS_D}x"
+        f"{_CMS_W} sketch cells no matter how much text streams through "
+        "— the CMS's cell-wise mergeability used literally (an exact "
+        "streaming top-k would keep the full Zipf vocabulary in state). "
+        "The last update-mode emission per cell is the sketch; "
+        "candidate estimation + top-k run batch-side over it "
+        "(shared cms_estimate_topk), and the oracle IS the batch "
+        "entry's SQL — the batch=stream equivalence family (totals, "
+        "CUSUM, CDC, rollup) extended to sketches.",
+    tags=("streaming", "stateful", "sketch", "llm"),
+)
+def stream_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.text import (
+        cms_cell_increments, cms_estimate_topk, cms_token_buckets,
+    )
+    from ..streaming.stateful import cms_cells_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = _replay_dir("stream_cms/src")
+    res = _replay_dir("stream_cms/res")
+    ckpt = _replay_dir("stream_cms/ckpt")
+    for i in range(3):
+        batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        (
+            cms_cell_increments(
+                cms_token_buckets(batch, depth=_CMS_D, width=_CMS_W),
+                depth=_CMS_D,
+            )
+            .select(F.col("d").cast("int"), F.col("b").cast("int"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema("d int, b int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        cms_cells_stream(stream)
+        .writeStream.foreachBatch(
+            lambda df, bid: df.withColumn("batch_id", F.lit(bid))
+            .write.mode("append")
+            .parquet(res)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    outs = spark.read.parquet(res)
+    w = Window.partitionBy("d", "b").orderBy(F.desc("batch_id"))
+    cells = (
+        outs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("d", "b", F.col("c").cast("long").alias("c"))
+    )
+    tb = cms_token_buckets(docs, depth=_CMS_D, width=_CMS_W).localCheckpoint(
+        eager=False
+    )
+    return cms_estimate_topk(tb, cells, depth=_CMS_D, k=_CMS_K)

@@ -95,6 +95,7 @@ from . import catalog_round10f  # noqa: F401  (snapshot diff, schema evolution)
 from . import catalog_round10g  # noqa: F401  (RBO agreement, conversion latency)
 from . import catalog_round10h  # noqa: F401  (JL projection, timed funnel, BFS)
 from . import catalog_round11  # noqa: F401  (batched k-center, persisted ANN graph)
+from . import catalog_round12  # noqa: F401  (persisted IVF-PQ, streaming CMS)
 
 STALENESS_BUDGET_ROUNDS: int = 7
 

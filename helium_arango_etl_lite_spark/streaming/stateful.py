@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType,
+    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
 )
 
 RUNNING_TOTALS_SCHEMA = StructType(
@@ -449,6 +449,58 @@ def attribution_stream(events: DataFrame) -> DataFrame:
         _attr_update,
         outputStructType=ATTR_SCHEMA,
         stateStructType=ATTR_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming Count-Min Sketch maintenance (round 12 — r11 verdict item 8)
+# ---------------------------------------------------------------------------
+
+CMS_CELLS_SCHEMA = StructType(
+    [
+        StructField("d", IntegerType(), False),
+        StructField("b", IntegerType(), False),
+        StructField("c", LongType(), False),
+    ]
+)
+
+CMS_CELLS_STATE = StructType([StructField("c", LongType(), False)])
+
+
+def _update_cms_cell(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Accumulate one CMS cell's count across micro-batches. Each input
+    row is one increment for this ``(d, b)`` cell; the state is the
+    running cell value — the sketch's cell-wise mergeability
+    (``llm_heavy_hitters_cms``'s docstring claim) used literally: the
+    state store IS the sketch, bounded at depth*width cells no matter
+    how much text streams through."""
+    c = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        c += len(pdf)
+    state.update((c,))
+    yield pd.DataFrame({"d": [key[0]], "b": [key[1]], "c": [c]})
+
+
+def cms_cells_stream(increments: DataFrame) -> DataFrame:
+    """Maintain a Count-Min Sketch over an unbounded increment stream.
+
+    ``increments`` is a stream of ``(d, b)`` cell-increment rows (one
+    per token occurrence per hash row — ``operators/llm/text.py
+    cms_cell_increments``). Emits each touched cell's RUNNING count per
+    micro-batch in update mode; the latest emission per cell is the
+    sketch, and estimation/top-k runs batch-side over it
+    (``cms_estimate_topk``). State is bounded by construction at
+    depth*width keys — the whole point of sketching the stream instead
+    of keeping per-token counts (an exact streaming top-k would hold
+    the full Zipf-tailed vocabulary in state)."""
+    return increments.groupBy("d", "b").applyInPandasWithState(
+        _update_cms_cell,
+        outputStructType=CMS_CELLS_SCHEMA,
+        stateStructType=CMS_CELLS_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1,0 +1,195 @@
+"""Targeted tests for the round-12 entries — oracle parity covers value
+equality; these pin what the oracle compare can't see: that the
+persisted IVF-PQ index really is a partition-pruned stored layout whose
+search equals the recompute-everything path, and that the streaming CMS
+keeps bounded state and matches the one-shot batch sketch cell-for-cell.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from helium_arango_etl_lite_spark.plans.catalog_round12 import (
+    _IPQ_QMOD,
+    _IPQ_TOPK,
+    llm_ann_ivf_pq_persist,
+    stream_heavy_hitters_replay,
+)
+
+
+def _formatted_plan(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+
+
+def test_ivf_pq_persist_scan_is_partition_pruned_and_bucketed(spark, sf_dir):
+    df = llm_ann_ivf_pq_persist(spark, sf_dir)
+    plan = _formatted_plan(df)
+    scan = [
+        block for block in plan.split("\n\n")
+        if "sg_ivfpq_codes" in block and "PartitionFilters" in block
+    ]
+    assert scan, "stored index scan with PartitionFilters not found"
+    assert "Bucketed: true" in scan[0]
+    assert "INSET" in scan[0] or "cell" in scan[0].split("PartitionFilters")[1]
+
+
+def test_ivf_pq_persist_output_shape(spark, sf_dir):
+    rows = llm_ann_ivf_pq_persist(spark, sf_dir).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["qid"] % _IPQ_QMOD == 0
+        assert r["vec_id"] != r["qid"], "query must not match itself"
+        assert r["adc_dist"] >= 0.0
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _IPQ_TOPK
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists), f"ranks not by distance for {qid}"
+
+
+def test_ivf_pq_persist_rerun_is_idempotent(spark, sf_dir):
+    a = {
+        (r["qid"], r["rnk"]): (r["vec_id"], r["adc_dist"])
+        for r in llm_ann_ivf_pq_persist(spark, sf_dir).collect()
+    }
+    b = {
+        (r["qid"], r["rnk"]): (r["vec_id"], r["adc_dist"])
+        for r in llm_ann_ivf_pq_persist(spark, sf_dir).collect()
+    }
+    assert a == b
+
+
+def test_ivf_pq_persist_search_matches_unpersisted_adc(spark, sf_dir):
+    """For the query vec 0 (the one llm_ann_ivf_pq searches), the
+    persisted-index ADC distances must equal pq_adc_topk's for every
+    candidate that lies in vec 0's probed cells — same codebook, same
+    codes, same LUT arithmetic; the only difference is the IVF probe
+    restricting the candidate set."""
+    from helium_arango_etl_lite_spark.operators.llm.similarity import (
+        pq_adc_topk,
+    )
+    from helium_arango_etl_lite_spark.plans.catalog_round5 import (
+        _PQ_BLOCKS, _PQ_CODES,
+    )
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    persisted = {
+        r["vec_id"]: r["adc_dist"]
+        for r in llm_ann_ivf_pq_persist(spark, sf_dir).collect()
+        if r["qid"] == 0
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq_adc_topk(
+            emb, k=emb.count(), query_id=0,
+            n_blocks=_PQ_BLOCKS, n_codes=_PQ_CODES,
+        ).collect()
+    }
+    assert persisted, "query 0 returned no rows"
+    for vid, d in persisted.items():
+        assert abs(full[vid] - d) < 1e-9, (vid, full[vid], d)
+
+
+def test_stream_cms_equals_batch_sketch(spark, sf_dir):
+    """The replay's final output must be row-identical to the one-shot
+    batch sketch — the batch=stream equivalence this entry certifies."""
+    from helium_arango_etl_lite_spark.plans.catalog_round5 import (
+        llm_heavy_hitters_cms,
+    )
+
+    stream_rows = [
+        (r["token"], r["est_count"])
+        for r in stream_heavy_hitters_replay(spark, sf_dir).collect()
+    ]
+    batch_rows = [
+        (r["token"], r["est_count"])
+        for r in llm_heavy_hitters_cms(spark, sf_dir).collect()
+    ]
+    assert stream_rows == batch_rows
+
+
+def test_stream_cms_state_is_bounded(spark, sf_dir):
+    """The state store holds at most depth*width cells — the sketch
+    bound that makes streaming heavy hitters viable at 100 TB. Verified
+    on the emitted cells: every (d, b) is inside the sketch grid and
+    the cell count never exceeds it."""
+    from helium_arango_etl_lite_spark.operators.llm.text import (
+        cms_cell_increments, cms_token_buckets,
+    )
+    from helium_arango_etl_lite_spark.plans.catalog_round5 import (
+        _CMS_D, _CMS_W,
+    )
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+    from helium_arango_etl_lite_spark.streaming.stateful import (
+        cms_cells_stream,
+    )
+    from helium_arango_etl_lite_spark.plans.catalog_core import _replay_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = _replay_dir("stream_cms_test/src")
+    res = _replay_dir("stream_cms_test/res")
+    ckpt = _replay_dir("stream_cms_test/ckpt")
+    for i in range(2):
+        (
+            cms_cell_increments(
+                cms_token_buckets(
+                    docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == i),
+                    depth=_CMS_D, width=_CMS_W,
+                ),
+                depth=_CMS_D,
+            )
+            .select(F.col("d").cast("int"), F.col("b").cast("int"))
+            .coalesce(1).write.mode("append").parquet(src)
+        )
+    stream = (
+        spark.readStream.schema("d int, b int")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        cms_cells_stream(stream)
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(res)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cells = spark.read.parquet(res)
+    distinct_cells = cells.select("d", "b").distinct().count()
+    assert distinct_cells <= _CMS_D * _CMS_W
+    bad = cells.filter(
+        (F.col("d") < 0) | (F.col("d") >= _CMS_D)
+        | (F.col("b") < 0) | (F.col("b") >= _CMS_W)
+    ).count()
+    assert bad == 0
+
+
+def test_stream_cms_estimates_dominate_truth(spark, sf_dir):
+    """CMS estimates are >= true counts by construction, through the
+    streaming path too."""
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    est = {
+        r["token"]: r["est_count"]
+        for r in stream_heavy_hitters_replay(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        r["t"]: r["n"]
+        for r in docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("t")
+        )
+        .groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("t").isin(list(est)))
+        .collect()
+    }
+    for tok, e in est.items():
+        assert e >= truth.get(tok, 0), (tok, e, truth.get(tok))

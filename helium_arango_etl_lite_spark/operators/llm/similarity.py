@@ -1639,3 +1639,184 @@ def ndcg_at_k(
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF-PQ index kernels (round 12 — r11 verdict item 7)
+# ---------------------------------------------------------------------------
+
+
+def ivf_pq_build(
+    emb: DataFrame, num_centroids: int = 32, n_blocks: int = 4,
+    n_codes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None, assign_dp: int = 6, dist_dp: int = 6,
+):
+    """TRAIN + ENCODE for the persisted IVF-PQ index: returns
+    ``(index, cents, cb)`` where ``index`` is the encoded corpus
+    ``(vec_id, code_0..code_{B-1}, cell)`` ready for
+    ``storage.write_bucketed(partition_cols=["cell"])``, ``cents`` the
+    ``(cid, cv)`` IVF centroid frame (:func:`fixed_centroids` — the
+    deterministic seed set a k-means refinement would start from; the
+    assignment dataflow is identical either way), and ``cb`` the
+    ``(code, cv)`` PQ codebook with 1-based codes matching
+    array_position/list_position.
+
+    Scale shape: one O(n*K) broadcast argmax pass for cells (the
+    ivf_topk assignment dataflow) + the O(n*codes) map-only
+    :func:`pq_quantize` encode; both round before their arg-extremum
+    (ties: larger cid, lower code) so the oracle picks identically.
+    Shared by ``llm_ann_ivf_pq_persist`` and the round-12 soak.
+    """
+    from pyspark.sql import Window
+
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
+    )
+    if dim is None:
+        dim = _infer_dim(e)
+    cents = fixed_centroids(e, num_centroids)
+    cb = (
+        e.orderBy("vec_id")
+        .limit(n_codes)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("code"),
+            F.col("v").alias("cv"),
+        )
+    )
+    assigned = (
+        e.withColumn("nrm", norm(F.col("v")))
+        .crossJoin(F.broadcast(cents.withColumn("ncv", norm(F.col("cv")))))
+        .select(
+            "vec_id",
+            "cid",
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("ncv")),
+                assign_dp,
+            ).alias("asim"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max(F.struct("asim", "cid"))["cid"].alias("cell"))
+    )
+    codes = pq_quantize(
+        e, n_blocks=n_blocks, n_codes=n_codes, id_col="vec_id",
+        vec_col="v", dim=dim, dist_dp=dist_dp,
+    ).drop("mse")
+    index = assigned.join(codes, "vec_id").select(
+        "vec_id", *[f"code_{bi}" for bi in range(n_blocks)], "cell"
+    )
+    return index, cents, cb
+
+
+def ivf_pq_adc_search(
+    queries: DataFrame, codes: DataFrame, cents: DataFrame, cb: DataFrame,
+    dim: int, n_blocks: int = 4, nprobe: int = 2, topk: int = 5,
+    assign_dp: int = 6, dist_dp: int = 6,
+) -> DataFrame:
+    """ADC search over a (typically read-back) IVF-PQ index.
+
+    ``queries`` is ``(qid, qv)`` full-precision query vectors; ``codes``
+    / ``cents`` / ``cb`` are the stored index artifacts (the caller
+    reads them back — this function never touches the original corpus
+    floats, the asymmetric-distance contract).
+
+    Plan shape, scale-first: (1) probe — broadcast the K-row centroid
+    frame against the query batch, top-``nprobe`` cells per query by
+    rounded cosine (window, tie larger cid); (2) a bounded O(K) collect
+    of the DISTINCT probed cells becomes a literal IN filter, so the
+    index scan prunes unprobed cell PARTITIONS at plan time
+    (PartitionFilters — the point of persisting partitioned by cell);
+    (3) the per-query LUT (``queries x codes`` rows, each a rounded
+    block-L2 against the 8-row broadcast codebook) is materialized once
+    and broadcast into one join per block; (4) per-candidate distance
+    is ``n_blocks`` lookups summed left-to-right, rounded, ranked per
+    query by (adc_dist, vec_id) — TakeOrdered semantics via
+    row_number <= topk. Returns ``(qid, vec_id, rnk, adc_dist)``.
+    """
+    from pyspark.sql import Window
+
+    sub = dim // n_blocks
+    qs = queries.select(
+        "qid", "qv", norm(F.col("qv")).alias("qn")
+    )
+    probe = (
+        qs.crossJoin(F.broadcast(cents.withColumn("ncv", norm(F.col("cv")))))
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                dot(F.col("cv"), F.col("qv")) / (F.col("ncv") * F.col("qn")),
+                assign_dp,
+            ).alias("qsim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("qsim"), F.desc("cid")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "cid")
+        .localCheckpoint(eager=True)  # consumed twice: cell list + join
+    )
+    probed_cells = sorted(
+        r["cid"] for r in probe.select("cid").distinct().collect()
+    )
+
+    def lut_dist(bi: int):
+        qsl = F.slice(F.col("qv"), bi * sub + 1, sub)
+        csl = F.slice(F.col("cv"), bi * sub + 1, sub)
+        return F.round(
+            F.aggregate(
+                F.zip_with(qsl, csl, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+            dist_dp,
+        )
+
+    luts = (
+        qs.crossJoin(F.broadcast(cb))
+        .select(
+            "qid",
+            "code",
+            *[lut_dist(bi).alias(f"ld_{bi}") for bi in range(n_blocks)],
+        )
+        # consumed once per block join: materialize the O(queries x
+        # codes) LUT once instead of re-scanning the query batch +
+        # codebook n_blocks times
+        .localCheckpoint(eager=False)
+    )
+
+    cand = codes.filter(F.col("cell").isin(probed_cells)).join(
+        F.broadcast(probe), codes["cell"] == probe["cid"]
+    )
+    for bi in range(n_blocks):
+        lb = luts.select(
+            F.col("qid").alias(f"q{bi}"),
+            F.col("code").alias(f"code_{bi}"),
+            f"ld_{bi}",
+        )
+        cand = cand.join(
+            F.broadcast(lb),
+            (F.col("qid") == F.col(f"q{bi}"))
+            & (cand[f"code_{bi}"] == lb[f"code_{bi}"]),
+        ).drop(f"q{bi}")
+    adc = F.lit(0.0)
+    for bi in range(n_blocks):
+        adc = adc + F.col(f"ld_{bi}")
+    return (
+        cand.filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(adc, dist_dp).alias("adc_dist"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.asc("adc_dist"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= topk)
+        .select("qid", "vec_id", "rnk", "adc_dist")
+    )

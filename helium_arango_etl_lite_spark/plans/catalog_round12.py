@@ -36,9 +36,20 @@ selection, and adjudication — done in-place, not operators).
   sketch — the oracle IS the batch entry's SQL, extending the
   batch=stream equivalence family from sums/CUSUM/CDC to sketches.
 
+* ``stream_session_ooo_replay`` — OUT-OF-ORDER sessionization: the
+  existing ``stream_session_replay`` (round 8b) replays event-time-split
+  batches, so its state can be just the open session. This entry splits
+  by ``event_id % 3`` instead — every batch spans the whole timeline,
+  late events land BETWEEN existing sessions and must FUSE them — and
+  the stateful operator keeps the user's full interval list (bounded by
+  session count) with a classic interval merge. Same gap semantics,
+  same gaps-and-islands oracle, now certified under adversarial
+  arrival order — the late-data case a watermarked ``session_window``
+  only handles within its horizon.
+
 Reference parity note: the reference ETL (follower.py:55-294) maintains
-no indexes or sketches; both entries are scale-path operators the
-100 TB deployment needs beyond the reference's surface.
+no indexes, sketches, or sessions; all three entries are scale-path
+operators the 100 TB deployment needs beyond the reference's surface.
 """
 
 from __future__ import annotations
@@ -147,46 +158,17 @@ SELECT qid, vec_id, rnk, adc_dist FROM (
 )
 def llm_ann_ivf_pq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.llm.similarity import (
-        _as_double, dot, fixed_centroids, norm, pq_quantize,
+        _as_double, ivf_pq_adc_search, ivf_pq_build,
     )
     from ..operators.storage import write_bucketed
 
     scratch = _replay_dir("ivf_pq_persist")
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", _as_double("embedding").alias("v"))
-    sub = EMB_DIM // _PQ_BLOCKS
 
-    # ---- TRAIN: centroids + codebook; ENCODE the corpus ----------------
-    cents = fixed_centroids(e, IVF_K)  # (cid, cv), md5-deterministic
-    cb = (
-        e.orderBy("vec_id")
-        .limit(_PQ_CODES)
-        .select(
-            F.row_number()
-            .over(Window.orderBy("vec_id"))
-            .alias("code"),  # 1-based, matching array_position/list_position
-            F.col("v").alias("cv"),
-        )
-    )
-    assigned = (
-        e.withColumn("nrm", norm(F.col("v")))
-        .crossJoin(F.broadcast(cents.withColumn("ncv", norm(F.col("cv")))))
-        .select(
-            "vec_id",
-            "cid",
-            F.round(
-                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("ncv")),
-                6,
-            ).alias("asim"),
-        )
-        .groupBy("vec_id")
-        .agg(F.max(F.struct("asim", "cid"))["cid"].alias("cell"))
-    )
-    codes = pq_quantize(
-        emb, n_blocks=_PQ_BLOCKS, n_codes=_PQ_CODES, dim=EMB_DIM
-    ).drop("mse")
-    index = assigned.join(codes, "vec_id").select(
-        "vec_id", *[f"code_{bi}" for bi in range(_PQ_BLOCKS)], "cell"
+    # ---- TRAIN + ENCODE (shared kernel with the round-12 soak) ---------
+    index, cents, cb = ivf_pq_build(
+        emb, num_centroids=IVF_K, n_blocks=_PQ_BLOCKS, n_codes=_PQ_CODES,
+        dim=EMB_DIM,
     )
 
     # ---- PERSIST: partition-pruned + pre-hashed layout ------------------
@@ -199,100 +181,17 @@ def llm_ann_ivf_pq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb.write.mode("overwrite").parquet(os.path.join(scratch, "codebook"))
 
     # ---- LOAD + SEARCH against the stored index only ---------------------
-    codes_r = spark.table("sg_ivfpq_codes")
-    cents_r = spark.read.parquet(os.path.join(scratch, "centroids"))
-    cb_r = spark.read.parquet(os.path.join(scratch, "codebook"))
-
-    qs = e.filter(F.col("vec_id") % _IPQ_QMOD == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("qv"),
-        norm(F.col("v")).alias("qn"),
+    qs = emb.select(
+        F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv")
+    ).filter(F.col("qid") % _IPQ_QMOD == 0)
+    return ivf_pq_adc_search(
+        qs,
+        spark.table("sg_ivfpq_codes"),
+        spark.read.parquet(os.path.join(scratch, "centroids")),
+        spark.read.parquet(os.path.join(scratch, "codebook")),
+        dim=EMB_DIM, n_blocks=_PQ_BLOCKS, nprobe=_IPQ_NPROBE,
+        topk=_IPQ_TOPK,
     )
-    probe = (
-        qs.crossJoin(F.broadcast(cents_r.withColumn("ncv", norm(F.col("cv")))))
-        .select(
-            "qid",
-            "cid",
-            F.round(
-                dot(F.col("cv"), F.col("qv")) / (F.col("ncv") * F.col("qn")),
-                6,
-            ).alias("qsim"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(
-                    F.desc("qsim"), F.desc("cid")
-                )
-            ),
-        )
-        .filter(F.col("rn") <= _IPQ_NPROBE)
-        .select("qid", "cid")
-        .localCheckpoint(eager=True)  # consumed twice: cell list + join
-    )
-    # bounded O(K) collect: the DISTINCT probed cells (<= IVF_K values
-    # however large the query batch is) become literal partition filters
-    # so the index scan prunes unprobed cell directories at plan time
-    probed_cells = sorted(
-        r["cid"] for r in probe.select("cid").distinct().collect()
-    )
-
-    def lut_dist(bi: int) -> F.Column:
-        qsl = F.slice(F.col("qv"), bi * sub + 1, sub)
-        csl = F.slice(F.col("cv"), bi * sub + 1, sub)
-        return F.round(
-            F.aggregate(
-                F.zip_with(qsl, csl, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            ),
-            6,
-        )
-
-    luts = (
-        qs.crossJoin(F.broadcast(cb_r))
-        .select(
-            "qid",
-            "code",
-            *[lut_dist(bi).alias(f"ld_{bi}") for bi in range(_PQ_BLOCKS)],
-        )
-        # consumed once per block join below: materialize the
-        # O(queries x codes) LUT once instead of re-scanning the query
-        # batch + codebook four times
-        .localCheckpoint(eager=False)
-    )
-
-    cand = codes_r.filter(F.col("cell").isin(probed_cells)).join(
-        F.broadcast(probe), codes_r["cell"] == probe["cid"]
-    )
-    for bi in range(_PQ_BLOCKS):
-        lb = luts.select(
-            F.col("qid").alias(f"q{bi}"),
-            F.col("code").alias(f"code_{bi}"),
-            f"ld_{bi}",
-        )
-        cand = cand.join(
-            F.broadcast(lb),
-            (F.col("qid") == F.col(f"q{bi}"))
-            & (cand[f"code_{bi}"] == lb[f"code_{bi}"]),
-        ).drop(f"q{bi}")
-    adc = F.lit(0.0)
-    for bi in range(_PQ_BLOCKS):
-        adc = adc + F.col(f"ld_{bi}")
-    ranked = (
-        cand.filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", F.round(adc, 6).alias("adc_dist"))
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(
-                    F.asc("adc_dist"), F.asc("vec_id")
-                )
-            ),
-        )
-        .filter(F.col("rnk") <= _IPQ_TOPK)
-    )
-    return ranked.select("qid", "vec_id", "rnk", "adc_dist")
 
 
 # ---------------------------------------------------------------------------
@@ -370,3 +269,90 @@ def stream_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     return cms_estimate_topk(tb, cells, depth=_CMS_D, k=_CMS_K)
+
+
+# ---------------------------------------------------------------------------
+# out-of-order sessionization: late events FUSE sessions, exactly
+# ---------------------------------------------------------------------------
+
+
+def _sess_ooo_sql() -> str:
+    from .catalog_round8b import _SESS_SQL
+
+    return _SESS_SQL
+
+
+@register(
+    "stream_session_ooo_replay",
+    _sess_ooo_sql(),
+    doc="OUT-OF-ORDER streaming sessionization: the same gap semantics "
+        "as stream_session_replay, but the three micro-batches split by "
+        "event_id % 3 instead of event time — every batch spans the "
+        "whole timeline, so events routinely arrive BETWEEN already-"
+        "formed sessions and must FUSE them (the failure mode the "
+        "in-order entry's open-session state cannot express, and that "
+        "the native session_window handles only within its watermark "
+        "horizon). State per user is the full interval list [(start, "
+        "end, n, cents)] — bounded by SESSION count, not event count; "
+        "each batch a user appears in re-emits their whole current "
+        "session list and the reader keeps the last emission batch per "
+        "user, making the final rows a pure function of the complete "
+        "event set. The oracle is the identical gaps-and-islands SQL "
+        "as the in-order entry — one semantics, now certified under "
+        "adversarial arrival (streaming/stateful.py:sessionize_ooo).",
+    tags=("streaming", "stateful", "temporal"),
+)
+def stream_session_ooo_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import sessionize_ooo
+    from .registry import load_events
+
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    src = _replay_dir("stream_sess_ooo/src")
+    res = _replay_dir("stream_sess_ooo/res")
+    ckpt = _replay_dir("stream_sess_ooo/ckpt")
+    for i in range(3):
+        (
+            base.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+            .select("user_id", "ts_us", "value_c")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long, value_c long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        sessionize_ooo(stream)
+        .writeStream.foreachBatch(
+            lambda df, bid: df.withColumn("batch_id", F.lit(bid))
+            .write.mode("append")
+            .parquet(res)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    outs = spark.read.parquet(res)
+    last_b = outs.groupBy("user_id").agg(F.max("batch_id").alias("mb"))
+    return (
+        outs.join(last_b, "user_id")
+        .filter(F.col("batch_id") == F.col("mb"))
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("session_start_us")).alias(
+                "session_start"
+            ),
+            "n_events",
+            F.col("total_value_c").alias("total_cents"),
+        )
+    )

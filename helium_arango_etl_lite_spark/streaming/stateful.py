@@ -22,7 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+    ArrayType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 RUNNING_TOTALS_SCHEMA = StructType(
@@ -501,6 +502,115 @@ def cms_cells_stream(increments: DataFrame) -> DataFrame:
         _update_cms_cell,
         outputStructType=CMS_CELLS_SCHEMA,
         stateStructType=CMS_CELLS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# OUT-OF-ORDER sessionization via interval merge (round 12)
+#
+# make_session_update above requires time-ordered micro-batches (its
+# state is the single OPEN session; a closed session is final). This
+# variant drops that contract entirely: events may arrive in ANY order
+# across batches — a late event landing between two existing sessions
+# FUSES them — at the price of keeping the user's full interval list in
+# state (bounded by session count, not event count).
+# ---------------------------------------------------------------------------
+
+SESSIONIZE_OOO_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_start_us", LongType(), False),
+        StructField("session_end_us", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("total_value_c", LongType(), False),
+    ]
+)
+
+SESSIONIZE_OOO_STATE = StructType(
+    [
+        StructField("starts", ArrayType(LongType()), False),
+        StructField("ends", ArrayType(LongType()), False),
+        StructField("ns", ArrayType(LongType()), False),
+        StructField("sums", ArrayType(LongType()), False),
+    ]
+)
+
+
+def make_ooo_session_update(gap_us: int):
+    """Build the per-user sessionize update fn (closure carries the gap).
+
+    State is the user's FULL interval list [(start, end, n, sum_cents)]
+    sorted by start; each micro-batch's events arrive as (ts, cents)
+    points that are folded in by a classic interval merge: two sessions
+    merge iff the later's start minus the earlier's end is < gap. This
+    handles OUT-OF-ORDER arrival exactly — an event landing between two
+    existing sessions can fuse them into one, which the built-in
+    session_window + watermark pipeline would only get right within the
+    watermark horizon. Each batch the user appears in emits the user's
+    whole current session list; the replay keeps only the LAST
+    emission per user, which is then a pure function of the complete
+    event set — provably equal to the batch gaps-and-islands answer.
+
+    State is bounded by the user's SESSION count, not the event count
+    (n/sum accumulate; only boundaries are kept). A production deploy
+    evicts closed sessions past the watermark; the replay keeps all so
+    the batch equivalence is exact.
+    """
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            starts, ends, ns, sums = state.get
+            items = list(zip(starts, ends, ns, sums))
+        else:
+            items = []
+        for pdf in pdfs:
+            items.extend(
+                (int(t), int(t), 1, int(v))
+                for t, v in zip(pdf["ts_us"], pdf["value_c"])
+            )
+        items.sort()
+        merged: list[tuple[int, int, int, int]] = []
+        for s, e, n, v in items:
+            if merged and s - merged[-1][1] < gap_us:
+                ls, le, ln, lv = merged[-1]
+                merged[-1] = (ls, max(le, e), ln + n, lv + v)
+            else:
+                merged.append((s, e, n, v))
+        state.update(
+            (
+                [m[0] for m in merged],
+                [m[1] for m in merged],
+                [m[2] for m in merged],
+                [m[3] for m in merged],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(merged),
+                "session_start_us": [m[0] for m in merged],
+                "session_end_us": [m[1] for m in merged],
+                "n_events": [m[2] for m in merged],
+                "total_value_c": [m[3] for m in merged],
+            }
+        )
+
+    return update
+
+
+def sessionize_ooo(
+    events: DataFrame, gap_us: int = 30 * 60 * 1_000_000
+) -> DataFrame:
+    """Per-user session windows over an unbounded stream, exact under
+    out-of-order arrival (see :func:`make_ooo_session_update`). Input
+    must provide ``user_id, ts_us, value_c``."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_ooo_session_update(gap_us),
+        outputStructType=SESSIONIZE_OOO_SCHEMA,
+        stateStructType=SESSIONIZE_OOO_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -113,3 +113,90 @@ def asof_join(
         *[F.col(c) for c in left_cols],
         *[F.col(f"_asof.{c}").alias(c) for c in value_cols],
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    value_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Left as-of join, NEAREST direction (pandas
+    ``merge_asof(direction="nearest")``): each left row attaches the
+    right row of the same key whose timestamp is closest in EITHER
+    direction; exact ties go to the prior (backward) row, matching the
+    convention the backward form establishes for equal timestamps.
+
+    Same one-shuffle plan as :func:`asof_join`: tag, union, and run BOTH
+    fills over the SAME (key, ts, side) sort — a backward
+    last-ignorenulls over the preceding frame and a forward
+    first-ignorenulls over the following frame. Two frames on one window
+    spec stay inside one WindowExec after one Exchange, so the nearest
+    direction costs the same single shuffle as backward-only (no
+    range-join blow-up, no second sort). Whole-row structs fill (never
+    per-column — the r11 splice lesson), and the winner is chosen per
+    row by comparing the two distances (interval or numeric — any type
+    supporting subtraction and <=).
+
+    Equal-timestamp notes: a right row at exactly left.ts is a
+    backward match at distance zero (right sorts before left), so it
+    always wins the tie — the forward frame deliberately starts strictly
+    after the current row and can never shadow it.
+    """
+    left_cols = left.columns
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c) for c in value_cols],
+        ).alias("_vals"),
+        *[F.lit(None).alias(c) for c in left_cols if c != key],
+    )
+    l = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None)
+        .cast(
+            T.StructType(
+                [T.StructField("__rts", right.schema[right_ts].dataType)]
+                + [
+                    T.StructField(c, right.schema[c].dataType)
+                    for c in value_cols
+                ]
+            )
+        )
+        .alias("_vals"),
+        *[F.col(c) for c in left_cols if c != key],
+    )
+    unioned = r.unionByName(l)
+    wb = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        "*",
+        F.last(F.col("_vals"), ignorenulls=True).over(wb).alias("_back"),
+        F.first(F.col("_vals"), ignorenulls=True).over(wf).alias("_fwd"),
+    )
+    out = filled.filter(F.col("_side") == 1)
+    db = F.col("_ts") - F.col("_back.__rts")
+    df_ = F.col("_fwd.__rts") - F.col("_ts")
+    take_back = F.col("_back").isNotNull() & (
+        F.col("_fwd").isNull() | (db <= df_)
+    )
+    chosen = F.when(take_back, F.col("_back")).otherwise(F.col("_fwd"))
+    return out.select(
+        *[F.col(c) for c in left_cols],
+        *[chosen[c].alias(c) for c in value_cols],
+    )

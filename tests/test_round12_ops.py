@@ -282,3 +282,68 @@ def test_ooo_replay_matches_native_session_window(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_asof_nearest_picks_closest_with_backward_ties(spark):
+    """Synthetic grid: left rows at t=10,20,30; right rows at t=8,22.
+    Nearest: t=10 -> 8 (d2 vs 12), t=20 -> 22 (d2 beats d12),
+    t=30 -> 22. Tie case: left at t=15 (d7 both sides) -> backward (8)."""
+    from helium_arango_etl_lite_spark.operators.temporal import (
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 15), (1, 20), (1, 30), (2, 5)],
+        "k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 80.0), (1, 22, 220.0)], "k long, ts long, val double"
+    )
+    got = {
+        (r["k"], r["ts"]): r["val"]
+        for r in asof_join_nearest(
+            left, right, key="k", value_cols=["val"]
+        ).collect()
+    }
+    assert got == {
+        (1, 10): 80.0,
+        (1, 15): 80.0,   # exact tie -> backward
+        (1, 20): 220.0,
+        (1, 30): 220.0,
+        (2, 5): None,    # no right rows for key 2
+    }
+
+
+def test_asof_nearest_equal_ts_is_backward_distance_zero(spark):
+    from helium_arango_etl_lite_spark.operators.temporal import (
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame([(1, 22)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 22, 220.0), (1, 23, 230.0)], "k long, ts long, val double"
+    )
+    rows = asof_join_nearest(
+        left, right, key="k", value_cols=["val"]
+    ).collect()
+    assert rows[0]["val"] == 220.0
+
+
+def test_rfm_scores_are_balanced_quintiles(spark, sf_dir):
+    from helium_arango_etl_lite_spark.plans.catalog_round12 import (
+        events_rfm_segments,
+    )
+
+    rows = events_rfm_segments(spark, sf_dir).collect()
+    assert rows
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        counts: dict[int, int] = {}
+        for r in rows:
+            assert 1 <= r[col] <= 5
+            counts[r[col]] = counts.get(r[col], 0) + 1
+        # exact ntile semantics: bucket sizes differ by at most one
+        assert max(counts.values()) - min(counts.values()) <= 1, (col, counts)
+        assert sum(counts.values()) == n
+    for r in rows:
+        assert r["segment"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]

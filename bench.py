@@ -204,6 +204,12 @@ HEADLINE = [
     "join_asof_tolerance",            # merge_asof(tolerance=) staleness mask
     "graph_personalized_pagerank",    # seed-restart rank, unrolled oracle
     "events_cuped",                   # variance-reduced A/B readout
+    # round 12
+    "llm_ann_ivf_pq_persist",         # train->partitioned table->ADC search
+    "stream_heavy_hitters_replay",    # CMS cells in stream state
+    "stream_session_ooo_replay",      # interval-merge sessionization
+    "join_asof_nearest",              # closest either side, tie backward
+    "events_rfm_segments",            # 3 exact global quintiles, no 1-task window
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -335,6 +341,7 @@ R11_COMPARABLE = R10_COMPARABLE | {
 # cross-round deltas are normalized by calib_py_sec, not the JVM
 # calib_sec (the r8 lesson: the JVM axis over-corrects them).
 PY_BOUND = {
+    "events_rfm_segments",  # 3 mapInPandas range-rank passes on a small table
     "llm_multimodal_features", "llm_multimodal_decode_ppm",
     "llm_multimodal_decode_wav", "llm_multimodal_decode_png",
     "llm_multimodal_quarantine_ppm", "llm_multimodal_quarantine_wav",

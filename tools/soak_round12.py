@@ -36,7 +36,7 @@ DIM = 64
 
 def main() -> None:
     mult = 10
-    default = {"ivfpq", "cms", "sess"}
+    default = {"ivfpq", "cms", "sess", "nearest", "rfm"}
     which = set(default)
     for a in sys.argv[1:]:
         if a.startswith("x"):
@@ -159,6 +159,25 @@ def main() -> None:
             f"{n_sess} sessions",
             flush=True,
         )
+
+    if "nearest" in which or "rfm" in which:
+        from helium_arango_etl_lite_spark.plans.queries import QUERIES
+
+        sfd = build_docs(mult)
+        for name, key in (
+            ("join_asof_nearest", "nearest"),
+            ("events_rfm_segments", "rfm"),
+        ):
+            if key not in which:
+                continue
+            t0 = time.time()
+            QUERIES[name].spark_fn(spark, sfd).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            print(
+                f"{key} x{mult}: {name} wall {time.time() - t0:.1f} s",
+                flush=True,
+            )
 
     spark.stop()
 

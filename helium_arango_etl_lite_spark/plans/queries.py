@@ -160,9 +160,13 @@ DRIVER_BATCH: list[str] = [
     "null_tolerant_struct",
     "project_payment_edge",
     "regexp_extract_height",
-    # (round-12 additions are intentionally NOT in this batch — they are
-    # replica-verified in their birth round and lead the r13 batch with
-    # the 7 deferred r6 entries, the committed cadence since round 10g.)
+    # (round-12 additions — llm_ann_ivf_pq_persist,
+    # stream_heavy_hitters_replay, stream_session_ooo_replay,
+    # join_asof_nearest, events_rfm_segments — are intentionally NOT in
+    # this batch: they are replica-verified in their birth round (full
+    # 297-entry sweep in REPLICA_r12.log plus per-entry runs) and lead
+    # the r13 batch together with the 7 deferred r6 entries named in
+    # the module docstring, the committed cadence since round 10g.)
 ]
 
 

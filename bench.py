@@ -210,6 +210,7 @@ HEADLINE = [
     "stream_session_ooo_replay",      # interval-merge sessionization
     "join_asof_nearest",              # closest either side, tie backward
     "events_rfm_segments",            # 3 exact global quintiles, no 1-task window
+    "llm_ann_ivf_pq_append",          # frozen-artifact encode + table append
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow

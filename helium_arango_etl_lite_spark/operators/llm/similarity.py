@@ -1683,6 +1683,34 @@ def ivf_pq_build(
             F.col("v").alias("cv"),
         )
     )
+    index = ivf_pq_encode(
+        e, cents, cb, n_blocks=n_blocks, dim=dim,
+        assign_dp=assign_dp, dist_dp=dist_dp,
+    )
+    return index, cents, cb
+
+
+def ivf_pq_encode(
+    e: DataFrame, cents: DataFrame, cb: DataFrame, n_blocks: int = 4,
+    dim: int | None = None, assign_dp: int = 6, dist_dp: int = 6,
+) -> DataFrame:
+    """Encode ``(vec_id, v)`` vectors against FROZEN index artifacts —
+    the daily-ingest half of the persisted-index lifecycle: new vectors
+    must be assigned/quantized with the centroids and codebook the
+    index was TRAINED with (typically read back from storage), never a
+    codebook re-derived from the ingest batch (which would silently
+    make old and new codes incomparable). :func:`ivf_pq_build` is this
+    function applied to training-time artifacts.
+
+    Both argmax (cell, tie larger cid) and per-block argmin (code, tie
+    lower code via min-struct) round before the extremum, mirroring the
+    oracle's row_number/list_position. Map-only against two broadcast
+    frames — zero shuffles besides the final per-vector groupBys'
+    partial aggregation.
+    """
+    if dim is None:
+        dim = _infer_dim(e)
+    sub = dim // n_blocks
     assigned = (
         e.withColumn("nrm", norm(F.col("v")))
         .crossJoin(F.broadcast(cents.withColumn("ncv", norm(F.col("cv")))))
@@ -1697,14 +1725,34 @@ def ivf_pq_build(
         .groupBy("vec_id")
         .agg(F.max(F.struct("asim", "cid"))["cid"].alias("cell"))
     )
-    codes = pq_quantize(
-        e, n_blocks=n_blocks, n_codes=n_codes, id_col="vec_id",
-        vec_col="v", dim=dim, dist_dp=dist_dp,
-    ).drop("mse")
-    index = assigned.join(codes, "vec_id").select(
+
+    def block_d(bi: int):
+        vsl = F.slice(F.col("v"), bi * sub + 1, sub)
+        csl = F.slice(F.col("cv"), bi * sub + 1, sub)
+        return F.round(
+            F.aggregate(
+                F.zip_with(vsl, csl, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+            dist_dp,
+        )
+
+    scored = e.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "code",
+        *[block_d(bi).alias(f"d_{bi}") for bi in range(n_blocks)],
+    )
+    codes = scored.groupBy("vec_id").agg(
+        *[
+            F.min(F.struct(F.col(f"d_{bi}"), F.col("code")))["code"]
+            .alias(f"code_{bi}")
+            for bi in range(n_blocks)
+        ]
+    )
+    return assigned.join(codes, "vec_id").select(
         "vec_id", *[f"code_{bi}" for bi in range(n_blocks)], "cell"
     )
-    return index, cents, cb
 
 
 def ivf_pq_adc_search(

@@ -505,3 +505,131 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).cast("int").alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ incremental ingest: encode against FROZEN artifacts, append
+# ---------------------------------------------------------------------------
+
+_IPQ_APP_MOD = 10  # ingest batch: vec_id % 10 == 0 (the graph-family split)
+
+
+def _ivf_pq_append_sql() -> str:
+    blocks = range(_PQ_BLOCKS)
+    return (
+        f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+old AS (SELECT * FROM e WHERE vec_id % {_IPQ_APP_MOD} != 0),
+c AS (SELECT vec_id AS cid, v AS cv FROM old
+      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {IVF_K}),
+asg AS (SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS6.format(a='e.v', b='c.cv')} DESC, c.cid DESC) AS rn
+    FROM e, c) WHERE rn = 1),
+cb AS (SELECT list(v ORDER BY vec_id) AS cbs
+       FROM (SELECT vec_id, v FROM old ORDER BY vec_id LIMIT {_PQ_CODES})),
+d AS (SELECT vec_id, """
+        + ", ".join(f"{_pq_block_sql(bi)} AS db_{bi}" for bi in blocks)
+        + """ FROM e, cb),
+codes AS (SELECT vec_id, """
+        + ", ".join(
+            f"list_position(db_{bi}, list_min(db_{bi})) AS code_{bi}"
+            for bi in blocks
+        )
+        + f""" FROM d),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {_IPQ_QMOD} = 0),
+probe AS (SELECT qid, cid FROM (
+    SELECT qs.qid, c.cid,
+           row_number() OVER (PARTITION BY qs.qid
+               ORDER BY {_COS6.format(a='c.cv', b='qs.qv')} DESC, c.cid DESC) AS rn
+    FROM qs, c) WHERE rn <= {_IPQ_NPROBE}),
+luts AS (SELECT qid, """
+        + ", ".join(f"{_adc_lut_sql(bi)} AS lut_{bi}" for bi in blocks)
+        + """ FROM qs, cb),
+cand AS (SELECT p.qid, a.vec_id,
+                round("""
+        + " + ".join(f"l.lut_{bi}[co.code_{bi}]" for bi in blocks)
+        + f""", 6) AS adc_dist
+         FROM probe p
+              JOIN asg a ON a.cell = p.cid
+              JOIN codes co ON co.vec_id = a.vec_id
+              JOIN luts l ON l.qid = p.qid
+         WHERE a.vec_id <> p.qid)
+SELECT qid, vec_id, rnk, adc_dist FROM (
+    SELECT qid, vec_id, adc_dist,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY adc_dist ASC, vec_id ASC)::INT AS rnk
+    FROM cand) WHERE rnk <= {_IPQ_TOPK}"""
+    )
+
+
+@register(
+    "llm_ann_ivf_pq_append",
+    _ivf_pq_append_sql(),
+    doc="IVF-PQ INCREMENTAL INGEST — the daily half of the persisted-"
+        "index lifecycle (llm_ann_ivf_pq_persist is the nightly half): "
+        f"train centroids+codebook on the OLD corpus (vec_id % "
+        f"{_IPQ_APP_MOD} != 0) and persist its encoded codes; then "
+        "encode the ingest batch against the FROZEN artifacts READ "
+        "BACK from storage — never a codebook re-derived from the "
+        "batch, which would silently make old and new codes "
+        "incomparable (operators/llm/similarity.py:ivf_pq_encode, the "
+        "kernel both halves share) — and APPEND it into the same "
+        "cell-partitioned vec_id-bucketed table with mode='append'; "
+        "finally ADC-search the query batch over the read-back UNION. "
+        "Ingest cost is O(batch x K) encode + an append write touching "
+        "only the batch's cell partitions — never a rebuild (the "
+        "llm_ann_index_append economics, now for the quantized "
+        "family). Oracle: centroids/codebook from the old subset, "
+        "every vector encoded against them, identical probe/LUT/rank "
+        "chain.",
+    tags=("llm", "similarity", "ann", "storage", "scale"),
+)
+def llm_ann_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.similarity import (
+        _as_double, ivf_pq_adc_search, ivf_pq_build, ivf_pq_encode,
+    )
+    from ..operators.storage import write_bucketed
+
+    scratch = _replay_dir("ivf_pq_append")
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % _IPQ_APP_MOD != 0)
+    new = emb.filter(F.col("vec_id") % _IPQ_APP_MOD == 0)
+
+    # ---- NIGHTLY: train on the old corpus, persist index + artifacts ---
+    index_old, cents, cb = ivf_pq_build(
+        old, num_centroids=IVF_K, n_blocks=_PQ_BLOCKS, n_codes=_PQ_CODES,
+        dim=EMB_DIM,
+    )
+    write_bucketed(
+        index_old, "sg_ivfpq_codes_app", ["vec_id"],
+        num_buckets=_IPQ_BUCKETS, sort_cols=["vec_id"], mode="overwrite",
+        path=os.path.join(scratch, "codes"), partition_cols=["cell"],
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(scratch, "centroids"))
+    cb.write.mode("overwrite").parquet(os.path.join(scratch, "codebook"))
+
+    # ---- DAILY: encode the ingest batch against READ-BACK artifacts ----
+    cents_r = spark.read.parquet(os.path.join(scratch, "centroids"))
+    cb_r = spark.read.parquet(os.path.join(scratch, "codebook"))
+    increment = ivf_pq_encode(
+        new.select("vec_id", _as_double("embedding").alias("v")),
+        cents_r, cb_r, n_blocks=_PQ_BLOCKS, dim=EMB_DIM,
+    )
+    write_bucketed(
+        increment, "sg_ivfpq_codes_app", ["vec_id"],
+        num_buckets=_IPQ_BUCKETS, sort_cols=["vec_id"], mode="append",
+        path=os.path.join(scratch, "codes"), partition_cols=["cell"],
+    )
+
+    # ---- SEARCH the appended table ---------------------------------------
+    qs = emb.select(
+        F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv")
+    ).filter(F.col("qid") % _IPQ_QMOD == 0)
+    return ivf_pq_adc_search(
+        qs,
+        spark.table("sg_ivfpq_codes_app"),
+        cents_r, cb_r,
+        dim=EMB_DIM, n_blocks=_PQ_BLOCKS, nprobe=_IPQ_NPROBE,
+        topk=_IPQ_TOPK,
+    )

@@ -162,7 +162,8 @@ DRIVER_BATCH: list[str] = [
     "regexp_extract_height",
     # (round-12 additions — llm_ann_ivf_pq_persist,
     # stream_heavy_hitters_replay, stream_session_ooo_replay,
-    # join_asof_nearest, events_rfm_segments — are intentionally NOT in
+    # join_asof_nearest, events_rfm_segments, llm_ann_ivf_pq_append — are
+    # intentionally NOT in
     # this batch: they are replica-verified in their birth round (full
     # 297-entry sweep in REPLICA_r12.log plus per-entry runs) and lead
     # the r13 batch together with the 7 deferred r6 entries named in

@@ -347,3 +347,52 @@ def test_rfm_scores_are_balanced_quintiles(spark, sf_dir):
         assert sum(counts.values()) == n
     for r in rows:
         assert r["segment"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+
+
+def test_ivf_pq_append_encodes_against_frozen_artifacts(spark, sf_dir):
+    """The appended table must equal a full-corpus encode against the
+    OLD corpus's artifacts — and must NOT equal an encode that derives
+    a fresh codebook from the ingest batch (the bug the frozen-artifact
+    contract exists to prevent)."""
+    from helium_arango_etl_lite_spark.operators.llm.similarity import (
+        _as_double, ivf_pq_build, ivf_pq_encode,
+    )
+    from helium_arango_etl_lite_spark.plans.catalog_round12 import (
+        _IPQ_APP_MOD, llm_ann_ivf_pq_append,
+    )
+    from helium_arango_etl_lite_spark.plans.catalog_llm import EMB_DIM, IVF_K
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    llm_ann_ivf_pq_append(spark, sf_dir).collect()  # builds the table
+    stored = {
+        r["vec_id"]: (r["cell"], r["code_0"], r["code_1"], r["code_2"], r["code_3"])
+        for r in spark.table("sg_ivfpq_codes_app").collect()
+    }
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % _IPQ_APP_MOD != 0)
+    _, cents, cb = ivf_pq_build(old, num_centroids=IVF_K, dim=EMB_DIM)
+    want = {
+        r["vec_id"]: (r["cell"], r["code_0"], r["code_1"], r["code_2"], r["code_3"])
+        for r in ivf_pq_encode(
+            emb.select("vec_id", _as_double("embedding").alias("v")),
+            cents, cb, dim=EMB_DIM,
+        ).collect()
+    }
+    assert stored == want
+
+    # the wrong way: codebook re-derived from the ingest batch itself
+    new = emb.filter(F.col("vec_id") % _IPQ_APP_MOD == 0)
+    _, cents_b, cb_b = ivf_pq_build(new, num_centroids=IVF_K, dim=EMB_DIM)
+    wrong = {
+        r["vec_id"]: (r["cell"], r["code_0"], r["code_1"], r["code_2"], r["code_3"])
+        for r in ivf_pq_encode(
+            new.select("vec_id", _as_double("embedding").alias("v")),
+            cents_b, cb_b, dim=EMB_DIM,
+        ).collect()
+    }
+    new_ids = set(wrong)
+    assert any(stored[i] != wrong[i] for i in new_ids), (
+        "batch-local artifacts happened to match frozen ones — fixture "
+        "can no longer distinguish the contract"
+    )

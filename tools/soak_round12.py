@@ -93,6 +93,29 @@ def main() -> None:
         cents_r = spark.read.parquet(os.path.join(scratch, "centroids"))
         cb_r = spark.read.parquet(os.path.join(scratch, "codebook"))
 
+        # incremental ingest: encode a 10% batch against the READ-BACK
+        # artifacts and append — the cost that must beat a rebuild
+        from helium_arango_etl_lite_spark.operators.llm.similarity import (
+            ivf_pq_encode,
+        )
+
+        new = emb.filter(F.col("vec_id") % 10 == 0).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        t0 = time.time()
+        write_bucketed(
+            ivf_pq_encode(new, cents_r, cb_r, n_blocks=4, dim=DIM),
+            "soak_ivfpq_codes", ["vec_id"], num_buckets=8,
+            sort_cols=["vec_id"], mode="append",
+            path=os.path.join(scratch, "codes"), partition_cols=["cell"],
+        )
+        t_append = time.time() - t0
+        print(
+            f"ivfpq x{mult}: 10% ingest encode+append {t_append:.1f} s "
+            f"(vs {t_build + t_persist:.1f} s full rebuild+persist)",
+            flush=True,
+        )
+
         qmod = max(1, n // 100)  # ~100 queries per batch
         walls = []
         for batch, rem in (("q1", 0), ("q2", 1)):

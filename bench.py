@@ -545,6 +545,21 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
+    # INTRA-RUN drift probes (round 12): re-run each calibration once
+    # after the query loop. The pre-run calibs capture the window the run
+    # STARTED in; on a shared host the axes can move mid-run (round-12
+    # measured the py axis 0.90 -> 2.61 and the state axis 2.86 -> 12.33
+    # between consecutive full runs), which silently corrupts individual
+    # per-query walls while the pre-run calib still looks clean. A
+    # post/pre ratio far from 1.0 marks the whole run's flags as
+    # untrustworthy BEFORE anyone adjudicates them query by query.
+    # (Post probes are single-shot vs the pre probes' min-of-2, so the
+    # ratio carries a mild upward bias — read >= ~1.5x as drift, not
+    # the 1.0x-1.2x noise band.)
+    calib_post = round(run_calib(), 3)
+    calib_py_post = round(run_calib_py(), 3)
+    calib_state_post = round(run_calib_state(), 3)
+
     # The reference's actual workload: the follower ETL itself. Drain 20k
     # synthetic blocks (chain DataSource, mock transport) through the full
     # per-batch dataflow (type dispatch -> explode -> edges/vertices ->
@@ -746,6 +761,14 @@ def main() -> None:
         # deltas by this, not by calib_sec (checkpoint/state-store I/O
         # is its own drift axis — measured 1.8-2.1x across r7/r8)
         "calib_state_sec": calib_state,
+        # post-run re-probes: far-from-1.0 drift ratios mean the window
+        # moved MID-RUN and the per-query flags need isolated reruns
+        "calib_drift": {
+            "jvm": round(calib_post / calib, 3) if calib else None,
+            "py": round(calib_py_post / calib_py, 3) if calib_py else None,
+            "state": round(calib_state_post / calib_state, 3)
+            if calib_state else None,
+        },
         "n_ok": len(timings),
         "n_errors": len(errors),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

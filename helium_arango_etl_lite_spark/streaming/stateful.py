@@ -474,14 +474,17 @@ def _update_cms_cell(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Accumulate one CMS cell's count across micro-batches. Each input
-    row is one increment for this ``(d, b)`` cell; the state is the
-    running cell value — the sketch's cell-wise mergeability
+    row carries a PARTIAL count ``c`` for this ``(d, b)`` cell (the
+    producer pre-aggregates per batch — map-side combine for the state
+    store, so at most depth*width rows cross Arrow per batch no matter
+    how many tokens the batch held); the state is the running cell
+    value — the sketch's cell-wise mergeability
     (``llm_heavy_hitters_cms``'s docstring claim) used literally: the
     state store IS the sketch, bounded at depth*width cells no matter
     how much text streams through."""
     c = state.get[0] if state.exists else 0
     for pdf in pdfs:
-        c += len(pdf)
+        c += int(pdf["c"].sum())
     state.update((c,))
     yield pd.DataFrame({"d": [key[0]], "b": [key[1]], "c": [c]})
 
@@ -489,12 +492,16 @@ def _update_cms_cell(
 def cms_cells_stream(increments: DataFrame) -> DataFrame:
     """Maintain a Count-Min Sketch over an unbounded increment stream.
 
-    ``increments`` is a stream of ``(d, b)`` cell-increment rows (one
-    per token occurrence per hash row — ``operators/llm/text.py
-    cms_cell_increments``). Emits each touched cell's RUNNING count per
-    micro-batch in update mode; the latest emission per cell is the
-    sketch, and estimation/top-k runs batch-side over it
-    (``cms_estimate_topk``). State is bounded by construction at
+    ``increments`` is a stream of ``(d, b, c)`` PRE-AGGREGATED cell
+    increments — the producer groups each micro-batch's token
+    occurrences down to per-cell partial counts before they reach the
+    state store (exact by the sketch's additive mergeability; the
+    counts sum in any order), so both the shuffle INTO the stateful
+    operator and the Arrow transfer are bounded at depth*width rows
+    per batch regardless of token volume. Emits each touched cell's
+    RUNNING count per micro-batch in update mode; the latest emission
+    per cell is the sketch, and estimation/top-k runs batch-side over
+    it (``cms_estimate_topk``). State is bounded by construction at
     depth*width keys — the whole point of sketching the stream instead
     of keeping per-token counts (an exact streaming top-k would hold
     the full Zipf-tailed vocabulary in state)."""

@@ -144,11 +144,13 @@ def test_stream_cms_state_is_bounded(spark, sf_dir):
                 ),
                 depth=_CMS_D,
             )
-            .select(F.col("d").cast("int"), F.col("b").cast("int"))
+            .groupBy(F.col("d").cast("int").alias("d"),
+                     F.col("b").cast("int").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
             .coalesce(1).write.mode("append").parquet(src)
         )
     stream = (
-        spark.readStream.schema("d int, b int")
+        spark.readStream.schema("d int, b int, c long")
         .option("maxFilesPerTrigger", "1").parquet(src)
     )
     q = (

@@ -398,3 +398,52 @@ def test_ivf_pq_append_encodes_against_frozen_artifacts(spark, sf_dir):
         "batch-local artifacts happened to match frozen ones — fixture "
         "can no longer distinguish the contract"
     )
+
+
+def test_asof_nearest_matches_pandas_merge_asof_third_engine(spark):
+    """Third-engine check (the detln pattern): asof_join_nearest must
+    reproduce pandas merge_asof(direction='nearest') — including exact
+    ties, where BOTH pick the backward row — on randomized fixtures.
+    Deterministic seeded draws rather than hypothesis: the Spark round
+    trip per example is too slow for shrinking, so we batch many keys
+    into one frame and compare all rows at once."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(12)
+    left_rows, right_rows, seen = [], [], set()
+    for k in range(40):
+        for _ in range(rng.randint(0, 6)):
+            left_rows.append((k, rng.randint(0, 100)))
+        for _ in range(rng.randint(0, 5)):
+            ts = rng.randint(0, 100)
+            if (k, ts) not in seen:  # right unique per (key, ts)
+                seen.add((k, ts))
+                right_rows.append((k, ts, float(rng.randint(1, 999))))
+    assert left_rows and right_rows
+
+    from helium_arango_etl_lite_spark.operators.temporal import (
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame(left_rows, "k long, ts long")
+    right = spark.createDataFrame(right_rows, "k long, ts long, val double")
+    got = [
+        (r["k"], r["ts"], r["val"])
+        for r in asof_join_nearest(
+            left, right, key="k", value_cols=["val"]
+        ).collect()
+    ]
+    got.sort()
+
+    lp = pd.DataFrame(left_rows, columns=["k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(
+        right_rows, columns=["k", "ts", "val"]
+    ).sort_values("ts")
+    m = pd.merge_asof(lp, rp, on="ts", by="k", direction="nearest")
+    want = sorted(
+        (int(r.k), int(r.ts), None if pd.isna(r.val) else float(r.val))
+        for r in m.itertuples()
+    )
+    assert got == want

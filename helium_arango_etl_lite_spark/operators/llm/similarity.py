@@ -1646,26 +1646,89 @@ def ndcg_at_k(
 # ---------------------------------------------------------------------------
 
 
+def lloyd_refine(
+    e: DataFrame, cents: DataFrame, iters: int = 1,
+    assign_dp: int = 6, cent_dp: int = 6,
+) -> DataFrame:
+    """Lloyd-refine a ``(cid, cv)`` centroid frame over ``(vec_id, v)``
+    vectors — the oracle-reproducible form of :func:`kmeans_centroids`
+    (r12 verdict item 3: balanced cells are what make nprobe/K scan
+    economics hold on skewed corpora; the md5-ordered seed set leaves
+    cell sizes uncontrolled).
+
+    Each iteration: E-step = the broadcast-argmax cosine assignment
+    every IVF kernel uses (rounded to ``assign_dp`` before the argmax,
+    tie larger cid); M-step = per-(cell, dim) mean via posexplode + one
+    partial-agg shuffle — O(n*d) components in, O(K*d) rows out — with
+    each mean ROUNDED to ``cent_dp`` before reuse so both engines carry
+    bit-identical centroids into the next assignment (the unrounded
+    means of :func:`kmeans_centroids` are fine for injection but not
+    for a cross-engine value hash). Empty cells keep their previous
+    centroid. Fully declarative: the refined arrays are rebuilt with
+    array_sort(collect_list(struct(pos, m))) — no driver collect at
+    all, unlike :func:`kmeans_centroids`'s bounded O(K*d) one.
+    """
+    en = e.withColumn("nrm", norm(F.col("v")))
+    for _ in range(iters):
+        assigned = (
+            en.crossJoin(
+                F.broadcast(cents.withColumn("ncv", norm(F.col("cv"))))
+            )
+            .select(
+                "vec_id",
+                "cid",
+                F.round(
+                    dot(F.col("v"), F.col("cv"))
+                    / (F.col("nrm") * F.col("ncv")),
+                    assign_dp,
+                ).alias("asim"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max(F.struct("asim", "cid"))["cid"].alias("cell"))
+        )
+        comp = (
+            e.join(assigned, "vec_id")
+            .select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), cent_dp).alias("m"))
+        )
+        refined = (
+            comp.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("cell").alias("cid"),
+                F.transform("pm", lambda s: s["m"]).alias("rcv"),
+            )
+        )
+        cents = cents.join(refined, "cid", "left").select(
+            "cid", F.coalesce("rcv", "cv").alias("cv")
+        )
+    return cents
+
+
 def ivf_pq_build(
     emb: DataFrame, num_centroids: int = 32, n_blocks: int = 4,
     n_codes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
     dim: int | None = None, assign_dp: int = 6, dist_dp: int = 6,
+    lloyd_iters: int = 0, cent_dp: int = 6,
 ):
     """TRAIN + ENCODE for the persisted IVF-PQ index: returns
     ``(index, cents, cb)`` where ``index`` is the encoded corpus
     ``(vec_id, code_0..code_{B-1}, cell)`` ready for
     ``storage.write_bucketed(partition_cols=["cell"])``, ``cents`` the
-    ``(cid, cv)`` IVF centroid frame (:func:`fixed_centroids` — the
-    deterministic seed set a k-means refinement would start from; the
-    assignment dataflow is identical either way), and ``cb`` the
-    ``(code, cv)`` PQ codebook with 1-based codes matching
-    array_position/list_position.
+    ``(cid, cv)`` IVF centroid frame (:func:`fixed_centroids` seeds;
+    ``lloyd_iters`` > 0 k-means-refines the seed set via
+    :func:`lloyd_refine`, which bounds the largest cell — the persisted
+    production index sets 1), and ``cb`` the ``(code, cv)`` PQ codebook
+    with 1-based codes matching array_position/list_position.
 
     Scale shape: one O(n*K) broadcast argmax pass for cells (the
     ivf_topk assignment dataflow) + the O(n*codes) map-only
     :func:`pq_quantize` encode; both round before their arg-extremum
     (ties: larger cid, lower code) so the oracle picks identically.
-    Shared by ``llm_ann_ivf_pq_persist`` and the round-12 soak.
+    Each Lloyd iteration adds one more O(n*K) assignment + one O(n*d)
+    component shuffle partial-aggregated to O(K*d) rows. Shared by
+    ``llm_ann_ivf_pq_persist`` and the round-12 soak.
     """
     from pyspark.sql import Window
 
@@ -1675,6 +1738,13 @@ def ivf_pq_build(
     if dim is None:
         dim = _infer_dim(e)
     cents = fixed_centroids(e, num_centroids)
+    if lloyd_iters > 0:
+        cents = lloyd_refine(
+            e, cents, iters=lloyd_iters, assign_dp=assign_dp,
+            cent_dp=cent_dp,
+        # consumed by the encode AND persisted/read separately: pin the
+        # refinement result so each consumer doesn't re-run the E/M pass
+        ).localCheckpoint(eager=False)
     cb = (
         e.orderBy("vec_id")
         .limit(n_codes)
@@ -1841,16 +1911,19 @@ def ivf_pq_adc_search(
         F.broadcast(probe), codes["cell"] == probe["cid"]
     )
     for bi in range(n_blocks):
+        # LUT-side key columns get block-local aliases (q{bi}/c{bi}) so
+        # the join never leaves a duplicate code_{bi} in the candidate
+        # frame — downstream name-based references stay unambiguous
         lb = luts.select(
             F.col("qid").alias(f"q{bi}"),
-            F.col("code").alias(f"code_{bi}"),
+            F.col("code").alias(f"c{bi}"),
             f"ld_{bi}",
         )
         cand = cand.join(
             F.broadcast(lb),
             (F.col("qid") == F.col(f"q{bi}"))
-            & (cand[f"code_{bi}"] == lb[f"code_{bi}"]),
-        ).drop(f"q{bi}")
+            & (F.col(f"code_{bi}") == F.col(f"c{bi}")),
+        ).drop(f"q{bi}", f"c{bi}")
     adc = F.lit(0.0)
     for bi in range(n_blocks):
         adc = adc + F.col(f"ld_{bi}")

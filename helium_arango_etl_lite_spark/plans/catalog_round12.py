@@ -7,9 +7,9 @@ selection, and adjudication — done in-place, not operators).
   centroids and codebook on every call, which is fine for one query but
   wrong for the build-nightly/search-all-day deployment the graph-ANN
   family already certifies (``llm_ann_graph_persist``). This entry
-  (1) TRAINS the IVF centroids (deterministic md5-ordered fixed-K set —
-  the same seed set a k-means refinement would start from; the
-  assignment dataflow is identical either way) and the PQ codebook,
+  (1) TRAINS the IVF centroids (deterministic md5-ordered fixed-K seed
+  set, Lloyd-refined since round 13 — r12 verdict item 3 — so cell
+  sizes are balanced, not sample-luck) and the PQ codebook,
   and ENCODES the corpus to ``(vec_id, cell, code_0..3)``; (2) PERSISTS
   the encoded corpus through ``operators/storage.write_bucketed``
   PARTITIONED BY cell (probe filters prune whole cell directories at
@@ -81,20 +81,54 @@ _COS6 = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
 
+_IPQ_LLOYD_ITERS = 1  # k-means refinement rounds inside ivf_pq_build
 
-def _ivf_pq_persist_sql() -> str:
+
+def _lloyd_c_sql(corpus: str) -> str:
+    """CTE chain producing the Lloyd-refined centroid relation ``c``
+    from the md5-ordered seed set over ``corpus`` — the SQL unroll of
+    one operators/llm/similarity.lloyd_refine iteration (r12 verdict
+    item 3): E-step = rounded-cosine argmax (tie larger cid, the shared
+    IVF rule), M-step = per-(cell, dim) mean rounded to 6dp before
+    reuse (the same round(avg, 6) llm_kmeans_iter hashes), empty cells
+    keep their seed centroid via the LEFT JOIN + coalesce.
+    """
+    return f"""c0 AS (SELECT vec_id AS cid, v AS cv FROM {corpus}
+      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {IVF_K}),
+asg0 AS (SELECT vec_id, cell FROM (
+    SELECT t.vec_id, c0.cid AS cell,
+           row_number() OVER (PARTITION BY t.vec_id
+               ORDER BY {_COS6.format(a='t.v', b='c0.cv')} DESC, c0.cid DESC) AS rn
+    FROM {corpus} t, c0) WHERE rn = 1),
+mstep AS (SELECT cell, dim, round(avg(x), 6) AS m FROM (
+    SELECT asg0.cell, unnest(t.v) AS x,
+           unnest(generate_series(1, len(t.v))) AS dim
+    FROM {corpus} t JOIN asg0 USING (vec_id)) GROUP BY 1, 2),
+refined AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv
+            FROM mstep GROUP BY 1),
+c AS (SELECT c0.cid, coalesce(refined.cv, c0.cv) AS cv
+      FROM c0 LEFT JOIN refined USING (cid))"""
+
+
+def _ivf_pq_cand_sql(corpus: str) -> str:
+    """CTE chain from the refined centroid relation ``c`` (produced by
+    :func:`_lloyd_c_sql`) through the ADC candidate relation ``cand``
+    (qid, vec_id, adc_dist). ``corpus`` is the TRAINING relation —
+    'e' for the full-corpus build, 'old' for the append lifecycle —
+    and feeds only the codebook; encode (``asg``/``codes``) and the
+    query/probe/LUT chain always run over ``e``, matching
+    ivf_pq_encode's frozen-artifact contract. Shared by the persist,
+    append, and recall oracles.
+    """
     blocks = range(_PQ_BLOCKS)
     return (
-        f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv FROM e
-      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {IVF_K}),
-asg AS (SELECT vec_id, cell FROM (
+        f"""asg AS (SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cid AS cell,
            row_number() OVER (PARTITION BY e.vec_id
                ORDER BY {_COS6.format(a='e.v', b='c.cv')} DESC, c.cid DESC) AS rn
     FROM e, c) WHERE rn = 1),
 cb AS (SELECT list(v ORDER BY vec_id) AS cbs
-       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_PQ_CODES})),
+       FROM (SELECT vec_id, v FROM {corpus} ORDER BY vec_id LIMIT {_PQ_CODES})),
 d AS (SELECT vec_id, """
         + ", ".join(f"{_pq_block_sql(bi)} AS db_{bi}" for bi in blocks)
         + """ FROM e, cb),
@@ -116,17 +150,28 @@ luts AS (SELECT qid, """
 cand AS (SELECT p.qid, a.vec_id,
                 round("""
         + " + ".join(f"l.lut_{bi}[co.code_{bi}]" for bi in blocks)
-        + f""", 6) AS adc_dist
+        + """, 6) AS adc_dist
          FROM probe p
               JOIN asg a ON a.cell = p.cid
               JOIN codes co ON co.vec_id = a.vec_id
               JOIN luts l ON l.qid = p.qid
-         WHERE a.vec_id <> p.qid)
-SELECT qid, vec_id, rnk, adc_dist FROM (
+         WHERE a.vec_id <> p.qid)"""
+    )
+
+
+_IPQ_RANK_SQL = f"""SELECT qid, vec_id, rnk, adc_dist FROM (
     SELECT qid, vec_id, adc_dist,
            row_number() OVER (PARTITION BY qid
                ORDER BY adc_dist ASC, vec_id ASC)::INT AS rnk
     FROM cand) WHERE rnk <= {_IPQ_TOPK}"""
+
+
+def _ivf_pq_persist_sql() -> str:
+    return (
+        f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_lloyd_c_sql('e')},
+{_ivf_pq_cand_sql('e')}
+{_IPQ_RANK_SQL}"""
     )
 
 
@@ -134,8 +179,12 @@ SELECT qid, vec_id, rnk, adc_dist FROM (
     "llm_ann_ivf_pq_persist",
     _ivf_pq_persist_sql(),
     doc="PERSISTED IVF-PQ index (r11 verdict item 7): train the "
-        f"{IVF_K}-cell IVF centroid set (md5-ordered fixed-K — "
-        "deterministic, size independent of the corpus) and the "
+        f"{IVF_K}-cell IVF centroid set (md5-ordered fixed-K seeds + "
+        f"{_IPQ_LLOYD_ITERS} Lloyd iteration — r12 verdict item 3: the "
+        "k-means M-step balances cell sizes, which is what makes the "
+        "nprobe/K scan fraction hold on skewed corpora; means round to "
+        "6dp before reuse so both engines carry identical centroids) "
+        "and the "
         f"{_PQ_CODES}-entry/{_PQ_BLOCKS}-block PQ codebook; encode the "
         "corpus to (vec_id, cell, codes); persist the encoded corpus "
         "via storage.write_bucketed PARTITIONED BY cell + BUCKETED BY "
@@ -168,7 +217,7 @@ def llm_ann_ivf_pq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ---- TRAIN + ENCODE (shared kernel with the round-12 soak) ---------
     index, cents, cb = ivf_pq_build(
         emb, num_centroids=IVF_K, n_blocks=_PQ_BLOCKS, n_codes=_PQ_CODES,
-        dim=EMB_DIM,
+        dim=EMB_DIM, lloyd_iters=_IPQ_LLOYD_ITERS,
     )
 
     # ---- PERSIST: partition-pruned + pre-hashed layout ------------------
@@ -523,51 +572,12 @@ _IPQ_APP_MOD = 10  # ingest batch: vec_id % 10 == 0 (the graph-family split)
 
 
 def _ivf_pq_append_sql() -> str:
-    blocks = range(_PQ_BLOCKS)
     return (
         f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 old AS (SELECT * FROM e WHERE vec_id % {_IPQ_APP_MOD} != 0),
-c AS (SELECT vec_id AS cid, v AS cv FROM old
-      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {IVF_K}),
-asg AS (SELECT vec_id, cell FROM (
-    SELECT e.vec_id, c.cid AS cell,
-           row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY {_COS6.format(a='e.v', b='c.cv')} DESC, c.cid DESC) AS rn
-    FROM e, c) WHERE rn = 1),
-cb AS (SELECT list(v ORDER BY vec_id) AS cbs
-       FROM (SELECT vec_id, v FROM old ORDER BY vec_id LIMIT {_PQ_CODES})),
-d AS (SELECT vec_id, """
-        + ", ".join(f"{_pq_block_sql(bi)} AS db_{bi}" for bi in blocks)
-        + """ FROM e, cb),
-codes AS (SELECT vec_id, """
-        + ", ".join(
-            f"list_position(db_{bi}, list_min(db_{bi})) AS code_{bi}"
-            for bi in blocks
-        )
-        + f""" FROM d),
-qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {_IPQ_QMOD} = 0),
-probe AS (SELECT qid, cid FROM (
-    SELECT qs.qid, c.cid,
-           row_number() OVER (PARTITION BY qs.qid
-               ORDER BY {_COS6.format(a='c.cv', b='qs.qv')} DESC, c.cid DESC) AS rn
-    FROM qs, c) WHERE rn <= {_IPQ_NPROBE}),
-luts AS (SELECT qid, """
-        + ", ".join(f"{_adc_lut_sql(bi)} AS lut_{bi}" for bi in blocks)
-        + """ FROM qs, cb),
-cand AS (SELECT p.qid, a.vec_id,
-                round("""
-        + " + ".join(f"l.lut_{bi}[co.code_{bi}]" for bi in blocks)
-        + f""", 6) AS adc_dist
-         FROM probe p
-              JOIN asg a ON a.cell = p.cid
-              JOIN codes co ON co.vec_id = a.vec_id
-              JOIN luts l ON l.qid = p.qid
-         WHERE a.vec_id <> p.qid)
-SELECT qid, vec_id, rnk, adc_dist FROM (
-    SELECT qid, vec_id, adc_dist,
-           row_number() OVER (PARTITION BY qid
-               ORDER BY adc_dist ASC, vec_id ASC)::INT AS rnk
-    FROM cand) WHERE rnk <= {_IPQ_TOPK}"""
+{_lloyd_c_sql('old')},
+{_ivf_pq_cand_sql('old')}
+{_IPQ_RANK_SQL}"""
     )
 
 
@@ -577,7 +587,9 @@ SELECT qid, vec_id, rnk, adc_dist FROM (
     doc="IVF-PQ INCREMENTAL INGEST — the daily half of the persisted-"
         "index lifecycle (llm_ann_ivf_pq_persist is the nightly half): "
         f"train centroids+codebook on the OLD corpus (vec_id % "
-        f"{_IPQ_APP_MOD} != 0) and persist its encoded codes; then "
+        f"{_IPQ_APP_MOD} != 0; seeds + {_IPQ_LLOYD_ITERS} Lloyd "
+        "iteration over that corpus only) and persist its encoded "
+        "codes; then "
         "encode the ingest batch against the FROZEN artifacts READ "
         "BACK from storage — never a codebook re-derived from the "
         "batch, which would silently make old and new codes "
@@ -607,7 +619,7 @@ def llm_ann_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ---- NIGHTLY: train on the old corpus, persist index + artifacts ---
     index_old, cents, cb = ivf_pq_build(
         old, num_centroids=IVF_K, n_blocks=_PQ_BLOCKS, n_codes=_PQ_CODES,
-        dim=EMB_DIM,
+        dim=EMB_DIM, lloyd_iters=_IPQ_LLOYD_ITERS,
     )
     write_bucketed(
         index_old, "sg_ivfpq_codes_app", ["vec_id"],

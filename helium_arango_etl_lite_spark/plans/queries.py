@@ -108,6 +108,7 @@ from . import catalog_round10g  # noqa: F401  (RBO agreement, conversion latency
 from . import catalog_round10h  # noqa: F401  (JL projection, timed funnel, BFS)
 from . import catalog_round11  # noqa: F401  (batched k-center, persisted ANN graph)
 from . import catalog_round12  # noqa: F401  (persisted IVF-PQ, streaming CMS)
+from . import catalog_round13  # noqa: F401  (IVF-PQ recall@k, streaming quantiles)
 
 STALENESS_BUDGET_ROUNDS: int = 7
 

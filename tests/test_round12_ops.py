@@ -360,7 +360,7 @@ def test_ivf_pq_append_encodes_against_frozen_artifacts(spark, sf_dir):
         _as_double, ivf_pq_build, ivf_pq_encode,
     )
     from helium_arango_etl_lite_spark.plans.catalog_round12 import (
-        _IPQ_APP_MOD, llm_ann_ivf_pq_append,
+        _IPQ_APP_MOD, _IPQ_LLOYD_ITERS, llm_ann_ivf_pq_append,
     )
     from helium_arango_etl_lite_spark.plans.catalog_llm import EMB_DIM, IVF_K
     from helium_arango_etl_lite_spark.plans.registry import load_table
@@ -373,7 +373,9 @@ def test_ivf_pq_append_encodes_against_frozen_artifacts(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     old = emb.filter(F.col("vec_id") % _IPQ_APP_MOD != 0)
-    _, cents, cb = ivf_pq_build(old, num_centroids=IVF_K, dim=EMB_DIM)
+    _, cents, cb = ivf_pq_build(
+        old, num_centroids=IVF_K, dim=EMB_DIM, lloyd_iters=_IPQ_LLOYD_ITERS
+    )
     want = {
         r["vec_id"]: (r["cell"], r["code_0"], r["code_1"], r["code_2"], r["code_3"])
         for r in ivf_pq_encode(

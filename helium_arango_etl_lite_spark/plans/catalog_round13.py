@@ -34,12 +34,13 @@ operators beyond the reference's 633-LoC feature set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .catalog_core import _replay_dir
 from .catalog_llm import EMB_DIM, IVF_K
 from .catalog_round5 import _PQ_BLOCKS, _PQ_CODES
-from .catalog_round5b import _recall_overlay
+from .catalog_round5b import _HQ_BINS, _HQ_QUANTILES, _HQ_SQL, _recall_overlay
 from .catalog_round12 import (
     _IPQ_LLOYD_ITERS, _IPQ_NPROBE, _IPQ_QMOD, _IPQ_TOPK,
     _ivf_pq_cand_sql, _lloyd_c_sql,
@@ -131,3 +132,118 @@ def llm_ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=_IPQ_TOPK, sample_mod=_IPQ_QMOD
     ).select("qid", "nid")
     return _recall_overlay(exact, approx)
+
+
+# ---------------------------------------------------------------------------
+# batch=stream for quantile sketches (r12 verdict item 5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_quantiles_replay",
+    _HQ_SQL,
+    doc="Streaming quantile sketch (r12 verdict item 5): the mergeable "
+        f"{_HQ_BINS}-bin histogram of agg_histogram_quantiles maintained "
+        "in applyInPandasWithState per-bin state across three parquet "
+        "micro-batches (l_orderkey % 3). A fixed-edge histogram IS a "
+        "depth-1 Count-Min Sketch whose 'hash' is the bin function, so "
+        "the stream reuses cms_cells_stream literally (d=0, b=bin) — "
+        "the same state operator now certifies two sketch families. "
+        "Each batch's rows are MAP-SIDE COMBINED to per-bin partial "
+        f"counts before the state store (<= {_HQ_BINS} rows per batch "
+        "regardless of row volume; exact — bin counts are additive), "
+        "state holds exactly the touched bins, and the last update-mode "
+        "emission per bin is the sketch. Bin edges are the train-time "
+        "min/max (the production contract for a streaming histogram: "
+        "edges are configuration, counts are state); the p50/90/95/99 "
+        "readout is the batch entry's bounded <=128-row cumulative "
+        "window, and the oracle IS the batch entry's SQL — the "
+        "batch=stream equivalence family (totals, CUSUM, CDC, rollup, "
+        "CMS) extended to quantile sketches "
+        "(streaming/stateful.py:cms_cells_stream).",
+    tags=("streaming", "stateful", "sketch", "agg", "quantiles"),
+)
+def stream_quantiles_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import cms_cells_stream
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+    )
+    # train-time edges: one bounded 1-row aggregate, pinned so the
+    # producer and the readout share identical arithmetic
+    st = li.agg(
+        F.min("pc").alias("minc"), F.max("pc").alias("maxc"),
+        F.count("*").cast("long").alias("n"),
+    ).localCheckpoint(eager=True)
+
+    src = _replay_dir("stream_hq/src")
+    res = _replay_dir("stream_hq/res")
+    ckpt = _replay_dir("stream_hq/ckpt")
+    binned = li.crossJoin(F.broadcast(st)).withColumn(
+        "bin", F.expr(f"((pc - minc) * {_HQ_BINS}) div (maxc - minc + 1)")
+    )
+    for i in range(3):
+        (
+            binned.filter(F.pmod(F.col("l_orderkey"), F.lit(3)) == i)
+            # map-side combine BEFORE the state store: each batch ships
+            # <= _HQ_BINS pre-summed bin counts, never one row per line
+            .groupBy(
+                F.lit(0).cast("int").alias("d"),
+                F.col("bin").cast("int").alias("b"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema("d int, b int, c long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        cms_cells_stream(stream)
+        .writeStream.foreachBatch(
+            lambda df, bid: df.withColumn("batch_id", F.lit(bid))
+            .write.mode("append")
+            .parquet(res)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    outs = spark.read.parquet(res)
+    last = Window.partitionBy("d", "b").orderBy(F.desc("batch_id"))
+    bins = (
+        outs.withColumn("rn", F.row_number().over(last))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("b").cast("long").alias("bin"),
+            F.col("c").cast("long").alias("cnt"),
+        )
+    )
+    # bounded readout: <= _HQ_BINS rows ever enter this window
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.crossJoin(F.broadcast(st)).withColumn(
+        "cum", F.sum("cnt").over(w).cast("long")
+    )
+    qv = spark.createDataFrame([(qq,) for qq in _HQ_QUANTILES], "q int")
+    hits = cum.crossJoin(F.broadcast(qv)).filter(
+        100 * F.col("cum") >= F.col("q") * F.col("n")
+    )
+    return hits.groupBy("q").agg(
+        F.min("bin").cast("long").alias("bin"),
+        F.round(
+            (
+                F.first("minc")
+                + F.expr(
+                    f"(min(bin) * (first(maxc) - first(minc) + 1)) div {_HQ_BINS}"
+                )
+            )
+            / 100.0,
+            2,
+        ).alias("est_price"),
+    )

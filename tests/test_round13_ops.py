@@ -111,3 +111,59 @@ def test_lloyd_refine_empty_cell_keeps_seed(spark):
                lloyd_refine(e, seed, iters=1).collect()}
     assert refined[1] == [1.0, 0.0], "empty cell must keep its seed"
     assert refined[2] != [1.0, 0.0], "winning cell must move to the mean"
+
+
+def test_stream_quantiles_equals_batch_sketch(spark, sf_dir):
+    """The replayed histogram readout must be row-identical to the
+    one-shot batch sketch — the batch=stream equivalence this entry
+    certifies (same contract the CMS twin pins)."""
+    from helium_arango_etl_lite_spark.plans.catalog_round5b import (
+        agg_histogram_quantiles,
+    )
+    from helium_arango_etl_lite_spark.plans.catalog_round13 import (
+        stream_quantiles_replay,
+    )
+
+    stream_rows = sorted(
+        (r["q"], r["bin"], r["est_price"])
+        for r in stream_quantiles_replay(spark, sf_dir).collect()
+    )
+    batch_rows = sorted(
+        (r["q"], r["bin"], r["est_price"])
+        for r in agg_histogram_quantiles(spark, sf_dir).collect()
+    )
+    assert stream_rows == batch_rows
+
+
+def test_stream_quantiles_state_input_is_bounded(spark, sf_dir):
+    """Every micro-batch ships at most _HQ_BINS pre-combined bin rows
+    into the state store — the map-side-combine bound that keeps the
+    stateful input constant-size regardless of lineitem volume."""
+    from helium_arango_etl_lite_spark.plans.catalog_round5b import _HQ_BINS
+    from helium_arango_etl_lite_spark.plans.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+    )
+    st = li.agg(
+        F.min("pc").alias("minc"), F.max("pc").alias("maxc"),
+    )
+    binned = li.crossJoin(F.broadcast(st)).withColumn(
+        "bin", F.expr(f"((pc - minc) * {_HQ_BINS}) div (maxc - minc + 1)")
+    )
+    n_rows = li.count()
+    for i in range(3):
+        combined = (
+            binned.filter(F.pmod(F.col("l_orderkey"), F.lit(3)) == i)
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        per_batch = combined.count()
+        assert per_batch <= _HQ_BINS, per_batch
+        assert per_batch < n_rows, "combine must shrink the batch"
+        # bins inside the grid
+        bad = combined.filter(
+            (F.col("bin") < 0) | (F.col("bin") >= _HQ_BINS)
+        ).count()
+        assert bad == 0

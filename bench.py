@@ -374,6 +374,54 @@ SMALL_OUTPUT = {
 }
 
 
+# Normalized-flag floor (r12 verdict item 4a): SCALE_SOAK r12 measured a
+# 3x wall spread on a data-free scheduler-bound job between consecutive
+# windows, so sub-floor queries flag on scheduler latency, not plans —
+# r12's driver artifact carried dq_k_anonymity_suppress at 2.72x with no
+# code change, both walls under 1.4 s. A normalized flag is suppressed
+# (counted, not listed) when BOTH the baseline and current walls are
+# below this floor.
+FLAG_FLOOR_SEC = 1.5
+
+
+def adjudicate_flags(
+    per_query: dict[str, float],
+    axis_of: dict[str, str],
+    axes: dict[str, float],
+    drift: dict[str, float | None],
+    now: dict[str, float],
+    prev: dict[str, float],
+    floor: float = FLAG_FLOOR_SEC,
+    threshold: float = 1.25,
+) -> tuple[dict[str, dict], int]:
+    """Turn normalized per-query ratios into self-adjudicating flags
+    (r12 verdict item 4): each surviving flag carries its calibration
+    axis, that axis's baseline ratio AND intra-run drift (>= ~1.25
+    drift voids the axis's flags — the run F lesson), and both raw
+    walls, so the artifact explains itself without a human cross-
+    referencing three files. Flags where both walls sit under ``floor``
+    are suppressed as scheduler-latency noise; the count is returned so
+    suppression is never silent."""
+    flags: dict[str, dict] = {}
+    suppressed = 0
+    for q, r in sorted(per_query.items(), key=lambda kv: -kv[1]):
+        if r <= threshold:
+            continue
+        if now.get(q, 0.0) < floor and prev.get(q, 0.0) < floor:
+            suppressed += 1
+            continue
+        ax = axis_of[q]
+        flags[q] = {
+            "norm_ratio": r,
+            "axis": ax,
+            "axis_ratio": round(axes[ax], 3),
+            "axis_drift": drift.get(ax),
+            "raw_prev": prev.get(q),
+            "raw_now": now.get(q),
+        }
+    return flags, suppressed
+
+
 def current_round(here: str) -> int:
     """The round currently RUNNING, inferred from driver artifacts: one
     past the newest CORRECTNESS_r{N}.json (the driver commits a round's
@@ -666,11 +714,17 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     detail_file = os.path.join(here, "BENCH_DETAIL.json")
     # newest PRIOR-round stamp (same-round stamps excluded, malformed
-    # suffixes skipped) — see pick_baseline_stamp.
-    baseline_file = pick_baseline_stamp(here) or detail_file
+    # suffixes skipped) — see pick_baseline_stamp. NO fallback: when no
+    # prior-round stamp exists, normalizing against the mutable
+    # BENCH_DETAIL.json would measure hours of same-round host drift —
+    # the exact failure the stamp rule exists to prevent (ADVICE r12) —
+    # so normalization is skipped with an explicit reason instead.
+    baseline_file = pick_baseline_stamp(here)
     norm_summary: dict = {}
     norm_detail: dict = {}
     try:
+        if baseline_file is None:
+            raise LookupError("no prior-round stamp")
         with open(baseline_file) as f:
             prev = json.load(f)
         if prev.get("sf") != (
@@ -696,11 +750,15 @@ def main() -> None:
             )
             per_query[q] = round((new_t / old_t) / axes[axis], 3)
             axis_of[q] = axis
-        regressions = {
-            q: r for q, r in sorted(
-                per_query.items(), key=lambda kv: -kv[1]
-            ) if r > 1.25
+        drift = {
+            "jvm": round(calib_post / calib, 3) if calib else None,
+            "py": round(calib_py_post / calib_py, 3) if calib_py else None,
+            "state": round(calib_state_post / calib_state, 3)
+            if calib_state else None,
         }
+        regressions, n_suppressed = adjudicate_flags(
+            per_query, axis_of, axes, drift, timings, pq
+        )
         shared = [q for q in per_query]
         raw_ratio = (
             sum(timings[q] for q in shared) / sum(pq[q] for q in shared)
@@ -717,6 +775,8 @@ def main() -> None:
             "axis_of": axis_of,
             "per_query_normalized": per_query,
             "regressions_gt_1_25": regressions,
+            "flag_floor_sec": FLAG_FLOOR_SEC,
+            "flags_suppressed_below_floor": n_suppressed,
             "shared_raw_total_ratio": (
                 round(raw_ratio, 3) if raw_ratio else None
             ),
@@ -727,10 +787,20 @@ def main() -> None:
         norm_summary = {
             "norm_prev_shared_ratio": norm_detail["shared_norm_total_ratio"],
             "norm_regressions_gt_1_25": len(regressions),
-            "norm_worst": dict(list(regressions.items())[:3]),
+            "norm_flags_suppressed_below_floor": n_suppressed,
+            "norm_worst": {
+                q: v["norm_ratio"]
+                for q, v in list(regressions.items())[:3]
+            },
         }
-    except (OSError, KeyError, json.JSONDecodeError, ZeroDivisionError):
-        norm_summary = {"norm_prev_shared_ratio": None}
+    except (
+        OSError, KeyError, LookupError, json.JSONDecodeError,
+        ZeroDivisionError,
+    ) as exc:
+        norm_summary = {
+            "norm_prev_shared_ratio": None,
+            "norm_skipped_reason": str(exc) or type(exc).__name__,
+        }
     # Full per-query detail goes to a FILE: round 7's headline line (64
     # queries of timings) outgrew the driver's 2000-char tail capture,
     # leaving BENCH_r07.json with parsed=null — so the single printed

@@ -24,6 +24,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# scratch column names the union+window plan injects; user columns of
+# these names would be silently shadowed, so both joins reject them
+_RESERVED = ("_ts", "_side", "_vals", "_asof", "_back", "_fwd")
+
+
+def _check_reserved(left: DataFrame, right: DataFrame) -> None:
+    clash = [
+        c for c in _RESERVED if c in left.columns or c in right.columns
+    ]
+    if clash:
+        raise ValueError(
+            f"as-of join inputs use reserved internal column names "
+            f"{clash}; rename them before joining"
+        )
+
 
 def asof_join(
     left: DataFrame,
@@ -61,6 +76,7 @@ def asof_join(
     the filled struct is always exactly the newest prior right row —
     matching SQL ASOF JOIN, which attaches whole rows.
     """
+    _check_reserved(left, right)
     left_cols = left.columns
     r = right.select(
         F.col(key),
@@ -141,10 +157,15 @@ def asof_join_nearest(
     supporting subtraction and <=).
 
     Equal-timestamp notes: a right row at exactly left.ts is a
-    backward match at distance zero (right sorts before left), so it
-    always wins the tie — the forward frame deliberately starts strictly
-    after the current row and can never shadow it.
+    backward match at distance zero (right sorts before left at equal
+    ts), so it always wins the tie. Both frames are anchored at
+    ``Window.currentRow``; on a LEFT row the current row's ``_vals`` is
+    NULL, and any same-timestamp right row sorts BEFORE it — landing in
+    the backward frame, never the forward one — so the forward fill
+    only ever sees strictly-later right rows even though its frame
+    bound includes the current row.
     """
+    _check_reserved(left, right)
     left_cols = left.columns
     r = right.select(
         F.col(key),

@@ -89,3 +89,45 @@ def test_no_eligible_stamp_returns_none(tmp_path):
     _touch(d, "BENCH_DETAIL_r06.json")  # same round — excluded
     _touch(d, "BENCH_DETAIL_rX.json")   # malformed — skipped
     assert bench.pick_baseline_stamp(d) is None
+
+
+def test_flag_floor_suppresses_scheduler_noise():
+    """r12 verdict item 4a: dq_k_anonymity_suppress read 2.72x normalized
+    with both walls under 1.4 s and no code change — sub-floor flags are
+    scheduler latency, not plans, and must be counted but not listed."""
+    per_query = {"tiny": 2.72, "big": 1.66, "fine": 1.01}
+    axis_of = {"tiny": "jvm", "big": "state", "fine": "jvm"}
+    axes = {"jvm": 1.0, "py": 1.0, "state": 1.115}
+    drift = {"jvm": 0.861, "py": 1.0, "state": 1.115}
+    now = {"tiny": 1.35, "big": 11.2, "fine": 4.0}
+    prev = {"tiny": 0.50, "big": 14.7, "fine": 4.0}
+    flags, suppressed = bench.adjudicate_flags(
+        per_query, axis_of, axes, drift, now, prev
+    )
+    assert suppressed == 1
+    assert list(flags) == ["big"]
+    f = flags["big"]
+    assert f["axis"] == "state"
+    assert f["axis_drift"] == 1.115
+    assert f["raw_prev"] == 14.7 and f["raw_now"] == 11.2
+
+
+def test_flag_floor_keeps_flag_when_either_wall_is_large():
+    """A query that WAS fast and became slow (or vice versa) crosses the
+    floor on one side and must still flag."""
+    flags, suppressed = bench.adjudicate_flags(
+        {"q": 2.0}, {"q": "jvm"}, {"jvm": 1.0}, {"jvm": 1.0},
+        now={"q": 3.0}, prev={"q": 1.2},
+    )
+    assert suppressed == 0 and "q" in flags
+
+
+def test_flag_annotations_carry_axis_context():
+    flags, _ = bench.adjudicate_flags(
+        {"r": 1.5}, {"r": "py"}, {"py": 0.9, "jvm": 1.0},
+        {"py": 1.3, "jvm": 1.0}, now={"r": 2.0}, prev={"r": 2.0},
+    )
+    assert flags["r"] == {
+        "norm_ratio": 1.5, "axis": "py", "axis_ratio": 0.9,
+        "axis_drift": 1.3, "raw_prev": 2.0, "raw_now": 2.0,
+    }

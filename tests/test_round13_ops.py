@@ -167,3 +167,22 @@ def test_stream_quantiles_state_input_is_bounded(spark, sf_dir):
             (F.col("bin") < 0) | (F.col("bin") >= _HQ_BINS)
         ).count()
         assert bad == 0
+
+
+def test_asof_reserved_names_rejected(spark):
+    """The as-of joins inject _ts/_side/_vals/... scratch columns; user
+    columns with those names would be silently shadowed (ADVICE r12), so
+    both joins must refuse them loudly."""
+    import pytest
+
+    from helium_arango_etl_lite_spark.operators.temporal import (
+        asof_join, asof_join_nearest,
+    )
+
+    ok = spark.createDataFrame([(1, 10, 5)], "k long, ts long, x long")
+    bad = spark.createDataFrame([(1, 10, 5)], "k long, ts long, _vals long")
+    with pytest.raises(ValueError, match="_vals"):
+        asof_join(bad, ok, key="k", value_cols=["x"])
+    with pytest.raises(ValueError, match="_fwd"):
+        asof_join_nearest(ok, bad.withColumnRenamed("_vals", "_fwd"),
+                          key="k", value_cols=["_fwd"])

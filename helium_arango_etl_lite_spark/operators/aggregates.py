@@ -269,6 +269,16 @@ def hll_distinct(
     correction ``m * ln(m/V)`` applies when E <= 2.5m and V > 0 empty
     registers exist (standard HLL).
     """
+    return hll_estimate(
+        hll_registers(df, group, value), df, group, value, est_dp=est_dp
+    )
+
+
+def hll_registers(df: DataFrame, group: str, value: str) -> DataFrame:
+    """Build the per-group HLL register table ``(group, b, r)`` — the
+    mergeable half of :func:`hll_distinct`, split out so a streaming
+    replay can maintain the registers in per-cell state (max-merge)
+    and feed them into the same :func:`hll_estimate` readout."""
     from ..functions.hashing import hash64
 
     h = hash64(F.col(value).cast("string"))
@@ -279,11 +289,21 @@ def hll_distinct(
     rho = F.when(w == 0, F.lit(55)).otherwise(
         F.lit(55) - F.length(F.bin(w)).cast("long")
     ).alias("rho")
-    regs = (
+    return (
         df.select(F.col(group), b, rho)
         .groupBy(group, "b")
         .agg(F.max("rho").alias("r"))
     )
+
+
+def hll_estimate(
+    regs: DataFrame, exact_src: DataFrame, group: str, value: str,
+    est_dp: int = 4,
+) -> DataFrame:
+    """Estimate distinct counts from a ``(group, b, r)`` register table
+    (built by :func:`hll_registers` or read back from a streaming state
+    store) next to the exact count over ``exact_src`` — the readout half
+    of :func:`hll_distinct`."""
     hll = regs.groupBy(group).agg(
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - r AS INT))")).alias("zp"),
         F.count(F.lit(1)).alias("nb"),
@@ -295,7 +315,9 @@ def hll_distinct(
         (e_raw <= F.lit(2.5 * HLL_M)) & (v_empty > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_empty.cast("double")),
     ).otherwise(e_raw)
-    exact = df.groupBy(group).agg(F.count_distinct(F.col(value)).alias("n_exact"))
+    exact = exact_src.groupBy(group).agg(
+        F.count_distinct(F.col(value)).alias("n_exact")
+    )
     return (
         exact.join(hll, group)
         .select(

@@ -1646,6 +1646,32 @@ def ndcg_at_k(
 # ---------------------------------------------------------------------------
 
 
+def ivf_assign_cells(
+    e: DataFrame, cents: DataFrame, assign_dp: int = 6,
+) -> DataFrame:
+    """The shared IVF E-step: assign every ``(vec_id, v)`` vector to its
+    argmax-cosine centroid cell — similarity rounded to ``assign_dp``
+    BEFORE the argmax, ties to the larger cid, so every engine (and the
+    SQL oracle's row_number mirror) picks identically. One O(n*K)
+    broadcast pass + a per-vector partial-agg; returns
+    ``(vec_id, cell)``. Used by :func:`ivf_pq_encode`,
+    :func:`lloyd_refine`, and the cell-balance stats entry."""
+    return (
+        e.withColumn("nrm", norm(F.col("v")))
+        .crossJoin(F.broadcast(cents.withColumn("ncv", norm(F.col("cv")))))
+        .select(
+            "vec_id",
+            "cid",
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("ncv")),
+                assign_dp,
+            ).alias("asim"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max(F.struct("asim", "cid"))["cid"].alias("cell"))
+    )
+
+
 def lloyd_refine(
     e: DataFrame, cents: DataFrame, iters: int = 1,
     assign_dp: int = 6, cent_dp: int = 6,
@@ -1668,24 +1694,8 @@ def lloyd_refine(
     array_sort(collect_list(struct(pos, m))) — no driver collect at
     all, unlike :func:`kmeans_centroids`'s bounded O(K*d) one.
     """
-    en = e.withColumn("nrm", norm(F.col("v")))
     for _ in range(iters):
-        assigned = (
-            en.crossJoin(
-                F.broadcast(cents.withColumn("ncv", norm(F.col("cv"))))
-            )
-            .select(
-                "vec_id",
-                "cid",
-                F.round(
-                    dot(F.col("v"), F.col("cv"))
-                    / (F.col("nrm") * F.col("ncv")),
-                    assign_dp,
-                ).alias("asim"),
-            )
-            .groupBy("vec_id")
-            .agg(F.max(F.struct("asim", "cid"))["cid"].alias("cell"))
-        )
+        assigned = ivf_assign_cells(e, cents, assign_dp=assign_dp)
         comp = (
             e.join(assigned, "vec_id")
             .select("cell", F.posexplode("v").alias("pos", "x"))
@@ -1781,20 +1791,7 @@ def ivf_pq_encode(
     if dim is None:
         dim = _infer_dim(e)
     sub = dim // n_blocks
-    assigned = (
-        e.withColumn("nrm", norm(F.col("v")))
-        .crossJoin(F.broadcast(cents.withColumn("ncv", norm(F.col("cv")))))
-        .select(
-            "vec_id",
-            "cid",
-            F.round(
-                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("ncv")),
-                assign_dp,
-            ).alias("asim"),
-        )
-        .groupBy("vec_id")
-        .agg(F.max(F.struct("asim", "cid"))["cid"].alias("cell"))
-    )
+    assigned = ivf_assign_cells(e, cents, assign_dp=assign_dp)
 
     def block_d(bi: int):
         vsl = F.slice(F.col("v"), bi * sub + 1, sub)

@@ -621,3 +621,57 @@ def sessionize_ooo(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming HyperLogLog maintenance (round 13 — max-mergeable registers)
+#
+# The CMS above certifies SUM-mergeable sketch state; HLL registers are
+# the MAX-mergeable family (a register is the max rho ever seen for its
+# bucket — operators/aggregates.hll_registers). Same discipline: the
+# producer pre-reduces each micro-batch to per-register partial maxima
+# (<= m rows per group per batch — map-side combine for the state
+# store), the state holds exactly one value per touched register, and
+# the latest update-mode emission per register is the sketch.
+# ---------------------------------------------------------------------------
+
+HLL_REGS_SCHEMA = StructType(
+    [
+        StructField("g", StringType(), False),
+        StructField("b", LongType(), False),
+        StructField("r", LongType(), False),
+    ]
+)
+
+HLL_REGS_STATE = StructType([StructField("r", LongType(), False)])
+
+
+def _update_hll_register(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one HLL register's running maximum across micro-batches.
+    Each input row carries the batch's partial max rho for this
+    ``(g, b)`` register; max is idempotent and order-free, so replaying
+    or reordering batches can never change the converged register —
+    an even stronger merge contract than the CMS sum."""
+    r = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        if len(pdf):
+            r = max(r, int(pdf["r"].max()))
+    state.update((r,))
+    yield pd.DataFrame({"g": [key[0]], "b": [key[1]], "r": [r]})
+
+
+def hll_registers_stream(partials: DataFrame) -> DataFrame:
+    """Maintain per-group HyperLogLog registers over an unbounded
+    stream of ``(g, b, r)`` PRE-REDUCED partial maxima. State is
+    bounded at groups x m registers by construction; the distinct-count
+    readout (``operators/aggregates.hll_estimate``) runs batch-side
+    over the latest emission per register."""
+    return partials.groupBy("g", "b").applyInPandasWithState(
+        _update_hll_register,
+        outputStructType=HLL_REGS_SCHEMA,
+        stateStructType=HLL_REGS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -186,3 +186,48 @@ def test_asof_reserved_names_rejected(spark):
     with pytest.raises(ValueError, match="_fwd"):
         asof_join_nearest(ok, bad.withColumnRenamed("_vals", "_fwd"),
                           key="k", value_cols=["_fwd"])
+
+
+def test_stream_hll_equals_batch_sketch(spark, sf_dir):
+    """The replayed HLL readout must be row-identical to the one-shot
+    batch sketch — batch=stream extended to the max-mergeable family."""
+    from helium_arango_etl_lite_spark.plans.catalog_round5 import (
+        agg_hll_distinct,
+    )
+    from helium_arango_etl_lite_spark.plans.catalog_round13 import (
+        stream_hll_replay,
+    )
+
+    stream_rows = sorted(
+        (r["event_type"], r["n_exact"], r["n_hll"], r["rel_err"])
+        for r in stream_hll_replay(spark, sf_dir).collect()
+    )
+    batch_rows = sorted(
+        (r["event_type"], r["n_exact"], r["n_hll"], r["rel_err"])
+        for r in agg_hll_distinct(spark, sf_dir).collect()
+    )
+    assert stream_rows == batch_rows
+
+
+def test_hll_register_merge_is_idempotent(spark, sf_dir):
+    """Max-merge is idempotent: replaying the SAME events twice must
+    leave every register unchanged — the property that makes the
+    streaming HLL immune to duplicate micro-batch delivery (stronger
+    than the CMS sum, which double-counts on replay)."""
+    from helium_arango_etl_lite_spark.operators.aggregates import (
+        hll_registers,
+    )
+    from helium_arango_etl_lite_spark.plans.registry import load_events
+
+    en = load_events(spark, sf_dir)
+    once = {
+        (r["event_type"], r["b"]): r["r"]
+        for r in hll_registers(en, "event_type", "user_id").collect()
+    }
+    twice = {
+        (r["event_type"], r["b"]): r["r"]
+        for r in hll_registers(
+            en.unionByName(en), "event_type", "user_id"
+        ).collect()
+    }
+    assert once == twice

@@ -110,25 +110,32 @@ c AS (SELECT c0.cid, coalesce(refined.cv, c0.cv) AS cv
       FROM c0 LEFT JOIN refined USING (cid))"""
 
 
-def _ivf_pq_cand_sql(corpus: str) -> str:
+def _ivf_pq_cand_sql(corpus: str, cb_sql: str | None = None) -> str:
     """CTE chain from the refined centroid relation ``c`` (produced by
     :func:`_lloyd_c_sql`) through the ADC candidate relation ``cand``
     (qid, vec_id, adc_dist). ``corpus`` is the TRAINING relation —
     'e' for the full-corpus build, 'old' for the append lifecycle —
     and feeds only the codebook; encode (``asg``/``codes``) and the
     query/probe/LUT chain always run over ``e``, matching
-    ivf_pq_encode's frozen-artifact contract. Shared by the persist,
-    append, and recall oracles.
+    ivf_pq_encode's frozen-artifact contract. ``cb_sql`` overrides the
+    default md5-seed codebook CTE body (round 13: the TRAINED codebook
+    recall twin injects ``list(cv ORDER BY code) FROM tcb``). Shared by
+    the persist, append, and recall oracles.
     """
     blocks = range(_PQ_BLOCKS)
+    if cb_sql is None:
+        cb_sql = (
+            f"SELECT list(v ORDER BY vec_id) AS cbs\n"
+            f"       FROM (SELECT vec_id, v FROM {corpus} "
+            f"ORDER BY vec_id LIMIT {_PQ_CODES})"
+        )
     return (
         f"""asg AS (SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cid AS cell,
            row_number() OVER (PARTITION BY e.vec_id
                ORDER BY {_COS6.format(a='e.v', b='c.cv')} DESC, c.cid DESC) AS rn
     FROM e, c) WHERE rn = 1),
-cb AS (SELECT list(v ORDER BY vec_id) AS cbs
-       FROM (SELECT vec_id, v FROM {corpus} ORDER BY vec_id LIMIT {_PQ_CODES})),
+cb AS ({cb_sql}),
 d AS (SELECT vec_id, """
         + ", ".join(f"{_pq_block_sql(bi)} AS db_{bi}" for bi in blocks)
         + """ FROM e, cb),

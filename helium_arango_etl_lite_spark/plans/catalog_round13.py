@@ -39,6 +39,13 @@ path + the batch=stream quantile sketch (r12 verdict items 2 and 5).
   assignment in one output, so the "refinement trims the tail cell"
   statement is certified by value hash, not just a soak table.
 
+* ``llm_pq_train_codebook`` / ``llm_ann_ivf_pq_recall_trained`` — the
+  lever the recall gate pointed at: one k-means iteration per PQ block
+  (``pq_train_blocks``), codebook value-hashed component-wise, and a
+  controlled recall twin differing from ``llm_ann_ivf_pq_recall`` ONLY
+  in the codebook — measured at sf0.01 it triples production-config
+  recall (0.02 -> 0.06 at nprobe=2; 0.08 -> 0.14 scanning every cell).
+
 Reference parity note: the reference ETL (follower.py:55-294) has no
 index-evaluation or sketch surface; these entries are scale-path
 operators beyond the reference's 633-LoC feature set.
@@ -51,7 +58,7 @@ from pyspark.sql import functions as F
 
 from .catalog_core import _replay_dir
 from .catalog_llm import EMB_DIM, IVF_K
-from .catalog_round5 import _PQ_BLOCKS, _PQ_CODES
+from .catalog_round5 import _pq_block_sql, _PQ_BLOCKS, _PQ_CODES
 from .catalog_round5b import _HQ_BINS, _HQ_QUANTILES, _HQ_SQL, _recall_overlay
 from .catalog_round12 import (
     _IPQ_LLOYD_ITERS, _IPQ_NPROBE, _IPQ_QMOD, _IPQ_TOPK,
@@ -64,13 +71,12 @@ from .registry import load_table, register
 # ---------------------------------------------------------------------------
 
 
-def _ivf_pq_recall_sql() -> str:
+def _recall_tail_sql() -> str:
+    """From the ADC candidate relation ``cand``: top-k per query, exact
+    brute-force top-k on the same query sample, and the per-query
+    recall overlay — the tail both recall oracles share."""
     k = _IPQ_TOPK
-    return (
-        f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-{_lloyd_c_sql('e')},
-{_ivf_pq_cand_sql('e')},
-ap AS (SELECT qid, nid FROM (
+    return f"""ap AS (SELECT qid, nid FROM (
     SELECT qid, vec_id AS nid,
            row_number() OVER (PARTITION BY qid
                ORDER BY adc_dist ASC, vec_id ASC) AS rnk
@@ -98,6 +104,14 @@ SELECT cex.qid, cex.n_exact,
 FROM cex
 LEFT JOIN cap ON cap.qid = cex.qid
 LEFT JOIN hit ON hit.qid = cex.qid"""
+
+
+def _ivf_pq_recall_sql() -> str:
+    return (
+        f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_lloyd_c_sql('e')},
+{_ivf_pq_cand_sql('e')},
+{_recall_tail_sql()}"""
     )
 
 
@@ -446,3 +460,163 @@ def llm_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return stats(seed, "seed").unionByName(stats(refined, "lloyd1"))
+
+
+# ---------------------------------------------------------------------------
+# trained PQ sub-codebooks (the lever the recall gate pointed at)
+# ---------------------------------------------------------------------------
+
+_PQ_SUB = EMB_DIM // _PQ_BLOCKS
+
+
+def _pq_train_cte(corpus: str = "e") -> str:
+    """CTE chain training the per-block PQ codebook — the SQL unroll of
+    operators/llm/similarity.pq_train_blocks: seed codebook rows
+    (``cbrow``), block-L2 assignment of every vector against the seed
+    (``d0``/``codes0`` — the shared _pq_block_sql distances, argmin tie
+    lower code via list_position/list_min), per-(code, block-dim) means
+    rounded to 6dp (``mb{bi}``/``tb{bi}``), and the recomposed
+    ``tcb (code, cv)`` where empty codes keep their seed slice."""
+    blocks = range(_PQ_BLOCKS)
+    d0 = ", ".join(
+        f"{_pq_block_sql(bi)} AS db_{bi}" for bi in blocks
+    )
+    codes0 = ", ".join(
+        f"list_position(db_{bi}, list_min(db_{bi})) AS code_{bi}"
+        for bi in blocks
+    )
+    per_block = []
+    for bi in blocks:
+        off = bi * _PQ_SUB
+        per_block.append(
+            f"""mb{bi} AS (SELECT code, dim, round(avg(x), 6) AS m FROM (
+    SELECT codes0.code_{bi} AS code,
+           unnest(t.v[{off + 1}:{off + _PQ_SUB}]) AS x,
+           unnest(generate_series(1, {_PQ_SUB})) AS dim
+    FROM {corpus} t JOIN codes0 USING (vec_id)) GROUP BY 1, 2),
+tb{bi} AS (SELECT code, list(m ORDER BY dim) AS blk FROM mb{bi} GROUP BY 1)"""
+        )
+    tcb_cols = " || ".join(
+        f"coalesce(tb{bi}.blk, cbrow.cv[{bi * _PQ_SUB + 1}:"
+        f"{bi * _PQ_SUB + _PQ_SUB}])"
+        for bi in blocks
+    )
+    tcb_joins = " ".join(
+        f"LEFT JOIN tb{bi} ON tb{bi}.code = cbrow.code" for bi in blocks
+    )
+    return (
+        f"""cbrow AS (SELECT row_number() OVER (ORDER BY vec_id) AS code, v AS cv
+       FROM (SELECT vec_id, v FROM {corpus} ORDER BY vec_id LIMIT {_PQ_CODES})),
+cb0 AS (SELECT list(cv ORDER BY code) AS cbs FROM cbrow),
+d0 AS (SELECT vec_id, {d0} FROM {corpus}, cb0),
+codes0 AS (SELECT vec_id, {codes0} FROM d0),
+"""
+        + ",\n".join(per_block)
+        + f""",
+tcb AS (SELECT cbrow.code, {tcb_cols} AS cv
+        FROM cbrow {tcb_joins})"""
+    )
+
+
+def _pq_train_codebook_sql() -> str:
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_pq_train_cte('e')}
+SELECT code, dim::BIGINT AS dim, val FROM (
+    SELECT code, unnest(cv) AS val,
+           unnest(generate_series(1, len(cv))) AS dim
+    FROM tcb)"""
+
+
+@register(
+    "llm_pq_train_codebook",
+    _pq_train_codebook_sql(),
+    doc="Trained per-block PQ codebook, value-hashed component-wise "
+        f"(code, dim, val — {_PQ_CODES} codes x {EMB_DIM} dims): one "
+        "k-means iteration per block moves each code's block codeword "
+        "to the mean of the subvectors it captures (assignment = the "
+        "same rounded block-L2 argmin ivf_pq_encode ranks with; means "
+        "round to 6dp so both engines carry identical codewords; empty "
+        "codes keep their seed slice). Blocks train independently — "
+        "the multiplicativity that gives 8^4 reconstructions from 32 "
+        "codewords. This is the PQ analogue of the Lloyd IVF "
+        "refinement and the lever the recall gate pointed at: recall@5 "
+        "of the production config TRIPLES with this codebook "
+        "(llm_ann_ivf_pq_recall_trained). Scale: one O(n*codes) "
+        "broadcast scoring pass + per-block posexplode shuffles "
+        "bounded at codes x block-dim rows "
+        "(operators/llm/similarity.py:pq_train_blocks).",
+    tags=("llm", "similarity", "ann", "iterative"),
+)
+def llm_pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.similarity import _as_double, pq_train_blocks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    cb = (
+        e.orderBy("vec_id")
+        .limit(_PQ_CODES)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("code"),
+            F.col("v").alias("cv"),
+        )
+    )
+    tcb = pq_train_blocks(e, cb, n_blocks=_PQ_BLOCKS, dim=EMB_DIM)
+    return tcb.select(
+        "code", F.posexplode("cv").alias("pos", "val")
+    ).select("code", (F.col("pos") + 1).cast("long").alias("dim"), "val")
+
+
+def _ivf_pq_recall_trained_sql() -> str:
+    return (
+        f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_lloyd_c_sql('e')},
+{_pq_train_cte('e')},
+{_ivf_pq_cand_sql('e', cb_sql='SELECT list(cv ORDER BY code) AS cbs FROM tcb')},
+{_recall_tail_sql()}"""
+    )
+
+
+@register(
+    "llm_ann_ivf_pq_recall_trained",
+    _ivf_pq_recall_trained_sql(),
+    doc="Recall@k of the IVF-PQ index with the TRAINED codebook — the "
+        "controlled twin of llm_ann_ivf_pq_recall (identical Lloyd "
+        "cells, nprobe, top-k, query sample; ONLY the codebook "
+        "changes), so the delta between the two entries is the "
+        "measured value of codebook training and nothing else. On the "
+        "isotropic corpus at sf0.01 recall@5 goes 0.02 -> 0.06 at the "
+        "production nprobe=2 and 0.08 -> 0.14 scanning every cell "
+        "(SCALE_SOAK round 13) — the quantization loss the recall gate "
+        "decomposed is what the training removes. Encode and ADC "
+        "search reuse the exact kernels (the trained codebook keeps "
+        "the (code, cv) shape, so nothing downstream changes) "
+        "(operators/llm/similarity.py:pq_train_blocks,ivf_pq_encode,"
+        "ivf_pq_adc_search).",
+    tags=("llm", "similarity", "ann", "evaluation"),
+)
+def llm_ann_ivf_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.similarity import (
+        _as_double, ivf_pq_adc_search, ivf_pq_build, ivf_pq_encode,
+        knn_join_sampled, pq_train_blocks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    # index frame unused: build() is lazy, so only cents/cb materialize
+    _, cents, cb = ivf_pq_build(
+        emb, num_centroids=IVF_K, n_blocks=_PQ_BLOCKS, n_codes=_PQ_CODES,
+        dim=EMB_DIM, lloyd_iters=_IPQ_LLOYD_ITERS,
+    )
+    tcb = pq_train_blocks(e, cb, n_blocks=_PQ_BLOCKS, dim=EMB_DIM)
+    index = ivf_pq_encode(e, cents, tcb, n_blocks=_PQ_BLOCKS, dim=EMB_DIM)
+    qs = emb.select(
+        F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv")
+    ).filter(F.col("qid") % _IPQ_QMOD == 0)
+    approx = ivf_pq_adc_search(
+        qs, index, cents, tcb, dim=EMB_DIM, n_blocks=_PQ_BLOCKS,
+        nprobe=_IPQ_NPROBE, topk=_IPQ_TOPK,
+    ).select("qid", F.col("vec_id").alias("nid"))
+    exact = knn_join_sampled(
+        emb, k=_IPQ_TOPK, sample_mod=_IPQ_QMOD
+    ).select("qid", "nid")
+    return _recall_overlay(exact, approx)

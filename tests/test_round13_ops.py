@@ -231,3 +231,78 @@ def test_hll_register_merge_is_idempotent(spark, sf_dir):
         ).collect()
     }
     assert once == twice
+
+
+# Deterministic recall@5 of the TRAINED-codebook twin at sf0.001. NOTE
+# the comparison story lives at sf0.01 (50 hit-pairs): 0.02 -> 0.06 at
+# nprobe=2, 0.08 -> 0.14 at nprobe=32. At sf0.001 the sample is 10
+# queries x 5 = one-hit granularity, and the trained pin (0.04) sits
+# one hit BELOW the untrained one (0.06) — sampling noise, not a
+# training regression; do not "fix" one pin to match the other.
+_RECALL_TRAINED_SF0001_MEAN = 0.04
+
+
+def test_ivf_pq_recall_trained_pinned(spark, sf_dir):
+    from helium_arango_etl_lite_spark.plans.catalog_round13 import (
+        llm_ann_ivf_pq_recall_trained,
+    )
+
+    rows = llm_ann_ivf_pq_recall_trained(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact"] == _IPQ_TOPK
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+    mean = sum(r["recall_at_k"] for r in rows) / len(rows)
+    assert abs(mean - _RECALL_TRAINED_SF0001_MEAN) < 1e-9, (
+        f"deterministic trained recall moved ({mean}) — quantizer "
+        "changed; re-measure and update the pin"
+    )
+
+
+def test_pq_train_blocks_shape_and_rounding(spark, sf_dir):
+    """The trained codebook keeps the (code, cv) contract: same code
+    set, full-dim vectors, every non-seed component rounded to 6dp."""
+    from helium_arango_etl_lite_spark.operators.llm.similarity import (
+        pq_train_blocks,
+    )
+    from helium_arango_etl_lite_spark.plans.catalog_llm import EMB_DIM
+    from helium_arango_etl_lite_spark.plans.catalog_round5 import (
+        _PQ_BLOCKS, _PQ_CODES,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    cb = (
+        e.orderBy("vec_id").limit(_PQ_CODES)
+        .select(F.row_number().over(Window.orderBy("vec_id")).alias("code"),
+                F.col("v").alias("cv"))
+    )
+    rows = pq_train_blocks(e, cb, n_blocks=_PQ_BLOCKS, dim=EMB_DIM).collect()
+    assert sorted(r["code"] for r in rows) == list(range(1, _PQ_CODES + 1))
+    for r in rows:
+        assert len(r["cv"]) == EMB_DIM
+        for x in r["cv"]:
+            assert abs(x * 1e6 - round(x * 1e6)) < 1e-6
+
+
+def test_pq_train_blocks_empty_code_keeps_seed(spark):
+    """All vectors identical + identical codewords: ties argmin to the
+    LOWEST code, so the higher code captures nothing and must keep its
+    seed slice while the winner moves to the (rounded) mean."""
+    from helium_arango_etl_lite_spark.operators.llm.similarity import (
+        pq_train_blocks,
+    )
+
+    e = spark.createDataFrame(
+        [(i, [0.5, 0.5, 0.1, 0.1]) for i in range(1, 4)],
+        "vec_id long, v array<double>",
+    )
+    cb = spark.createDataFrame(
+        [(1, [0.5, 0.5, 0.1, 0.1]), (2, [0.5, 0.5, 0.1, 0.1])],
+        "code long, cv array<double>",
+    )
+    out = {r["code"]: list(r["cv"]) for r in
+           pq_train_blocks(e, cb, n_blocks=2, dim=4).collect()}
+    assert out[1] == [0.5, 0.5, 0.1, 0.1]  # winner: mean == seed here
+    assert out[2] == [0.5, 0.5, 0.1, 0.1]  # loser: seed slices kept

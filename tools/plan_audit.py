@@ -98,6 +98,20 @@ BNLJ_OK = {
     "events_funnel_timed": "two 1-row x 1-row crosses assembling the "
                            "three funnel-stage scalar counts into one "
                            "readout row",
+    "llm_ann_ivf_pq_recall": "fixed K=32 centroid crosses (Lloyd E-step "
+                             "+ encode assignment + probe) and the 8-row "
+                             "codebook scoring/LUT crosses — every build "
+                             "side constant-size",
+    "llm_ann_ivf_pq_recall_trained": "same K=32/8-row crosses as the "
+                                     "untrained twin PLUS the per-block "
+                                     "codebook-training re-scoring "
+                                     "against the same 8-row seed "
+                                     "codebook — all constant-size",
+    "llm_ivf_cell_stats": "two fixed K=32 centroid assignment crosses "
+                          "(seed and Lloyd-refined) + the Lloyd E-step "
+                          "cross",
+    "llm_pq_train_codebook": "8-row codebook scoring cross per block "
+                             "(assignment for the per-block M-step)",
 }
 
 # Streaming replay harnesses drive micro-batches and read results back;

@@ -211,6 +211,13 @@ HEADLINE = [
     "join_asof_nearest",              # closest either side, tie backward
     "events_rfm_segments",            # 3 exact global quintiles, no 1-task window
     "llm_ann_ivf_pq_append",          # frozen-artifact encode + table append
+    # round 13
+    "llm_ann_ivf_pq_recall",          # ADC top-k vs exact kNN overlay
+    "llm_ann_ivf_pq_recall_trained",  # same, trained per-block codebook
+    "llm_pq_train_codebook",          # per-block k-means M-step on the codebook
+    "llm_ivf_cell_stats",             # seed vs Lloyd cell-size report
+    "stream_quantiles_replay",        # 128-bin histogram in stream state
+    "stream_hll_replay",              # max-merged HLL registers in stream state
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow
@@ -336,6 +343,12 @@ R11_COMPARABLE = R10_COMPARABLE | {
     "llm_kcenter_coreset_batched", "llm_ann_graph_persist",
     "llm_vocab_kl_drift", "join_asof_tolerance",
     "graph_personalized_pagerank", "events_cuped",
+}
+
+R12_COMPARABLE = R11_COMPARABLE | {
+    "llm_ann_ivf_pq_persist", "stream_heavy_hitters_replay",
+    "stream_session_ooo_replay", "join_asof_nearest",
+    "events_rfm_segments", "llm_ann_ivf_pq_append",
 }
 
 # Queries whose wall is dominated by Arrow/pandas Python workers — their
@@ -692,6 +705,9 @@ def main() -> None:
         ),
         "warm_total_r11_subset": round(
             sum(v for q, v in timings.items() if q in R11_COMPARABLE), 3
+        ),
+        "warm_total_r12_subset": round(
+            sum(v for q, v in timings.items() if q in R12_COMPARABLE), 3
         ),
     }
 

@@ -218,6 +218,7 @@ HEADLINE = [
     "llm_ivf_cell_stats",             # seed vs Lloyd cell-size report
     "stream_quantiles_replay",        # 128-bin histogram in stream state
     "stream_hll_replay",              # max-merged HLL registers in stream state
+    "llm_ann_ivf_pq_recall_sweep",    # nprobe curve from one candidate scan
 ]
 
 # The exact query set BENCH_r04 measured (35 entries incl. the follow

@@ -46,6 +46,12 @@ path + the batch=stream quantile sketch (r12 verdict items 2 and 5).
   in the codebook — measured at sf0.01 it triples production-config
   recall (0.02 -> 0.06 at nprobe=2; 0.08 -> 0.14 scanning every cell).
 
+* ``llm_ann_ivf_pq_recall_sweep`` — the probe/quantization
+  decomposition as one hashed curve (nprobe 2/8/32 from ONE candidate
+  scan: candidates carry their cell's probe rank, each nprobe is a
+  filter against a 3-row frame — the capacity-planning query that
+  picks nprobe/K economics before a deployment).
+
 Reference parity note: the reference ETL (follower.py:55-294) has no
 index-evaluation or sketch surface; these entries are scale-path
 operators beyond the reference's 633-LoC feature set.
@@ -58,10 +64,12 @@ from pyspark.sql import functions as F
 
 from .catalog_core import _replay_dir
 from .catalog_llm import EMB_DIM, IVF_K
-from .catalog_round5 import _pq_block_sql, _PQ_BLOCKS, _PQ_CODES
+from .catalog_round5 import (
+    _adc_lut_sql, _pq_block_sql, _PQ_BLOCKS, _PQ_CODES,
+)
 from .catalog_round5b import _HQ_BINS, _HQ_QUANTILES, _HQ_SQL, _recall_overlay
 from .catalog_round12 import (
-    _IPQ_LLOYD_ITERS, _IPQ_NPROBE, _IPQ_QMOD, _IPQ_TOPK,
+    _COS6, _IPQ_LLOYD_ITERS, _IPQ_NPROBE, _IPQ_QMOD, _IPQ_TOPK,
     _ivf_pq_cand_sql, _lloyd_c_sql,
 )
 from .registry import load_table, register
@@ -620,3 +628,212 @@ def llm_ann_ivf_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame
         emb, k=_IPQ_TOPK, sample_mod=_IPQ_QMOD
     ).select("qid", "nid")
     return _recall_overlay(exact, approx)
+
+
+# ---------------------------------------------------------------------------
+# recall-vs-nprobe sweep: the probe/quantization decomposition, hashed
+# ---------------------------------------------------------------------------
+
+_SWEEP_NPROBES = (2, 8, 32)
+
+
+def _ivf_pq_recall_sweep_sql() -> str:
+    blocks = range(_PQ_BLOCKS)
+    k = _IPQ_TOPK
+    nps = ", ".join(str(p) for p in _SWEEP_NPROBES)
+    return (
+        f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_lloyd_c_sql('e')},
+asg AS (SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS6.format(a='e.v', b='c.cv')} DESC, c.cid DESC) AS rn
+    FROM e, c) WHERE rn = 1),
+cb AS (SELECT list(v ORDER BY vec_id) AS cbs
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_PQ_CODES})),
+d AS (SELECT vec_id, """
+        + ", ".join(f"{_pq_block_sql(bi)} AS db_{bi}" for bi in blocks)
+        + """ FROM e, cb),
+codes AS (SELECT vec_id, """
+        + ", ".join(
+            f"list_position(db_{bi}, list_min(db_{bi})) AS code_{bi}"
+            for bi in blocks
+        )
+        + f""" FROM d),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {_IPQ_QMOD} = 0),
+probe AS (SELECT qs.qid, c.cid,
+                 row_number() OVER (PARTITION BY qs.qid
+                     ORDER BY {_COS6.format(a='c.cv', b='qs.qv')} DESC,
+                              c.cid DESC) AS cell_rn
+          FROM qs, c),
+luts AS (SELECT qid, """
+        + ", ".join(f"{_adc_lut_sql(bi)} AS lut_{bi}" for bi in blocks)
+        + """ FROM qs, cb),
+cand AS (SELECT p.qid, p.cell_rn, a.vec_id,
+                round("""
+        + " + ".join(f"l.lut_{bi}[co.code_{bi}]" for bi in blocks)
+        + f""", 6) AS adc_dist
+         FROM probe p
+              JOIN asg a ON a.cell = p.cid
+              JOIN codes co ON co.vec_id = a.vec_id
+              JOIN luts l ON l.qid = p.qid
+         WHERE a.vec_id <> p.qid),
+nps AS (SELECT unnest([{nps}]) AS nprobe),
+ap AS (SELECT nprobe, qid, vec_id AS nid FROM (
+    SELECT nps.nprobe, cand.qid, cand.vec_id,
+           row_number() OVER (PARTITION BY nps.nprobe, cand.qid
+               ORDER BY cand.adc_dist ASC, cand.vec_id ASC) AS rnk
+    FROM cand JOIN nps ON cand.cell_rn <= nps.nprobe)
+    WHERE rnk <= {k}),
+px AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+              round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+       FROM e a JOIN e b ON a.vec_id <> b.vec_id
+       WHERE a.vec_id % {_IPQ_QMOD} = 0),
+ex AS (SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, nid) AS rank
+    FROM px) WHERE rank <= {k}),
+qnp AS (SELECT nps.nprobe, ex.qid, ex.nid FROM nps, ex),
+hits AS (SELECT qnp.nprobe, qnp.qid,
+                count(ap.nid)::BIGINT AS n_hit
+         FROM qnp
+         LEFT JOIN ap ON ap.nprobe = qnp.nprobe AND ap.qid = qnp.qid
+                     AND ap.nid = qnp.nid
+         GROUP BY 1, 2)
+SELECT nprobe::BIGINT AS nprobe,
+       count(*)::BIGINT AS n_queries,
+       round(avg(n_hit / {k}.0), 4) AS mean_recall
+FROM hits GROUP BY 1"""
+    )
+
+
+@register(
+    "llm_ann_ivf_pq_recall_sweep",
+    _ivf_pq_recall_sweep_sql(),
+    doc="Recall-vs-nprobe decomposition in one hashed entry "
+        f"(nprobe in {_SWEEP_NPROBES}): ONE candidate scan serves every "
+        "probe width — the probe ranks ALL K cells per query, each "
+        "candidate carries its cell's probe rank, and 'nprobe=p' is the "
+        "FILTER cell_rn <= p joined against a 3-row nprobe frame, so "
+        "the sweep costs one index scan + one bounded fan-out instead "
+        "of three searches (the Expand trick aggregation rollups use, "
+        "applied to index evaluation). The output is the curve that "
+        "adjudicates probe loss vs quantization loss: on isotropic "
+        "data recall rises ~linearly in nprobe to the quantization "
+        "ceiling, then flattens — nprobe past that point buys scan "
+        "cost, not answers. This is the capacity-planning query a "
+        "100 TB deployment runs before picking nprobe/K economics "
+        "(operators/llm/similarity.py:ivf_pq_build; the per-cell scan "
+        "fraction claim in SCALE_SOAK rounds 12-13).",
+    tags=("llm", "similarity", "ann", "evaluation"),
+)
+def llm_ann_ivf_pq_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llm.similarity import (
+        _as_double, dot, ivf_pq_build, knn_join_sampled, norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index, cents, cb = ivf_pq_build(
+        emb, num_centroids=IVF_K, n_blocks=_PQ_BLOCKS, n_codes=_PQ_CODES,
+        dim=EMB_DIM, lloyd_iters=_IPQ_LLOYD_ITERS,
+    )
+    qs = emb.select(
+        F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv")
+    ).filter(F.col("qid") % _IPQ_QMOD == 0)
+
+    # probe ranks ALL K cells per query (cell_rn 1..K) — one pass
+    probe = (
+        qs.withColumn("qn", norm(F.col("qv")))
+        .crossJoin(F.broadcast(cents.withColumn("ncv", norm(F.col("cv")))))
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                dot(F.col("cv"), F.col("qv")) / (F.col("ncv") * F.col("qn")),
+                6,
+            ).alias("qsim"),
+        )
+        .withColumn(
+            "cell_rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("qsim"), F.desc("cid")
+                )
+            ),
+        )
+        .select("qid", "cid", "cell_rn")
+    )
+
+    sub = EMB_DIM // _PQ_BLOCKS
+
+    def lut_dist(bi: int):
+        qsl = F.slice(F.col("qv"), bi * sub + 1, sub)
+        csl = F.slice(F.col("cv"), bi * sub + 1, sub)
+        return F.round(
+            F.aggregate(
+                F.zip_with(qsl, csl, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+            6,
+        )
+
+    luts = qs.crossJoin(F.broadcast(cb)).select(
+        "qid",
+        "code",
+        *[lut_dist(bi).alias(f"ld_{bi}") for bi in range(_PQ_BLOCKS)],
+    )
+    cand = index.join(F.broadcast(probe), index["cell"] == probe["cid"]).drop(
+        "cid"
+    )
+    for bi in range(_PQ_BLOCKS):
+        lb = luts.select(
+            F.col("qid").alias(f"q{bi}"),
+            F.col("code").alias(f"c{bi}"),
+            f"ld_{bi}",
+        )
+        cand = cand.join(
+            F.broadcast(lb),
+            (F.col("qid") == F.col(f"q{bi}"))
+            & (F.col(f"code_{bi}") == F.col(f"c{bi}")),
+        ).drop(f"q{bi}", f"c{bi}")
+    adc = F.lit(0.0)
+    for bi in range(_PQ_BLOCKS):
+        adc = adc + F.col(f"ld_{bi}")
+    cand = cand.filter(F.col("vec_id") != F.col("qid")).select(
+        "qid", "cell_rn", "vec_id", F.round(adc, 6).alias("adc_dist")
+    ).localCheckpoint(eager=False)  # one scan feeds every nprobe filter
+
+    nps = spark.createDataFrame(
+        [(p,) for p in _SWEEP_NPROBES], "nprobe long"
+    )
+    ap = (
+        cand.join(F.broadcast(nps), F.col("cell_rn") <= F.col("nprobe"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("nprobe", "qid").orderBy(
+                    F.asc("adc_dist"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= _IPQ_TOPK)
+        .select("nprobe", "qid", F.col("vec_id").alias("nid"))
+    )
+    exact = knn_join_sampled(
+        emb, k=_IPQ_TOPK, sample_mod=_IPQ_QMOD
+    ).select("qid", "nid")
+    hits = (
+        nps.crossJoin(exact)
+        .join(ap, ["nprobe", "qid", "nid"], "left_outer")
+        .groupBy("nprobe", "qid")
+        .agg(F.count(ap["nid"]).cast("long").alias("n_hit"))
+    )
+    return hits.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg(F.col("n_hit") / F.lit(float(_IPQ_TOPK))), 4)
+        .alias("mean_recall"),
+    )

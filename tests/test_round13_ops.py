@@ -306,3 +306,24 @@ def test_pq_train_blocks_empty_code_keeps_seed(spark):
            pq_train_blocks(e, cb, n_blocks=2, dim=4).collect()}
     assert out[1] == [0.5, 0.5, 0.1, 0.1]  # winner: mean == seed here
     assert out[2] == [0.5, 0.5, 0.1, 0.1]  # loser: seed slices kept
+
+
+def test_recall_sweep_consistent_with_singleton_entry(spark, sf_dir):
+    """The sweep's nprobe=2 row must reproduce the production recall
+    entry's mean exactly (same artifacts, same queries — the sweep's
+    single-scan trick may not change any answer), and every row keeps
+    the full query sample."""
+    from helium_arango_etl_lite_spark.plans.catalog_round13 import (
+        _SWEEP_NPROBES, llm_ann_ivf_pq_recall, llm_ann_ivf_pq_recall_sweep,
+    )
+
+    sweep = {r["nprobe"]: r for r in
+             llm_ann_ivf_pq_recall_sweep(spark, sf_dir).collect()}
+    assert sorted(sweep) == sorted(_SWEEP_NPROBES)
+    single = llm_ann_ivf_pq_recall(spark, sf_dir).collect()
+    expected = round(sum(r["recall_at_k"] for r in single) / len(single), 4)
+    assert abs(sweep[2]["mean_recall"] - expected) < 1e-9
+    n_q = len(single)
+    for r in sweep.values():
+        assert r["n_queries"] == n_q
+        assert 0.0 <= r["mean_recall"] <= 1.0

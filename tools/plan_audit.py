@@ -112,6 +112,11 @@ BNLJ_OK = {
                           "cross",
     "llm_pq_train_codebook": "8-row codebook scoring cross per block "
                              "(assignment for the per-block M-step)",
+    "llm_ann_ivf_pq_recall_sweep": "fixed K=32 centroid crosses (Lloyd "
+                                   "E-step + all-cell probe ranking) + "
+                                   "8-row codebook LUT cross + the "
+                                   "3-row nprobe-frame fan-out — all "
+                                   "constant-size build sides",
 }
 
 # Streaming replay harnesses drive micro-batches and read results back;

@@ -425,15 +425,69 @@ def adjudicate_flags(
             suppressed += 1
             continue
         ax = axis_of[q]
+        raw_prev, raw_now = prev.get(q), now.get(q)
+        # a normalized flag whose RAW wall is flat-or-faster is the
+        # axis divisor talking, not the query (the round-12 standard:
+        # every state-axis flag with improving raw walls was phantom) —
+        # label it so the artifact adjudicates itself
+        verdict = (
+            "raw_flat_axis_driven"
+            if raw_prev and raw_now is not None
+            and raw_now <= raw_prev * 1.1
+            else "raw_slower"
+        )
         flags[q] = {
             "norm_ratio": r,
             "axis": ax,
             "axis_ratio": round(axes[ax], 3),
             "axis_drift": drift.get(ax),
-            "raw_prev": prev.get(q),
-            "raw_now": now.get(q),
+            "raw_prev": raw_prev,
+            "raw_now": raw_now,
+            "verdict": verdict,
         }
     return flags, suppressed
+
+
+# How many flagged queries get one isolated end-of-run retry. Bounded so
+# a badly drifted window can't double the bench wall.
+FLAG_RETRY_CAP = 10
+
+
+def adjudicate_retries(
+    regressions: dict[str, dict],
+    axes: dict[str, float],
+    rerun,
+    cap: int = FLAG_RETRY_CAP,
+    threshold: float = 1.25,
+) -> dict[str, dict]:
+    """Second half of flag adjudication (r12 verdict item 4 follow-up):
+    every round's SCALE_SOAK discipline is "flags are leads — isolated
+    reruns adjudicate", so the bench now runs that rerun itself. Each
+    flagged query (worst-first, up to ``cap``) is re-executed once after
+    the main loop; the retry wall re-normalizes against the same
+    baseline and axis, and a flag whose retry ratio falls under
+    ``threshold`` moves to the returned cleared-map — an intra-run spike
+    (scheduler stall, a neighbour tenant's burst) caught in the act. A
+    flag that SURVIVES its retry is the real signal worth a human look:
+    same window, same host, still slow. Flags keep ``retry_wall`` /
+    ``retry_norm_ratio`` either way; the primary ``timings`` are never
+    rewritten, so totals stay comparable across rounds. ``rerun`` is a
+    callable(name) -> wall-seconds (injectable for tests)."""
+    cleared: dict[str, dict] = {}
+    for q in list(regressions)[:cap]:
+        f = regressions[q]
+        try:
+            rw = round(float(rerun(q)), 3)
+        except Exception:  # noqa: BLE001 — a retry must never kill the run
+            continue
+        f["retry_wall"] = rw
+        rn = None
+        if f.get("raw_prev") and axes.get(f.get("axis")):
+            rn = round((rw / f["raw_prev"]) / axes[f["axis"]], 3)
+        f["retry_norm_ratio"] = rn
+        if rn is not None and rn <= threshold:
+            cleared[q] = regressions.pop(q)
+    return cleared
 
 
 def current_round(here: str) -> int:
@@ -776,6 +830,7 @@ def main() -> None:
         regressions, n_suppressed = adjudicate_flags(
             per_query, axis_of, axes, drift, timings, pq
         )
+        cleared = adjudicate_retries(regressions, axes, run_once)
         shared = [q for q in per_query]
         raw_ratio = (
             sum(timings[q] for q in shared) / sum(pq[q] for q in shared)
@@ -794,6 +849,7 @@ def main() -> None:
             "regressions_gt_1_25": regressions,
             "flag_floor_sec": FLAG_FLOOR_SEC,
             "flags_suppressed_below_floor": n_suppressed,
+            "flags_cleared_by_retry": cleared,
             "shared_raw_total_ratio": (
                 round(raw_ratio, 3) if raw_ratio else None
             ),
@@ -805,6 +861,7 @@ def main() -> None:
             "norm_prev_shared_ratio": norm_detail["shared_norm_total_ratio"],
             "norm_regressions_gt_1_25": len(regressions),
             "norm_flags_suppressed_below_floor": n_suppressed,
+            "norm_flags_cleared_by_retry": len(cleared),
             "norm_worst": {
                 q: v["norm_ratio"]
                 for q, v in list(regressions.items())[:3]

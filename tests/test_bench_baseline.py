@@ -130,4 +130,64 @@ def test_flag_annotations_carry_axis_context():
     assert flags["r"] == {
         "norm_ratio": 1.5, "axis": "py", "axis_ratio": 0.9,
         "axis_drift": 1.3, "raw_prev": 2.0, "raw_now": 2.0,
+        "verdict": "raw_flat_axis_driven",
     }
+
+
+def test_retry_clears_intra_run_spike_flags():
+    """A flag whose isolated retry re-normalizes under threshold was an
+    intra-run spike — it moves to the cleared map, annotated with the
+    retry evidence; a flag that survives its retry stays, also
+    annotated."""
+    regressions = {
+        "spike": {"norm_ratio": 2.5, "axis": "jvm", "axis_ratio": 1.0,
+                  "axis_drift": 1.0, "raw_prev": 4.0, "raw_now": 10.0},
+        "real": {"norm_ratio": 1.8, "axis": "state", "axis_ratio": 1.0,
+                 "axis_drift": 1.0, "raw_prev": 5.0, "raw_now": 9.0},
+    }
+    walls = {"spike": 4.2, "real": 8.8}
+    cleared = bench.adjudicate_retries(
+        regressions, {"jvm": 1.0, "state": 1.0}, lambda q: walls[q]
+    )
+    assert list(cleared) == ["spike"]
+    assert cleared["spike"]["retry_wall"] == 4.2
+    assert cleared["spike"]["retry_norm_ratio"] == 1.05
+    assert "spike" not in regressions
+    assert regressions["real"]["retry_wall"] == 8.8
+    assert regressions["real"]["retry_norm_ratio"] == 1.76
+
+
+def test_retry_cap_and_failures_are_safe():
+    """Only the worst `cap` flags retry; a rerun that raises leaves its
+    flag intact and unannotated."""
+    regressions = {
+        f"q{i}": {"norm_ratio": 3.0 - i * 0.1, "axis": "jvm",
+                  "axis_ratio": 1.0, "axis_drift": 1.0,
+                  "raw_prev": 4.0, "raw_now": 10.0}
+        for i in range(4)
+    }
+
+    def rerun(q):
+        if q == "q0":
+            raise RuntimeError("transient")
+        return 4.0
+
+    cleared = bench.adjudicate_retries(
+        regressions, {"jvm": 1.0}, rerun, cap=3
+    )
+    assert "q0" in regressions and "retry_wall" not in regressions["q0"]
+    assert set(cleared) == {"q1", "q2"}          # q3 beyond cap
+    assert "retry_wall" not in regressions["q3"]
+
+
+def test_flag_verdict_separates_raw_flat_from_raw_slower():
+    flags, _ = bench.adjudicate_flags(
+        {"flat": 1.9, "slow": 1.9},
+        {"flat": "state", "slow": "jvm"},
+        {"state": 0.56, "jvm": 1.0},
+        {"state": 1.3, "jvm": 1.0},
+        now={"flat": 5.9, "slow": 9.0},
+        prev={"flat": 6.2, "slow": 4.0},
+    )
+    assert flags["flat"]["verdict"] == "raw_flat_axis_driven"
+    assert flags["slow"]["verdict"] == "raw_slower"

@@ -306,14 +306,17 @@ def stream_ann_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out.unionByName(back).write.mode("append").parquet(res)
 
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from ..streaming.tuning import stream_partitions, stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark, stream_partitions(src)):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(res).distinct()
 
 

@@ -284,17 +284,20 @@ def stream_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    q = (
-        attribution_stream(stream)
-        .writeStream.foreachBatch(
-            lambda df, bid: df.write.mode("append").parquet(res)
+    from ..streaming.tuning import stream_partitions, stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark, stream_partitions(src)):
+        q = (
+            attribution_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(res)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return (
         spark.read.parquet(res)
         .groupBy("channel")

@@ -309,19 +309,22 @@ def stream_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    q = (
-        cms_cells_stream(stream)
-        .writeStream.foreachBatch(
-            lambda df, bid: df.withColumn("batch_id", F.lit(bid))
-            .write.mode("append")
-            .parquet(res)
+    from ..streaming.tuning import stream_partitions, stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark, stream_partitions(src)):
+        q = (
+            cms_cells_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.withColumn("batch_id", F.lit(bid))
+                .write.mode("append")
+                .parquet(res)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     outs = spark.read.parquet(res)
     w = Window.partitionBy("d", "b").orderBy(F.desc("batch_id"))
     cells = (
@@ -393,19 +396,22 @@ def stream_session_ooo_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    q = (
-        sessionize_ooo(stream)
-        .writeStream.foreachBatch(
-            lambda df, bid: df.withColumn("batch_id", F.lit(bid))
-            .write.mode("append")
-            .parquet(res)
+    from ..streaming.tuning import stream_partitions, stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark, stream_partitions(src)):
+        q = (
+            sessionize_ooo(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.withColumn("batch_id", F.lit(bid))
+                .write.mode("append")
+                .parquet(res)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     outs = spark.read.parquet(res)
     last_b = outs.groupBy("user_id").agg(F.max("batch_id").alias("mb"))
     return (

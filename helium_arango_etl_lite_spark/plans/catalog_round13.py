@@ -236,19 +236,22 @@ def stream_quantiles_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    q = (
-        cms_cells_stream(stream)
-        .writeStream.foreachBatch(
-            lambda df, bid: df.withColumn("batch_id", F.lit(bid))
-            .write.mode("append")
-            .parquet(res)
+    from ..streaming.tuning import stream_partitions, stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark, stream_partitions(src)):
+        q = (
+            cms_cells_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.withColumn("batch_id", F.lit(bid))
+                .write.mode("append")
+                .parquet(res)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     outs = spark.read.parquet(res)
     last = Window.partitionBy("d", "b").orderBy(F.desc("batch_id"))
     bins = (
@@ -349,19 +352,22 @@ def stream_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    q = (
-        hll_registers_stream(stream)
-        .writeStream.foreachBatch(
-            lambda df, bid: df.withColumn("batch_id", F.lit(bid))
-            .write.mode("append")
-            .parquet(res)
+    from ..streaming.tuning import stream_partitions, stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark, stream_partitions(src)):
+        q = (
+            hll_registers_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.withColumn("batch_id", F.lit(bid))
+                .write.mode("append")
+                .parquet(res)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     outs = spark.read.parquet(res)
     last = Window.partitionBy("g", "b").orderBy(F.desc("batch_id"))
     regs = (

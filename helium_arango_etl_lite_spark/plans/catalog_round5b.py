@@ -280,14 +280,17 @@ def stream_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(res)
         )
 
-    q = (
-        agg.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from ..streaming.tuning import stream_partitions, stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark, stream_partitions(src)):
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     outs = spark.read.parquet(res)
     w = Window.partitionBy("window_start").orderBy(F.desc("batch_id"))
@@ -453,14 +456,17 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(df: DataFrame, bid: int) -> None:
         df.select("user_id", "event_type").write.mode("append").parquet(res)
 
-    q = (
-        deduped.writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from ..streaming.tuning import stream_partitions, stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark, stream_partitions(src)):
+        q = (
+            deduped.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(res).select("user_id", "event_type")
 
 
@@ -524,14 +530,17 @@ def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(df: DataFrame, bid: int) -> None:
         df.write.mode("append").parquet(res)
 
-    q = (
-        joined.writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from ..streaming.tuning import stream_partitions, stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark, stream_partitions(osrc, lsrc)):
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(res)
 
 

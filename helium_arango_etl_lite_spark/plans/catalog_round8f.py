@@ -387,19 +387,22 @@ def stream_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    q = (
-        scd2_stream(stream)
-        .writeStream.foreachBatch(
-            lambda df, bid: df.withColumn("batch_id", F.lit(bid))
-            .write.mode("append")
-            .parquet(res)
+    from ..streaming.tuning import stream_partitions, stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark, stream_partitions(src)):
+        q = (
+            scd2_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.withColumn("batch_id", F.lit(bid))
+                .write.mode("append")
+                .parquet(res)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     outs = spark.read.parquet(res)
     w = Window.partitionBy("user_id", "version").orderBy(F.desc("batch_id"))
     return (

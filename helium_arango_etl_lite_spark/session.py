@@ -56,4 +56,13 @@ def get_spark(
             ),
         )
     )
+    # Escape hatch for experiments and per-deployment tuning: extra confs
+    # from the environment, e.g.
+    #   SPARK_GRAFT_EXTRA_CONF="spark.io.compression.codec=zstd;spark.foo=1"
+    # Applied LAST so they override the defaults above. Empty by default,
+    # so the driver's bench runs the committed configuration.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()

@@ -176,6 +176,8 @@ def stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _replay_dir("stream_cdc/src")
     res = _replay_dir("stream_cdc/res")
     ckpt = _replay_dir("stream_cdc/ckpt")
+    # one execution for min/max + all three slices (see catalog_round8)
+    log = log.persist()
     lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
     c1 = lo + (hi - lo) // 3
     c2 = lo + 2 * (hi - lo) // 3
@@ -193,6 +195,7 @@ def stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = os.path.join(src, f"b{i}.parquet")
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
         os.utime(path, (1_000_000 + i, 1_000_000 + i))
+    log.unpersist()
 
     stream = (
         spark.readStream.schema(

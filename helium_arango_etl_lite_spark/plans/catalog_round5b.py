@@ -241,6 +241,8 @@ def stream_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NAME and MTIME are ours: the file stream source orders batches by
     # (mtime, path), so both orderings agree on b0 < b1 < b2 and the
     # watermark progression is deterministic run-to-run.
+    # one execution for all three mod-slices (see catalog_round8)
+    ev = ev.persist()
     for i in range(_WM_BATCHES):
         pdf = (
             ev.filter(F.pmod(F.col("event_id"), F.lit(_WM_BATCHES)) == i)
@@ -253,6 +255,7 @@ def stream_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = os.path.join(src, f"b{i}.parquet")
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
         os.utime(path, (1_000_000 + i, 1_000_000 + i))
+    ev.unpersist()
 
     stream = (
         spark.readStream.schema("ts timestamp, value_c long")

@@ -812,6 +812,11 @@ def stream_cusum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _replay_dir("stream_cusum/src")
     res = _replay_dir("stream_cusum/res")
     ckpt = _replay_dir("stream_cusum/ckpt")
+    # One execution of the windowed calibration plan: the min/max pass and
+    # the three batch slices all read the cache instead of recomputing the
+    # full-table window 4x (guide §1.2 "don't compute things you throw
+    # away"); released before the stream starts.
+    cal = cal.persist()
     lo, hi = cal.agg(
         F.min("ts_us"), F.max("ts_us")
     ).collect()[0]
@@ -828,6 +833,7 @@ def stream_cusum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = os.path.join(src, f"b{i}.parquet")
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
         os.utime(path, (1_000_000 + i, 1_000_000 + i))
+    cal.unpersist()
 
     stream = (
         spark.readStream.schema(

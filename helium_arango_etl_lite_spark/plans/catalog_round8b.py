@@ -536,6 +536,8 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _replay_dir("stream_session/src")
     res = _replay_dir("stream_session/res")
     ckpt = _replay_dir("stream_session/ckpt")
+    # one execution for min/max + all three slices (see catalog_round8)
+    base = base.persist()
     lo, hi = base.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
     c1 = lo + (hi - lo) // 3
     c2 = lo + 2 * (hi - lo) // 3
@@ -550,6 +552,7 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = os.path.join(src, f"b{i}.parquet")
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
         os.utime(path, (1_000_000 + i, 1_000_000 + i))
+    base.unpersist()
 
     stream = (
         spark.readStream.schema(

@@ -39,6 +39,16 @@ def get_spark(
         # broadcast conversion — load-bearing at 100 TB (power-law keys).
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions to the advisory SIZE, not to
+        # the core count: with the default parallelismFirst=true AQE
+        # refuses to merge below defaultParallelism, so a 100 KB shuffle
+        # still schedules 32 tasks — pure scheduler overhead on small
+        # exchanges, while at 100 TB both settings behave identically
+        # (partitions are above the advisory size either way). Guide
+        # §2.2 "fewer, larger reduce partitions"; measured -5% on a
+        # 16-query mixed subset, no regressions beyond noise.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for every pandas_udf / mapInPandas / toPandas path.

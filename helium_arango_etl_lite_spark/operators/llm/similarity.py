@@ -1288,7 +1288,7 @@ def append_route_graph(
 def route_on_graph(
     emb: DataFrame, edges: DataFrame, k: int = 5,
     hops: int = 3, beam: int = 8, n_entries: int = 4, entry_mod: int = 16,
-    query_mod: int = 25, query_rem: int = 0,
+    query_mod: int = 25, query_rem: int | tuple[int, ...] = 0,
     id_col: str = "vec_id", vec_col: str = "embedding",
     round_dp: int = 4, entries: DataFrame | None = None,
 ) -> DataFrame:
@@ -1303,15 +1303,24 @@ def route_on_graph(
     reader hands them back (r10 verdict item 6; see
     plans/catalog_round11.py:llm_ann_graph_persist); when None the
     sample is derived from ``emb`` by ``id % entry_mod == 0`` as
-    before."""
+    before.
+
+    ``query_rem`` may be a TUPLE of remainders: every step of the walk
+    (entry scoring, beam selection, frontier expansion, final top-k) is
+    partitioned by ``query_id``, so queries never interact and routing
+    N batches through one walk returns row-for-row what N separate
+    calls return — while paying the per-hop job/checkpoint overhead
+    once instead of N times (optimization round 13: the two-batch
+    replay entry was job-count-bound, 143 jobs for ~1k tiny tasks)."""
     from pyspark.sql import Window
 
+    rems = (query_rem,) if isinstance(query_rem, int) else tuple(query_rem)
     e = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
     nodes = e.select(
         F.col(id_col).alias("nid"), F.col("v").alias("nv"),
         norm(F.col("v")).alias("nn"),
     )
-    queries = e.filter(F.col(id_col) % query_mod == query_rem).select(
+    queries = e.filter((F.col(id_col) % query_mod).isin(list(rems))).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
         norm(F.col("v")).alias("qn"),
     )
@@ -1358,13 +1367,19 @@ def route_on_graph(
     # nodes every round and the walk stalls one hop from the entries)
     expanded = seen.select("query_id", "nid").limit(0)
     for _ in range(hops):
-        # EAGER checkpoints: the per-hop state is queries x beam rows
+        # EAGER checkpoint: the per-hop state is queries x beam rows
         # (tiny), but its LAZY lineage is a nested window/anti-join/
         # union tree that doubles per hop — materializing each round
         # keeps the driver's planning cost linear in hops (measured
-        # 61 s -> ~8 s at sf0.01 on local[8])
-        seen = seen.localCheckpoint(eager=True)
-        expanded = expanded.localCheckpoint(eager=True)
+        # 61 s -> ~8 s at sf0.01 on local[8]). Only ``seen`` needs it:
+        # ``expanded`` is a union of <= hops frontier plans over the
+        # checkpointed seens (linear, not doubling), so checkpointing
+        # it bought nothing but one more job per hop (opt round 13).
+        # The checkpoint is compacted to one partition first — the walk
+        # state is control-plane-sized BY DESIGN (queries x beam rows,
+        # ~40 bytes each), and a 32-partition layout made every
+        # downstream job schedule 32 near-empty tasks per scan.
+        seen = seen.coalesce(1).localCheckpoint(eager=True)
         frontier = (
             seen.join(expanded, ["query_id", "nid"], "left_anti")
             .withColumn("rk", F.row_number().over(w))

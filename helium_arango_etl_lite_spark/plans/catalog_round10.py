@@ -92,10 +92,16 @@ def llm_ann_graph_route_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_GR_K, hops=_GR_HOPS, beam=_GR_BEAM, n_entries=_GR_ENTRIES,
         entry_mod=_GR_EMOD, query_mod=_GR_QMOD,
     )
-    b0 = route_on_graph(emb, edges, query_rem=0, **kw)
-    b1 = route_on_graph(emb, edges, query_rem=1, **kw)
-    return b0.select(F.lit(0).alias("batch"), "*").unionByName(
-        b1.select(F.lit(1).alias("batch"), "*")
+    # Both query batches share ONE walk: every step of route_on_graph is
+    # partitioned by query_id, so routing {rem 0} u {rem 1} together is
+    # row-identical to two separate calls while paying the per-hop
+    # checkpoint/job overhead once (this entry was job-count-bound:
+    # 143 jobs for ~1k tiny tasks). The batch tag is recovered from the
+    # id: batch = query_id % QMOD, which is 0/1 exactly for the two rems.
+    b = route_on_graph(emb, edges, query_rem=(0, 1), **kw)
+    return b.select(
+        F.pmod(F.col("query_id"), F.lit(_GR_QMOD)).cast("int").alias("batch"),
+        "*",
     )
 
 

@@ -1805,6 +1805,11 @@ def pq_train_blocks(
             )
         )
         out = out.join(blk, "code", "left")
+    # O(codes) rows consumed by BOTH the encode pass and the ADC LUT —
+    # pin the training result so each consumer doesn't re-run the
+    # scoring pass + n_blocks posexplode shuffles (opt round 13: the
+    # recall_trained plan carried the whole training subtree twice,
+    # 132 Exchange nodes / 64 scans in one plan before this)
     return out.select(
         "code",
         F.flatten(
@@ -1818,7 +1823,7 @@ def pq_train_blocks(
                 ]
             )
         ).alias("cv"),
-    )
+    ).localCheckpoint(eager=False)
 
 
 def ivf_pq_build(
@@ -1867,6 +1872,10 @@ def ivf_pq_build(
             F.row_number().over(Window.orderBy("vec_id")).alias("code"),
             F.col("v").alias("cv"),
         )
+        # n_codes rows consumed by encode + ADC LUT (+ codebook training
+        # in the trained-recall twin): pin so each consumer doesn't
+        # re-run the corpus sort/limit (see pq_train_blocks)
+        .localCheckpoint(eager=False)
     )
     index = ivf_pq_encode(
         e, cents, cb, n_blocks=n_blocks, dim=dim,

@@ -1010,15 +1010,46 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_violations"),
         )
 
+    # The three lineitem orphan checks share ONE scan of the fact table
+    # (it was scanned once per check before — 3 full passes for 3 sums):
+    # every parent key is unique, so chaining the three left joins keeps
+    # the row count and each check's null test unchanged, and one
+    # aggregate emits all three (relation, n_checked, n_violations)
+    # triples via stack. Guide §1.2: same passes the SQL oracle fuses.
+    li = lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
+    fused_li = (
+        li.join(
+            orders.select(F.col("o_orderkey").alias("__ok")),
+            F.col("l_orderkey") == F.col("__ok"), "left",
+        )
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("__pp"))),
+            F.col("l_partkey") == F.col("__pp"), "left",
+        )
+        .join(
+            F.broadcast(supplier.select(F.col("s_suppkey").alias("__sp"))),
+            F.col("l_suppkey") == F.col("__sp"), "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("__ok").isNull(), 1).otherwise(0))
+            .cast("long").alias("v_ord"),
+            F.sum(F.when(F.col("__pp").isNull(), 1).otherwise(0))
+            .cast("long").alias("v_part"),
+            F.sum(F.when(F.col("__sp").isNull(), 1).otherwise(0))
+            .cast("long").alias("v_supp"),
+        )
+        .selectExpr(
+            "stack(3, 'lineitem->orders', n, v_ord,"
+            " 'lineitem->part', n, v_part,"
+            " 'lineitem->supplier', n, v_supp)"
+            " AS (relation, n_checked, n_violations)"
+        )
+    )
     parts = [
         orphan("orders->customer", orders, "o_custkey",
                customer, "c_custkey", True),
-        orphan("lineitem->orders", lineitem, "l_orderkey",
-               orders, "o_orderkey", False),
-        orphan("lineitem->part", lineitem, "l_partkey",
-               part, "p_partkey", True),
-        orphan("lineitem->supplier", lineitem, "l_suppkey",
-               supplier, "s_suppkey", True),
+        fused_li,
         coverage("customer<-orders", customer, "c_custkey",
                  orders, "o_custkey"),
         coverage("part<-lineitem", part, "p_partkey",

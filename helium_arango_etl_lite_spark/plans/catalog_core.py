@@ -1100,6 +1100,7 @@ def stream_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _replay_dir("stream_totals/src")
     res = _replay_dir("stream_totals/res")
     ckpt = _replay_dir("stream_totals/ckpt")
+    ev = ev.persist()  # one execution for all three batch slices
     for i in range(3):
         (
             ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
@@ -1108,6 +1109,7 @@ def stream_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("append")
             .parquet(src)
         )
+    ev.unpersist()
     stream = (
         spark.readStream.schema("user_id long, value double")
         .option("maxFilesPerTrigger", "1")

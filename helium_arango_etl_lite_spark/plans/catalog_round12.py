@@ -383,6 +383,7 @@ def stream_session_ooo_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _replay_dir("stream_sess_ooo/src")
     res = _replay_dir("stream_sess_ooo/res")
     ckpt = _replay_dir("stream_sess_ooo/ckpt")
+    base = base.persist()  # one execution for all three batch slices
     for i in range(3):
         (
             base.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
@@ -391,6 +392,7 @@ def stream_session_ooo_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("append")
             .parquet(src)
         )
+    base.unpersist()
     stream = (
         spark.readStream.schema("user_id long, ts_us long, value_c long")
         .option("maxFilesPerTrigger", "1")

@@ -216,7 +216,7 @@ def stream_quantiles_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _replay_dir("stream_hq/ckpt")
     binned = li.crossJoin(F.broadcast(st)).withColumn(
         "bin", F.expr(f"((pc - minc) * {_HQ_BINS}) div (maxc - minc + 1)")
-    )
+    ).persist()  # one execution for all three batch slices
     for i in range(3):
         (
             binned.filter(F.pmod(F.col("l_orderkey"), F.lit(3)) == i)
@@ -231,6 +231,7 @@ def stream_quantiles_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("append")
             .parquet(src)
         )
+    binned.unpersist()
     stream = (
         spark.readStream.schema("d int, b int, c long")
         .option("maxFilesPerTrigger", "1")

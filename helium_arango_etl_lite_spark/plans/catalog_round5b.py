@@ -143,6 +143,13 @@ def llm_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_overlay(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    # Both sides are consumed twice (per-query count + the hit join) and
+    # both arrive as expensive lazy plans (exact kNN / ADC search) —
+    # pin each so the overlay reads one materialization instead of
+    # executing the full search twice (opt round 13; the frames are
+    # queries x k rows, control-plane-sized).
+    exact = exact.localCheckpoint(eager=False)
+    approx = approx.localCheckpoint(eager=False)
     n_ex = exact.groupBy("qid").agg(F.count("*").cast("long").alias("n_exact"))
     n_ap = approx.groupBy("qid").agg(F.count("*").cast("long").alias("n_approx"))
     hit = (

@@ -39,16 +39,17 @@ def get_spark(
         # broadcast conversion — load-bearing at 100 TB (power-law keys).
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Coalesce post-shuffle partitions to the advisory SIZE, not to
-        # the core count: with the default parallelismFirst=true AQE
-        # refuses to merge below defaultParallelism, so a 100 KB shuffle
-        # still schedules 32 tasks — pure scheduler overhead on small
-        # exchanges, while at 100 TB both settings behave identically
-        # (partitions are above the advisory size either way). Guide
-        # §2.2 "fewer, larger reduce partitions"; measured -5% on a
-        # 16-query mixed subset, no regressions beyond noise.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # parallelismFirst deliberately stays at its default (true).
+        # Optimization round 13 A/B-tested size-based coalescing
+        # (parallelismFirst=false + 64m advisory): -5% on a 16-query
+        # subset, but the FULL bench falsified it — queries whose
+        # shuffle output is small in bytes yet compute-heavy per row
+        # (window/regex/array kernels over sub-64MB exchanges, and the
+        # exact-kNN GEMM whose corpus frame must stay spread across
+        # cores) coalesced to ONE post-shuffle partition and
+        # serialized: llm_ann_ivf_pq_recall 5.4s -> 24.8s, an
+        # events/window cluster +16s total. Bytes are the wrong proxy
+        # for these stages' cost; the default keeps them parallel.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for every pandas_udf / mapInPandas / toPandas path.

@@ -18,7 +18,7 @@ def _mkfile(path, n):
 
 def test_floor_for_tiny_sources(tmp_path):
     _mkfile(str(tmp_path / "src" / "b0.parquet"), 1024)
-    assert stream_partitions(str(tmp_path / "src")) == 4
+    assert stream_partitions(str(tmp_path / "src")) == 8
 
 
 def test_scales_linearly_with_bytes(tmp_path, monkeypatch):
@@ -42,7 +42,7 @@ def test_cap_and_floor_env_overrides(tmp_path, monkeypatch):
 
 
 def test_missing_dir_gives_floor(tmp_path):
-    assert stream_partitions(str(tmp_path / "nope")) == 4
+    assert stream_partitions(str(tmp_path / "nope")) == 8
 
 
 @pytest.mark.usefixtures()

@@ -1323,7 +1323,13 @@ def route_on_graph(
     queries = e.filter((F.col(id_col) % query_mod).isin(list(rems))).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
         norm(F.col("v")).alias("qn"),
-    )
+    # O(query batch) rows, broadcast into score() once per hop plus the
+    # entry layer — pin it so each consumer reads one materialization
+    # instead of re-running the corpus scan + filter + norm (the frame
+    # is control-plane-sized at any corpus scale; the CORPUS-sized
+    # `nodes` frame is deliberately NOT cached here — see route's
+    # docstring, the persisted-index entries hand it in from storage)
+    ).localCheckpoint(eager=False)
     sample = (
         entries.select("nid")
         if entries is not None

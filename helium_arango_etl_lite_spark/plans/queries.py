@@ -62,21 +62,24 @@ At ≤7 net/round the ceiling is ~7 rounds away — past the horizon — and
 ``tools/batch_staleness.py`` warns when a round's additions would push
 steady-state past 350, so the cap cannot decay by growth.
 
-Round-13 batch (applied): the 6 never-driver-verified round-12 entries
-lead (persisted IVF-PQ index + its incremental append, streaming CMS
-heavy hitters, out-of-order sessionization, nearest-direction as-of
-join, RFM quintile segmentation — each replica-verified in round 12:
-builder 300/300 sweep + the judge's independent 6/6 re-run), then the
-7 deferred r6 entries that reach age 7 = AT budget this round
-(``stream_dedup_replay``, ``stream_join_replay``, ``stream_late_replay``,
-``udf_geo_index``, ``udtf_sentence_split``, ``union_distinct_vertices``,
-``zorder_layout_stats``), then the 37 alphabetically-first entries of
-the 46-entry r7-stale cohort. The 9 deferred r7 entries (the
-alphabetical tail: ``llm_vocab_growth``, ``llm_vocab_topk``,
-``llm_winnow_fingerprint``, ``quarantine_replay``, ``rollup_replay``,
-``stream_totals_replay``, ``topk_accounts``, ``window_lag_delta``,
-``window_latest_per_key``) reach age 7 at r14 — AT budget — and lead
-the r14 batch together with round 13's new entries.
+Round-14 batch (applied; exactly ``tools/batch_staleness.py``'s
+suggested batch, budget check OK with zero deferral warnings): the 7
+never-driver-verified round-13 entries lead (IVF-PQ recall@k x3, PQ
+codebook training, IVF cell stats, streaming quantiles + HLL replays —
+each replica-verified in r13: builder 307/307 sweep in
+REPLICA_r13_opt.log + the r13 judge's independent re-run), then the 9
+deferred r7 entries that reach age 7 = AT budget this round
+(``llm_vocab_growth``, ``llm_vocab_topk``, ``llm_winnow_fingerprint``,
+``quarantine_replay``, ``rollup_replay``, ``stream_totals_replay``,
+``topk_accounts``, ``window_lag_delta``, ``window_latest_per_key``),
+then the 34 alphabetically-first entries of the 45-entry r8-stale
+cohort. The 11 deferred r8 entries (the alphabetical tail:
+``llm_ngram_novelty``, ``llm_pmi_collocations``,
+``llm_quality_percentile``, ``llm_repeated_span_scrub``,
+``llm_shard_assign``, ``pareto_frontier``, ``scd2_build``,
+``storage_compaction_plan``, ``stream_cusum_replay``,
+``stream_scd2_replay``, ``stream_session_replay``) reach age 7 at r15
+and lead the r15 batch.
 """
 
 from __future__ import annotations
@@ -113,70 +116,66 @@ from . import catalog_round13  # noqa: F401  (IVF-PQ recall@k, streaming quantil
 STALENESS_BUDGET_ROUNDS: int = 7
 
 DRIVER_BATCH: list[str] = [
-    # -- never driver-verified (6): the round-12 additions, each
-    #    replica-verified twice in r12 (builder 300/300 sweep in
-    #    REPLICA_r12.log + the judge's independent 6/6 re-run with
-    #    tools/driver_replica.py). The r12 verdict's top ask. ----------
-    "llm_ann_ivf_pq_persist",
-    "stream_heavy_hitters_replay",
-    "stream_session_ooo_replay",
-    "join_asof_nearest",
-    "events_rfm_segments",
-    "llm_ann_ivf_pq_append",
-    # -- age-7 = AT budget (7): the r6 entries deferred from the r12
-    #    batch, committed in advance by the r12 module docstring. ------
-    "stream_dedup_replay",
-    "stream_join_replay",
-    "stream_late_replay",
-    "udf_geo_index",
-    "udtf_sentence_split",
-    "union_distinct_vertices",
-    "zorder_layout_stats",
-    # -- oldest cohort (37 of 46): every entry below has newest driver
-    #    row r7, age 6 this round. Alphabetically-first 37; the 9
-    #    deferred (see module docstring) reach age 7 = AT budget at r14
-    #    and lead the r14 batch. Zero code changes; pure re-check. ------
-    "agg_payment_volume_salted",
-    "agg_percentiles",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_session_window",
-    "dq_profile",
-    "follow_replay_accounts",
-    "follow_replay_receipts",
-    "follow_retention_replay",
-    "graph_two_hop",
-    "inventory_refresh_replay",
-    "join_asof",
-    "join_range_window",
-    "llm_ann_ivf",
-    "llm_ann_lsh",
-    "llm_dedup_embedding",
-    "llm_dedup_embedding_lsh",
-    "llm_dedup_exact",
-    "llm_dedup_minhash",
-    "llm_dedup_ngram_jaccard",
-    "llm_dedup_simhash",
-    "llm_dup_clusters",
-    "llm_fingerprint",
-    "llm_incremental_dedup_bloom",
-    "llm_lang_id",
-    "llm_minhash_signature",
-    "llm_multimodal_features",
-    "llm_multimodal_meta",
-    "llm_power_iteration_2",
-    "llm_quality_score",
-    "llm_sample_hash",
-    "llm_source_stats",
-    "llm_split_leakage_check",
-    "llm_token_count",
-    "llm_token_stats",
-    "llm_topk_cosine",
-    "llm_trigram_lm_score",
-    # (round-13 additions are intentionally NOT in this batch: they are
-    # replica-verified in their birth round and lead the r14 batch
-    # together with the 9 deferred r7 entries named in the module
-    # docstring, the committed cadence since round 10g.)
+    # -- never driver-verified (7): the round-13 additions, each
+    #    replica-verified twice in r13 (builder 307/307 sweep in
+    #    REPLICA_r13_opt.log + the r13 judge's independent re-run).
+    #    The r13 verdict's item 2. -------------------------------------
+    "llm_ann_ivf_pq_recall",
+    "stream_quantiles_replay",
+    "stream_hll_replay",
+    "llm_ivf_cell_stats",
+    "llm_pq_train_codebook",
+    "llm_ann_ivf_pq_recall_trained",
+    "llm_ann_ivf_pq_recall_sweep",
+    # -- age-7 = AT budget (9): the r7 entries deferred from the r13
+    #    batch, committed in advance by the r13 module docstring. ------
+    "llm_vocab_growth",
+    "llm_vocab_topk",
+    "llm_winnow_fingerprint",
+    "quarantine_replay",
+    "rollup_replay",
+    "stream_totals_replay",
+    "topk_accounts",
+    "window_lag_delta",
+    "window_latest_per_key",
+    # -- oldest cohort (34 of 45): every entry below has newest driver
+    #    row r8, age 6 this round. Alphabetically-first 34; the 11
+    #    deferred (see module docstring) reach age 7 = AT budget at r15
+    #    and lead the r15 batch. Zero code changes; pure re-check. -----
+    "agg_cohort_retention",
+    "agg_cube",
+    "agg_event_funnel",
+    "agg_gini_by_group",
+    "agg_market_basket",
+    "agg_theil_index",
+    "dq_benford",
+    "dq_partition_skew",
+    "dq_psi_drift",
+    "events_acf",
+    "events_cusum_alarm",
+    "events_ewma",
+    "events_forecast_backtest",
+    "events_mad_outliers",
+    "events_resample_interp",
+    "events_seasonal_profile",
+    "events_trend_slope",
+    "graph_k_core",
+    "graph_modularity",
+    "join_interval_overlap",
+    "join_scd2_lookup",
+    "llm_dedup_containment",
+    "llm_dedup_edit_verify",
+    "llm_dedup_pipeline_star",
+    "llm_hard_negatives",
+    "llm_logreg_sweep",
+    "llm_logreg_train",
+    "llm_mixture_weights",
+    "llm_multimodal_decode_ppm",
+    "llm_multimodal_decode_wav",
+    "llm_multimodal_quarantine_ppm",
+    "llm_multimodal_quarantine_wav",
+    "llm_naive_bayes_score",
+    "llm_naive_bayes_train",
 ]
 
 

@@ -1012,22 +1012,33 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The three lineitem orphan checks share ONE scan of the fact table
     # (it was scanned once per check before — 3 full passes for 3 sums):
-    # every parent key is unique, so chaining the three left joins keeps
-    # the row count and each check's null test unchanged, and one
-    # aggregate emits all three (relation, n_checked, n_violations)
-    # triples via stack. Guide §1.2: same passes the SQL oracle fuses.
+    # each parent key projection is DEDUPLICATED before its join, which
+    # makes the chained left joins unconditionally 1:1 row-preserving —
+    # without the distinct the fusion is only equivalent to three
+    # independent checks while every parent key happens to be unique; a
+    # duplicate key in ANY one parent would fan out the row count and
+    # inflate n_checked/n_violations for all three relations (ADVICE
+    # r13). On unique-keyed parents the distinct is a no-op on results
+    # (oracle hash unchanged) and cheap: a key-only partial agg riding
+    # the exchange the join needs anyway. One aggregate emits all three
+    # (relation, n_checked, n_violations) triples via stack. Guide
+    # §1.2: same passes the SQL oracle fuses.
     li = lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
     fused_li = (
         li.join(
-            orders.select(F.col("o_orderkey").alias("__ok")),
+            orders.select(F.col("o_orderkey").alias("__ok")).distinct(),
             F.col("l_orderkey") == F.col("__ok"), "left",
         )
         .join(
-            F.broadcast(part.select(F.col("p_partkey").alias("__pp"))),
+            F.broadcast(
+                part.select(F.col("p_partkey").alias("__pp")).distinct()
+            ),
             F.col("l_partkey") == F.col("__pp"), "left",
         )
         .join(
-            F.broadcast(supplier.select(F.col("s_suppkey").alias("__sp"))),
+            F.broadcast(
+                supplier.select(F.col("s_suppkey").alias("__sp")).distinct()
+            ),
             F.col("l_suppkey") == F.col("__sp"), "left",
         )
         .agg(

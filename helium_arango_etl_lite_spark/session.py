@@ -8,6 +8,7 @@ broadcast threshold left to AQE's runtime re-plan).
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
 
 from pyspark.sql import SparkSession
@@ -72,8 +73,35 @@ def get_spark(
     #   SPARK_GRAFT_EXTRA_CONF="spark.io.compression.codec=zstd;spark.foo=1"
     # Applied LAST so they override the defaults above. Empty by default,
     # so the driver's bench runs the committed configuration.
-    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
-    for kv in filter(None, (s.strip() for s in extra.split(";"))):
-        k, _, v = kv.partition("=")
-        builder = builder.config(k.strip(), v.strip())
+    for k, v in parse_extra_conf(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")):
+        builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def parse_extra_conf(extra: str) -> list[tuple[str, str]]:
+    """Parse the ``SPARK_GRAFT_EXTRA_CONF`` override string
+    (semicolon-separated ``key=value`` pairs) into (key, value) tuples.
+
+    Malformed entries (no '=', or an empty key) are SKIPPED with a
+    stderr warning instead of becoming empty-string configs, and every
+    applied override is logged so a run that deviates from the
+    committed configuration records that it did (ADVICE r13: an
+    inherited env var could otherwise silently change engine config
+    under bench / correctness runs)."""
+    pairs: list[tuple[str, str]] = []
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        k, eq, v = kv.partition("=")
+        if not eq or not k.strip():
+            print(
+                f"get_spark: ignoring malformed SPARK_GRAFT_EXTRA_CONF "
+                f"entry {kv!r} (expected key=value)",
+                file=sys.stderr,
+            )
+            continue
+        print(
+            f"get_spark: override from SPARK_GRAFT_EXTRA_CONF: "
+            f"{k.strip()}={v.strip()}",
+            file=sys.stderr,
+        )
+        pairs.append((k.strip(), v.strip()))
+    return pairs

@@ -61,7 +61,26 @@ _MAX_PARTS_DEFAULT = 4096
 
 def _dir_bytes(path: str) -> int:
     """Total bytes under a local directory (the replay sources are always
-    local parquet dirs written by the query itself)."""
+    local parquet dirs written by the query itself).
+
+    A path that does not exist as a local directory (a typo, or an
+    s3://... / hdfs://... URI this local-only walk cannot measure) is
+    WARNED about rather than silently sized 0 — sizing it 0 would make
+    :func:`stream_partitions` return the floor and under-partition a
+    large production stream with no trace (ADVICE r13). Remote sources
+    should be measured via the Hadoop FileSystem API by the caller and
+    passed through the env overrides instead."""
+    if not os.path.isdir(path):
+        import warnings
+
+        warnings.warn(
+            f"stream_partitions: source {path!r} is not a local directory "
+            "(remote URI or typo?) — it contributes 0 bytes and the "
+            "partition count may fall to the floor",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return 0
     total = 0
     for root, _dirs, files in os.walk(path):
         for fn in files:
@@ -98,7 +117,15 @@ def stream_shuffle_partitions(
     Set BEFORE ``start()`` (the first micro-batch pins state
     partitioning from it) and restored AFTER ``awaitTermination()``
     (micro-batches are planned while awaiting, so restoring earlier
-    would race the stream's own planning)."""
+    would race the stream's own planning).
+
+    RESTRICTION (ADVICE r13): the conf is session-global for the
+    duration of the stream — a concurrent batch query or a second
+    stream planned in the SAME session inside this window picks up the
+    temporary value. The catalog's replays run their stream serially
+    within one query invocation, which is safe; anything that plans
+    concurrent work in a shared session should use a separate session
+    (``spark.newSession()``) for the stream instead."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:

@@ -7,7 +7,11 @@ Pins the behaviours the r13 verdict asked for:
   whose size is batch-dependent — VERDICT r13 item 5 / ADVICE r13);
 * the walk's batching (tuple ``query_rem``) still returns row-for-row
   what separate calls return, with the re-materialized frontier
-  (VERDICT r13 item 3 — the fix must not change results).
+  (VERDICT r13 item 3 — the fix must not change results);
+* a non-local stream source path warns instead of silently sizing the
+  stream to the floor (ADVICE r13);
+* malformed SPARK_GRAFT_EXTRA_CONF entries are skipped, not applied as
+  empty-string configs (ADVICE r13).
 """
 from __future__ import annotations
 
@@ -59,3 +63,29 @@ def test_walk_batched_rems_equal_separate_calls(spark, sf_dir):
         .collect()
     )
     assert tags <= {0, 1}
+
+
+def test_stream_partitions_warns_on_missing_source(tmp_path):
+    import pytest
+
+    from helium_arango_etl_lite_spark.streaming.tuning import (
+        stream_partitions,
+    )
+
+    with pytest.warns(RuntimeWarning, match="not a local directory"):
+        n = stream_partitions(str(tmp_path / "nope"))
+    assert n == 8  # floor — but no longer silently
+
+
+def test_parse_extra_conf_skips_malformed(capsys):
+    from helium_arango_etl_lite_spark.session import parse_extra_conf
+
+    pairs = parse_extra_conf(
+        "spark.a=1; spark.no.equals ;=v; spark.b = x=y "
+    )
+    # valid pairs applied (value keeps everything after the first '='),
+    # the '=' -less and empty-key entries skipped
+    assert pairs == [("spark.a", "1"), ("spark.b", "x=y")]
+    err = capsys.readouterr().err
+    assert "ignoring malformed" in err and "spark.no.equals" in err
+    assert "override from SPARK_GRAFT_EXTRA_CONF: spark.a=1" in err

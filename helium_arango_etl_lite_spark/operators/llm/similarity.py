@@ -1431,11 +1431,17 @@ def route_on_graph(
             .localCheckpoint(eager=True)
         )
         expanded = expanded.unionByName(frontier)
+        # No ``.distinct()`` on the candidate set (VERDICT r13 item 7 —
+        # fewer exchanges per hop): duplicate (query_id, nid) candidates
+        # (several frontier nodes sharing an out-neighbour) score to
+        # IDENTICAL rows (same rounded cosine), and the dropDuplicates
+        # below already folds them — the dedup exchange per hop bought
+        # nothing but a stage. Scoring the few duplicates is broadcast-
+        # join work, far cheaper than the exchange it replaces.
         new = (
             F.broadcast(frontier)
             .join(edges, frontier["nid"] == edges["src"])
             .select("query_id", F.col("dst").alias("nid"))
-            .distinct()
         )
         seen = (
             seen.unionByName(score(new))

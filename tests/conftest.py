@@ -14,7 +14,16 @@ SF_SMALL = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    # local[8], not local[4]: the r14 duration profile showed the
+    # Spark-bound tests (the 307-entry parity sweep, the walk/persist
+    # families) dominated by tiny-task scheduling waves — on the 32-core
+    # driver box the suite leaves most cores idle either way, and 8
+    # halves the wave count of the pinned 8-partition shuffles.
+    # SPARK_GRAFT_TEST_CPUS overrides for constrained environments.
+    cpus = os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")
+    s = get_spark(
+        app_name="tests", master=f"local[{cpus}]", shuffle_partitions=8
+    )
     yield s
 
 
